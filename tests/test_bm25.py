@@ -1,0 +1,107 @@
+"""Rank-identity of the Spark BM25/VSM/existential scorers vs the
+pure-Python oracle (FIXTURES.md §6 bm25.golden) — tiny corpus + a 500-doc
+slice of the driver testdata.
+"""
+
+import pytest
+
+from themis_search_engine_spark.corpus import load_documents
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.oracle import OracleIndex
+from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+from themis_search_engine_spark.queryeng.existential import existential
+from themis_search_engine_spark.queryeng.vsm import vsm_score_all
+
+from tests.conftest import TINY_DOCS
+
+QUERIES = {
+    1: "lazy dog",
+    2: "spark engine query",
+    3: "the and of",          # all stopwords → no results
+    4: "zzzzunknownzzz fox",  # unknown term dropped silently (Q1)
+    5: "quick",
+}
+
+
+@pytest.fixture(scope="module")
+def idx(tiny_docs_df):
+    return build_index(tiny_docs_df, stem=True, with_norms=True).cache()
+
+
+@pytest.fixture(scope="module")
+def oidx():
+    return OracleIndex.build(TINY_DOCS, stem=True)
+
+
+def _spark_ranked(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: [(d, s) for _, d, s in sorted(v)] for q, v in out.items()}
+
+
+def test_bm25_rank_identical_tiny(spark, idx, oidx):
+    qt = qterms_df(spark, QUERIES)
+    got = _spark_ranked(
+        bm25_topk(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=10
+        ).collect()
+    )
+    for qid, q in QUERIES.items():
+        want = oidx.bm25(q, k=10)
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], (qid, q)
+        for (d1, s1), (d2, s2) in zip(have, want):
+            assert s1 == pytest.approx(s2, rel=1e-12), (qid, d1)
+
+
+def test_vsm_rank_identical_tiny(spark, idx, oidx):
+    qt = qterms_df(spark, QUERIES)
+    scored = vsm_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.n_docs
+    ).collect()
+    by_qid = {}
+    for r in scored:
+        by_qid.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, q in QUERIES.items():
+        want = oidx.vsm(q, k=None)
+        have = sorted(by_qid.get(qid, []), key=lambda kv: (-kv[1], kv[0]))
+        assert [d for d, _ in have] == [d for d, _ in want], (qid, q)
+        for (d1, s1), (d2, s2) in zip(have, want):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_existential_tiny(spark, idx, oidx):
+    qt = qterms_df(spark, QUERIES)
+    rows = existential(qt, idx.postings_flat).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], set()).add(r["doc_id"])
+    for qid, q in QUERIES.items():
+        assert sorted(by_qid.get(qid, set())) == oidx.existential(q), (qid, q)
+
+
+def test_bm25_rank_identical_testdata(spark):
+    """End-to-end rank identity on real driver testdata (sf0.001)."""
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    pdocs = {r["doc_id"]: r["text"] for r in docs.collect()}
+    oidx = OracleIndex.build(pdocs, stem=True)
+    idx = build_index(docs, stem=True).cache()
+    queries = {
+        1: "spark shuffle join",
+        2: "window aggregate stream",
+        3: "the fast key order",
+        4: "hash",
+    }
+    qt = qterms_df(spark, queries)
+    got = _spark_ranked(
+        bm25_topk(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=20
+        ).collect()
+    )
+    for qid, q in queries.items():
+        want = oidx.bm25(q, k=20)
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], (qid, q)
+        for (d1, s1), (d2, s2) in zip(have, want):
+            assert s1 == pytest.approx(s2, rel=1e-9)

@@ -1,0 +1,192 @@
+"""Inverted-index build: the reference's CreateIndex ETL, Spark-first.
+
+Maps the reference lifecycle (SURVEY.md §3.1) onto one declarative plan:
+
+  corpus → vectorized tokenize/stem (term_counts_arrow, NO shuffle)
+         → per-doc stats (groupBy doc_id: max-TF + length, A3/A4)
+         → postings_flat (term, doc_id, tf)           [tf = cnt/max, §2.8.6]
+         → dictionary (term, df, idf)                  [A5]
+         → global_stats (n_docs, avgdl)                [A6]
+         → doc_norms (VSM, A7)                         [optional]
+
+The reference's partial-index dump + fastmerge (M1/M2, Indexer.java:447-902)
+IS Spark's map-side partial aggregation + term-keyed shuffle — we don't
+reimplement it; we shape it (AQE coalesce, term-hash bucketing on write,
+range-chunk salting for head terms in compress.py).
+
+Formulas (quirk decisions per SURVEY.md §7 — clean float math, no
+double-divide / int-division bug replication):
+  tf      = cnt / max(cnt) within doc        (Indexer.java:410-418)
+  length  = Σ cnt within doc (post-stopword) (Indexer.java:397,439)
+  df      = #docs containing term            (Indexer.java:377-401)
+  idf_bm25= log2((N - df + 0.5)/(df + 0.5))  (OkapiBM25.java:104-106)
+  idf_vsm = log2(N / df)                     (Indexer.java:766, float-clean)
+  norm    = sqrt(Σ (tf · idf_vsm)²) per doc  (Indexer.java:674-761)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..textproc import term_counts_arrow, term_counts_native
+
+
+@dataclass
+class InvertedIndex:
+    """The four logical tables of the index (+ convenience scalars)."""
+
+    counts: DataFrame        # (doc_id, term, cnt)   raw per-doc counts
+    postings_flat: DataFrame  # (term, doc_id, tf)    max-normalized tf
+    dictionary: DataFrame     # (term, df, idf)       BM25 idf
+    doc_stats: DataFrame      # (doc_id, length, maxcnt, norm?)
+    global_stats: DataFrame   # (n_docs, avgdl) single row
+    n_docs: int
+    avgdl: float
+
+    def cache(self) -> "InvertedIndex":
+        self.postings_flat.cache()
+        self.dictionary.cache()
+        self.doc_stats.cache()
+        return self
+
+
+def doc_stats_from_counts(counts: DataFrame) -> DataFrame:
+    """A3+A4: per-doc max term count and raw length. One groupBy(doc_id) —
+    map-side combine keeps the shuffle at one row per (partition, doc)."""
+    return counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("maxcnt"),
+        F.sum("cnt").cast("long").alias("length"),
+    )
+
+
+def build_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stem: bool = True,
+    use_arrow: bool = True,
+    with_norms: bool = False,
+) -> InvertedIndex:
+    """Build the logical index tables from a (doc_id, text) corpus.
+
+    ``use_arrow=True`` (default) is the scale path: per-doc counts computed
+    inside Arrow batches, zero shuffle before the term-level aggregations.
+    ``use_arrow=False`` uses the pure-Catalyst unstemmed path (oracle twin).
+    """
+    if use_arrow:
+        counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
+    else:
+        if stem:
+            raise ValueError("native path is unstemmed-only; use use_arrow=True")
+        counts = term_counts_native(docs, text_col, id_col)
+    counts = counts.cache()
+
+    # Every corpus doc gets a stats row — token-less docs (e.g. all-Greek
+    # after P2 normalization) count toward N and avgdl with length 0, exactly
+    # as the reference appends a 68-B record per doc (Indexer.java:423-443).
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(doc_stats_from_counts(counts), "doc_id", "left")
+        .fillna({"length": 0, "maxcnt": 0.0})
+    )
+
+    postings_flat = (
+        counts.join(stats.select("doc_id", "maxcnt"), "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (F.col("cnt") / F.col("maxcnt")).alias("tf"),
+        )
+    )
+
+    gs_row = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("length").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(gs_row["n_docs"]), float(gs_row["avgdl"] or 0.0)
+
+    dictionary = counts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).withColumn(
+        "idf",
+        F.log2((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+
+    spark = docs.sparkSession
+    global_stats = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    )
+
+    if with_norms:
+        norms = vsm_doc_norms(postings_flat, dictionary, n_docs)
+        stats = stats.join(norms, "doc_id", "left").fillna({"norm": 0.0})
+
+    return InvertedIndex(
+        counts=counts,
+        postings_flat=postings_flat,
+        dictionary=dictionary,
+        doc_stats=stats,
+        global_stats=global_stats,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+def vsm_doc_norms(
+    postings_flat: DataFrame, dictionary: DataFrame, n_docs: int
+) -> DataFrame:
+    """A7: norm = sqrt(Σ_terms (tf · log2(N/df))²) per doc
+    (Indexer.java:674-761, clean float division per SURVEY.md §7)."""
+    return (
+        postings_flat.join(dictionary.select("term", "df"), "term")
+        .select(
+            "doc_id",
+            (F.col("tf") * F.log2(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    )
+
+
+def save_index(
+    idx: InvertedIndex, path: str, *, term_buckets: int = 64
+) -> None:
+    """Persist the logical tables as parquet (Iceberg-shaped layout).
+
+    postings_flat is written repartitioned by term-hash so query-time term
+    lookups prune files (the parquet stand-in for Iceberg bucket
+    partitioning); at cluster scale this becomes
+    ``write.format('iceberg').partitionedBy(bucket(N, 'term'))``.
+    """
+    (
+        idx.postings_flat.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings_flat")
+    )
+    idx.dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    idx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    idx.global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
+
+
+def load_index(spark: SparkSession, path: str) -> InvertedIndex:
+    postings = spark.read.parquet(f"{path}/postings_flat").drop("bucket")
+    dictionary = spark.read.parquet(f"{path}/dictionary")
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    global_stats = spark.read.parquet(f"{path}/global_stats")
+    row = global_stats.collect()[0]
+    return InvertedIndex(
+        counts=None,  # raw counts are not persisted; derived tables suffice
+        postings_flat=postings,
+        dictionary=dictionary,
+        doc_stats=doc_stats,
+        global_stats=global_stats,
+        n_docs=int(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+    )

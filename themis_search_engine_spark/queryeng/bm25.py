@@ -1,0 +1,87 @@
+"""Q4: Okapi BM25 scoring, DataFrame-native (no UDF in the hot path).
+
+Semantics (OkapiBM25.java:66-186, params :68-69, idf :104-107, tf part
+:161-164; quirk decisions per SURVEY.md §7):
+
+  idf(t)      = log2((N - df + 0.5) / (df + 0.5))
+  part(t, d)  = idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+  score(q, d) = Σ_{t ∈ q ∩ d} part(t, d)        (bag-of-words OR)
+  k1 = 2.0, b = 0.75; tf is the stored max-normalized tf; dl the stored
+  int length; ties broken (score desc, doc_id asc) — the deterministic
+  refinement of the reference's unstable sort (Q7).
+
+Plan shape: qterms (tiny, broadcast) ⋈ postings → ⋈ doc_stats →
+groupBy(qid, doc_id).agg(sum) → per-qid top-k via window. The whole score
+expression is Column arithmetic → whole-stage codegen. At cluster scale the
+postings side is bucket-partitioned by term so the broadcast-join prunes
+buckets; doc_stats joins via sort-merge (or broadcast after top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+K1 = 2.0
+B = 0.75
+
+
+def bm25_part_expr(tf=None, length=None, idf=None, *, avgdl: float = 1.0):
+    tf = tf if tf is not None else F.col("tf")
+    length = length if length is not None else F.col("length")
+    idf = idf if idf is not None else F.col("idf")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * length / F.lit(avgdl))
+    return idf * tf * F.lit(K1 + 1.0) / denom
+
+
+def bm25_score_all(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+) -> DataFrame:
+    """(qid, doc_id, score) for every candidate doc of every query —
+    one distributed job for the whole query batch."""
+    q = F.broadcast(qterms.join(dictionary.select("term", "idf"), "term"))
+    scored = (
+        postings_flat.join(q, "term")
+        .join(doc_stats.select("doc_id", "length"), "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            bm25_part_expr(avgdl=avgdl).alias("part"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return scored
+
+
+def topk(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Q8 per qid: rank by (score desc, doc_id asc), take k.
+
+    A window over qid partitions is fine here because candidates per query
+    ≪ corpus; at extreme fan-in the WAND path (queryeng/wand.py) caps
+    candidates before this step.
+    """
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    return topk(
+        bm25_score_all(qterms, postings_flat, dictionary, doc_stats, avgdl), k
+    )
