@@ -1,0 +1,188 @@
+"""DuckDB oracle-SQL builders matching the engine's operators.
+
+Each builder returns ANSI SQL that DuckDB runs over the driver's
+pre-registered views (``documents``, ``embeddings``, ...) and that must
+produce the SAME rows (column names, order-insensitive values) as the
+corresponding Spark query in ``__spark_entry__.py``.
+
+Stemming is not SQL-expressible in this sandbox (DuckDB's fts/stem
+extension can't be downloaded), so the SQL-oracled pipeline variants run
+UNSTEMMED; stemmed variants are registered without oracle SQL (rows-only
+driver check) and are rank-identity-tested against the pure-Python oracle
+in pytest instead.
+
+Floats are rounded to 6 decimals on BOTH sides; both engines use
+half-away-from-zero double rounding, and sum-order differences are ~1e-13
+relative, far below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from .queryeng.pipeline import parse_queries
+from .stopwords import STOPWORDS
+
+K1 = 2.0
+B = 0.75
+
+# Only ASCII-alnum stopwords can ever match a post-normalization token
+# (P2 maps everything else to spaces), so the SQL IN-list needs only those.
+_ASCII_STOPS = sorted(w for w in STOPWORDS if w.isascii())
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _ASCII_STOPS)
+
+# The standard query set used by the SQL-oracled retrieval queries: mixes
+# high-df terms (negative BM25 idf), a rare term (dup), unknown terms,
+# an all-stopword query, and multi-term queries (FIXTURES.md §5).
+QUERYSET: dict[int, str] = {
+    1: "spark shuffle join",
+    2: "window order group",
+    3: "dup",
+    4: "the a of",
+    5: "fast key value vector",
+    6: "batch stream merge sort query",
+}
+
+
+def _qterms_values(stem: bool = False) -> str:
+    rows = parse_queries(QUERYSET, stem=stem)
+    vals = ", ".join(f"({qid}, '{term}', {qw!r})" for qid, term, _qtf, qw in rows)
+    return f"(VALUES {vals}) AS q(qid, term, qweight)"
+
+
+TOK_CTE = r"""
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\s+')) AS term
+  FROM documents
+),
+tok_f AS (
+  SELECT doc_id, term FROM tok
+  WHERE term <> '' AND term NOT IN (%(stops)s)
+),
+counts AS (
+  SELECT doc_id, term, count(*)::BIGINT AS cnt FROM tok_f GROUP BY doc_id, term
+),
+docstat AS (
+  SELECT d.doc_id,
+         coalesce(mx.maxcnt, 0)::BIGINT  AS maxcnt,
+         coalesce(mx.length, 0)::BIGINT  AS length
+  FROM documents d
+  LEFT JOIN (
+    SELECT doc_id, max(cnt) AS maxcnt, sum(cnt) AS length
+    FROM counts GROUP BY doc_id
+  ) mx USING (doc_id)
+),
+gstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(length)::DOUBLE AS avgdl FROM docstat
+),
+dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM counts GROUP BY term
+),
+tfn AS (
+  SELECT c.doc_id, c.term, c.cnt::DOUBLE / s.maxcnt AS tf
+  FROM counts c JOIN docstat s USING (doc_id)
+)
+""" % {"stops": _STOP_LIST_SQL}
+
+
+def sql_tok_counts() -> str:
+    return f"WITH {TOK_CTE} SELECT doc_id, term, cnt FROM counts"
+
+
+def sql_doc_lengths() -> str:
+    return f"WITH {TOK_CTE} SELECT doc_id, length FROM docstat"
+
+
+def sql_dictionary() -> str:
+    return f"WITH {TOK_CTE} SELECT term, df FROM dict"
+
+
+def sql_global_stats() -> str:
+    return f"WITH {TOK_CTE} SELECT n_docs, round(avgdl, 6) AS avgdl FROM gstats"
+
+
+def sql_idf_bm25() -> str:
+    return (
+        f"WITH {TOK_CTE} "
+        "SELECT term, round(log2((n_docs - df + 0.5) / (df + 0.5)), 6) AS idf "
+        "FROM dict CROSS JOIN gstats"
+    )
+
+
+def sql_tf_maxnorm() -> str:
+    return f"WITH {TOK_CTE} SELECT doc_id, term, round(tf, 6) AS tf FROM tfn"
+
+
+def _bm25_scored_cte(stem: bool = False) -> str:
+    return f"""WITH {TOK_CTE},
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN {_qterms_values(stem)} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+)"""
+
+
+def sql_bm25_scores() -> str:
+    return (
+        _bm25_scored_cte()
+        + " SELECT qid, doc_id, round(score, 6) AS score FROM scored"
+    )
+
+
+def sql_bm25_topk(k: int = 10) -> str:
+    return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT qid, doc_id, round(score, 6) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_existential() -> str:
+    return f"""WITH {TOK_CTE}
+SELECT DISTINCT q.qid, c.doc_id, 1.0::DOUBLE AS score
+FROM counts c JOIN {_qterms_values()} ON c.term = q.term"""
+
+
+def sql_doc_norms() -> str:
+    return f"""WITH {TOK_CTE}
+SELECT t.doc_id,
+       round(sqrt(sum(pow(t.tf * log2(g.n_docs::DOUBLE / d.df), 2))), 6) AS norm
+FROM tfn t JOIN dict d USING (term) CROSS JOIN gstats g
+GROUP BY t.doc_id"""
+
+
+def sql_vsm_scores() -> str:
+    return f"""WITH {TOK_CTE},
+qw AS (
+  SELECT q.qid, q.term, q.qweight * log2(g.n_docs::DOUBLE / d.df) AS qw
+  FROM {_qterms_values()} JOIN dict d USING (term) CROSS JOIN gstats g
+),
+qnorm AS (
+  SELECT qid, sqrt(sum(qw * qw)) AS qnorm FROM qw GROUP BY qid
+),
+dnorm AS (
+  SELECT t.doc_id, sqrt(sum(pow(t.tf * log2(g.n_docs::DOUBLE / d.df), 2))) AS norm
+  FROM tfn t JOIN dict d USING (term) CROSS JOIN gstats g GROUP BY t.doc_id
+),
+dots AS (
+  SELECT w.qid, t.doc_id,
+         sum(t.tf * log2(g.n_docs::DOUBLE / d.df) * w.qw) AS dot
+  FROM tfn t JOIN dict d USING (term) JOIN qw w ON t.term = w.term
+  CROSS JOIN gstats g
+  GROUP BY w.qid, t.doc_id
+)
+SELECT dots.qid, dots.doc_id,
+       round(CASE WHEN dn.norm > 0 AND qn.qnorm > 0
+                  THEN dot / (dn.norm * qn.qnorm) ELSE 0.0 END, 6) AS score
+FROM dots JOIN dnorm dn USING (doc_id) JOIN qnorm qn USING (qid)"""

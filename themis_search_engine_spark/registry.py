@@ -1,0 +1,184 @@
+"""Query registry: Spark-side callables matching ``oracle_sql`` builders.
+
+Consumed by ``__spark_entry__.py`` (the driver contract). Every SQL-oracled
+callable here runs the engine's own operators over the driver's
+``documents.parquet`` and must value-match its DuckDB twin at sf=0.01.
+Index bundles are memoized per (sf_dir, stem, path) so the ~15 registered
+queries don't rebuild the index each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle_sql as osql
+from .corpus import load_documents
+from .indexing import InvertedIndex, build_index
+from .indexing.build import vsm_doc_norms
+from .queryeng import bm25_topk, qterms_df
+from .queryeng.bm25 import bm25_score_all, topk
+from .queryeng.existential import existential
+from .queryeng.vsm import vsm_score_all
+from .session import _ship_package
+
+_CACHE: dict[tuple, InvertedIndex] = {}
+
+
+def get_index(
+    spark: SparkSession, sf_dir: str, *, stem: bool = False, arrow: bool | None = None
+) -> InvertedIndex:
+    arrow = stem if arrow is None else arrow
+    key = (sf_dir, stem, arrow)
+    if key not in _CACHE:
+        _ship_package(spark)
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        _CACHE[key] = build_index(docs, stem=stem, use_arrow=arrow).cache()
+    return _CACHE[key]
+
+
+def _qt(spark: SparkSession, *, stem: bool) -> DataFrame:
+    return qterms_df(spark, osql.QUERYSET, stem=stem)
+
+
+# --- SQL-oracled queries (unstemmed pipeline) ------------------------------
+
+def q_tok_counts(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return idx.counts.select("doc_id", "term", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_doc_lengths(spark, sf_dir):
+    return get_index(spark, sf_dir).doc_stats.select("doc_id", "length")
+
+
+def q_dictionary(spark, sf_dir):
+    return get_index(spark, sf_dir).dictionary.select("term", "df")
+
+
+def q_global_stats(spark, sf_dir):
+    return get_index(spark, sf_dir).global_stats.select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl")
+    )
+
+
+def q_idf_bm25(spark, sf_dir):
+    return get_index(spark, sf_dir).dictionary.select(
+        "term", F.round("idf", 6).alias("idf")
+    )
+
+
+def q_tf_maxnorm(spark, sf_dir):
+    return get_index(spark, sf_dir).postings_flat.select(
+        "doc_id", "term", F.round("tf", 6).alias("tf")
+    )
+
+
+def q_bm25_scores(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return scored.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    ranked = bm25_topk(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, k=10,
+    )
+    return ranked.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_existential(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return existential(_qt(spark, stem=False), idx.postings_flat).select(
+        "qid", "doc_id", "score"
+    )
+
+
+def q_doc_norms(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    norms = vsm_doc_norms(idx.postings_flat, idx.dictionary, idx.n_docs)
+    return norms.select("doc_id", F.round("norm", 6).alias("norm"))
+
+
+def q_vsm_scores(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    stats = idx.doc_stats.join(
+        vsm_doc_norms(idx.postings_flat, idx.dictionary, idx.n_docs), "doc_id"
+    )
+    scored = vsm_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary, stats,
+        idx.n_docs,
+    )
+    return scored.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+# --- stemmed pipeline (rows-only driver check; oracle is pytest vs the
+# pure-Python scorer, since DuckDB has no stemmer in this sandbox) ----------
+
+def q_dictionary_stemmed(spark, sf_dir):
+    return get_index(spark, sf_dir, stem=True).dictionary.select("term", "df")
+
+
+def q_bm25_topk_stemmed(spark, sf_dir):
+    idx = get_index(spark, sf_dir, stem=True)
+    ranked = bm25_topk(
+        _qt(spark, stem=True), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, k=10,
+    )
+    return ranked.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tok_counts": q_tok_counts,
+    "doc_lengths": q_doc_lengths,
+    "dictionary": q_dictionary,
+    "global_stats": q_global_stats,
+    "idf_bm25": q_idf_bm25,
+    "tf_maxnorm": q_tf_maxnorm,
+    "bm25_scores": q_bm25_scores,
+    "bm25_topk": q_bm25_topk,
+    "existential": q_existential,
+    "doc_norms": q_doc_norms,
+    "vsm_scores": q_vsm_scores,
+    "dictionary_stemmed": q_dictionary_stemmed,
+    "bm25_topk_stemmed": q_bm25_topk_stemmed,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "tok_counts": osql.sql_tok_counts(),
+    "doc_lengths": osql.sql_doc_lengths(),
+    "dictionary": osql.sql_dictionary(),
+    "global_stats": osql.sql_global_stats(),
+    "idf_bm25": osql.sql_idf_bm25(),
+    "tf_maxnorm": osql.sql_tf_maxnorm(),
+    "bm25_scores": osql.sql_bm25_scores(),
+    "bm25_topk": osql.sql_bm25_topk(10),
+    "existential": osql.sql_existential(),
+    "doc_norms": osql.sql_doc_norms(),
+    "vsm_scores": osql.sql_vsm_scores(),
+    # dictionary_stemmed / bm25_topk_stemmed: intentionally no SQL oracle
+    # (stemming not SQL-expressible here) → driver rows-only check.
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Stemmed Arrow-path BM25 top-10 batch on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = get_index(spark, sf_dir, stem=True)
+    return bm25_topk(
+        _qt(spark, stem=True), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, k=10,
+    )
