@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Bench harness: headline stages at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Stages
+  build_docs     index build over documents.parquet (stemmed Arrow path)
+  compress       delta+varbyte chunked postings build
+  bm25_batch     50-query batch BM25 top-10, naive DataFrame path
+  wand_batch     same workload over compressed chunks (block-max WAND)
+  build_synth    index build over the deterministic synthetic web-page
+                 corpus (~500k·sf docs) — the scaling-efficiency workload
+                 (BASELINE.md: same job at local[8] vs local[32])
+
+Extra JSON keys report derived throughputs (docs/sec, queries/sec) and the
+query-latency distribution; the driver's contract needs only
+metric/value/unit/queries/sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from themis_search_engine_spark.corpus import load_documents, synth_pages
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.indexing.compress import (
+    build_postings_compressed,
+    compression_metrics,
+)
+from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+from themis_search_engine_spark.queryeng.wand import wand_topk
+from themis_search_engine_spark.queryset import reference_queries
+from themis_search_engine_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.1
+    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", int(500_000 * sf)))
+
+    spark = get_spark(
+        "themis-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stages: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- build over driver documents table ---------------------------------
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    idx = build_index(docs, stem=True).cache()
+    n_postings = idx.postings_flat.count()
+    idx.doc_stats.count()
+    stages["build_docs"] = time.perf_counter() - t0
+    extra["docs_per_sec_build"] = n_docs / stages["build_docs"]
+    extra["postings"] = n_postings
+
+    # --- compression --------------------------------------------------------
+    t0 = time.perf_counter()
+    comp = build_postings_compressed(idx.counts, idx.doc_stats, idx.avgdl).cache()
+    m = (
+        compression_metrics(comp)
+        .agg({"bytes_compressed": "sum", "df_chunk": "sum"})
+        .collect()[0]
+    )
+    stages["compress"] = time.perf_counter() - t0
+    extra["postings_per_sec_compress"] = n_postings / stages["compress"]
+    extra["bytes_per_posting"] = m["sum(bytes_compressed)"] / max(
+        m["sum(df_chunk)"], 1
+    )
+
+    # --- batch query: naive DataFrame path ---------------------------------
+    queries = reference_queries(50)
+    qt = qterms_df(spark, queries, stem=True)
+    t0 = time.perf_counter()
+    rows = bm25_topk(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=10
+    ).collect()
+    stages["bm25_batch"] = time.perf_counter() - t0
+    extra["queries_per_sec_naive"] = len(queries) / stages["bm25_batch"]
+    extra["bm25_result_rows"] = len(rows)
+
+    # --- batch query: WAND over compressed ---------------------------------
+    t0 = time.perf_counter()
+    rows_w = wand_topk(qt, comp, idx.dictionary, idx.avgdl, k=10).collect()
+    stages["wand_batch"] = time.perf_counter() - t0
+    extra["queries_per_sec_wand"] = len(queries) / stages["wand_batch"]
+    extra["wand_result_rows"] = len(rows_w)
+
+    # --- scaling workload: synthetic web pages -----------------------------
+    # --- per-query latency over the compressed index (p50/p95) -------------
+    lat = []
+    for qid in list(queries)[:12]:
+        qt1 = qterms_df(spark, {qid: queries[qid]}, stem=True)
+        t0 = time.perf_counter()
+        wand_topk(qt1, comp, idx.dictionary, idx.avgdl, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    extra["query_p50_sec"] = lat[len(lat) // 2]
+    extra["query_p95_sec"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+    # --- scaling workload: synthetic web pages -----------------------------
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="themis_bench_")
+    try:
+        # corpus materialization is NOT part of the measured build
+        synth_pages(spark, synth_docs, partitions=4 * cpus).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/pages")
+        # non-negative hash ids: the assign_doc_ids global sort is a separate
+        # feature, not part of the throughput-critical build being measured
+        corpus = (
+            spark.read.parquet(f"{tmp}/pages")
+            .select(F.abs(F.xxhash64("url")).alias("doc_id"), "text")
+        )
+        t0 = time.perf_counter()
+        sidx = build_index(corpus, stem=True)
+        s_postings = sidx.postings_flat.count()
+        stages["build_synth"] = time.perf_counter() - t0
+        extra["synth_docs"] = synth_docs
+        extra["synth_postings"] = s_postings
+        extra["docs_per_sec_synth"] = synth_docs / stages["build_synth"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = sum(stages.values())
+    print(
+        json.dumps(
+            {
+                "metric": "themis_bench_total_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in stages.items()},
+                "sf": sf,
+                "cpus": cpus,
+                **{k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in extra.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

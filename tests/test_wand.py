@@ -1,0 +1,71 @@
+"""Block-max WAND vs naive DataFrame BM25: identical top-k membership,
+ranks and scores (to float-sum tolerance), with and without pruning."""
+
+import pytest
+
+from themis_search_engine_spark.corpus import load_documents
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.indexing.compress import build_postings_compressed
+from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+from themis_search_engine_spark.queryeng.wand import wand_topk
+
+QUERIES = {
+    1: "spark shuffle join",
+    2: "window order group",
+    3: "dup",
+    4: "fast key value vector batch",
+    5: "hash",
+}
+
+
+@pytest.fixture(scope="module")
+def bundle(spark):
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    idx = build_index(docs, stem=True).cache()
+    comp = build_postings_compressed(idx.counts, idx.doc_stats, idx.avgdl).cache()
+    return idx, comp
+
+
+def _by_qid(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return {q: sorted(v) for q, v in out.items()}
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_wand_equals_naive(spark, bundle, prune):
+    idx, comp = bundle
+    qt = qterms_df(spark, QUERIES, stem=True)
+    naive = _by_qid(
+        bm25_topk(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=10
+        ).collect()
+    )
+    wand = _by_qid(
+        wand_topk(qt, comp, idx.dictionary, idx.avgdl, k=10, prune=prune).collect()
+    )
+    assert set(naive) == set(wand)
+    for qid in naive:
+        n, w = naive[qid], wand[qid]
+        assert [x[1] for x in n] == [x[1] for x in w], (qid, n, w)
+        for (_, _, s1), (_, _, s2) in zip(n, w):
+            assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_wand_pruning_skips_chunks(spark):
+    """With small chunks, pruning must score fewer chunks than exist
+    (evidence the ub filter actually skips work)."""
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    idx = build_index(docs, stem=True).cache()
+    comp = build_postings_compressed(
+        idx.counts, idx.doc_stats, idx.avgdl, chunk_bits=6
+    ).cache()
+    qt = qterms_df(spark, {3: "dup"}, stem=True)
+    res = wand_topk(
+        qt, comp, idx.dictionary, idx.avgdl, k=5, chunk_bits=6, prune=True
+    ).collect()
+    naive = bm25_topk(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=5
+    ).collect()
+    assert sorted(r["doc_id"] for r in res) == sorted(r["doc_id"] for r in naive)

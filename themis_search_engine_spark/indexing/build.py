@@ -78,11 +78,19 @@ def build_index(
     ``use_arrow=False`` uses the pure-Catalyst unstemmed path (oracle twin).
     """
     if use_arrow:
+        # enriched counts carry per-doc maxcnt/length computed inside the
+        # Arrow batch → postings_flat needs NO shuffle and NO join at all
         counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
+        per_doc = counts.groupBy("doc_id").agg(
+            F.max("maxcnt").alias("maxcnt"), F.max("length").alias("length")
+        )
     else:
         if stem:
             raise ValueError("native path is unstemmed-only; use use_arrow=True")
         counts = term_counts_native(docs, text_col, id_col)
+        base = doc_stats_from_counts(counts)
+        counts = counts.join(base, "doc_id")  # enrich to the same shape
+        per_doc = base
     counts = counts.cache()
 
     # Every corpus doc gets a stats row — token-less docs (e.g. all-Greek
@@ -90,17 +98,12 @@ def build_index(
     # as the reference appends a 68-B record per doc (Indexer.java:423-443).
     stats = (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(doc_stats_from_counts(counts), "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .fillna({"length": 0, "maxcnt": 0.0})
     )
 
-    postings_flat = (
-        counts.join(stats.select("doc_id", "maxcnt"), "doc_id")
-        .select(
-            "term",
-            "doc_id",
-            (F.col("cnt") / F.col("maxcnt")).alias("tf"),
-        )
+    postings_flat = counts.select(
+        "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf")
     )
 
     gs_row = stats.agg(

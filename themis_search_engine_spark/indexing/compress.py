@@ -1,0 +1,236 @@
+"""Posting-list compression: docID-delta + varbyte, chunked by doc range,
+with block-max metadata (the north rule's new physical design; the reference
+stores uncompressed 56-B fixed records, Index.java:209-228).
+
+Layout decisions (scale rationale):
+- Postings are chunked by **doc_id range** (``chunk = doc_id >> chunk_bits``)
+  BEFORE grouping, so a head term ("the" at 10^12 docs ≈ 10^11 postings)
+  never forms one giant group — each (term, chunk) group holds at most
+  2^chunk_bits postings. This is the explicit skew handling: salting by a
+  *meaningful* key (doc range), so chunks are disjoint, sorted, and directly
+  queryable with no second-stage merge.
+- Within a chunk everything is varbyte: doc_id deltas, raw term counts
+  (cnt), per-doc max counts (maxcnt) and doc lengths (dl). Storing the
+  INTEGER cnt/maxcnt instead of the float tf makes the round-trip exact —
+  tf is recomputed as the identical IEEE division cnt/maxcnt — and counts
+  compress to ~1 byte each. dl is denormalized into the posting so chunk
+  scoring needs NO join with doc_stats at query time.
+- Block-max metadata: per-chunk min/max of the BM25 "core"
+  tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) plus per-128-posting block maxima —
+  consumed by the WAND path (queryeng/wand.py) for chunk pruning.
+
+Everything here is applyInPandas/mapInPandas over Arrow batches; the codecs
+are numpy-vectorized (no per-row Python in the hot loops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+K1 = 2.0
+B = 0.75
+DEFAULT_CHUNK_BITS = 16
+BLOCK = 128
+
+# --- numpy varbyte codec ----------------------------------------------------
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array: little-endian 7-bit groups, MSB set on
+    continuation bytes. Fully vectorized (one pass per byte position)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.shape, dtype=np.int64)
+    for kpow in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * kpow)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    for j in range(int(nb.max())):
+        sel = nb > j
+        byte = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[sel] > j + 1).astype(np.uint8) << 7
+        out[starts[sel] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`vb_encode`, vectorized via reduceat."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    firsts = np.concatenate([[0], np.nonzero(is_last)[0][:-1] + 1])
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_last[:-1])
+    pos = np.arange(b.size, dtype=np.int64) - firsts[value_id]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, firsts)
+
+
+# --- chunked compressed postings ---------------------------------------------
+
+POSTING_CHUNK_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("chunk", IntegerType(), False),
+        StructField("df_chunk", LongType(), False),
+        StructField("doc_bytes", BinaryType(), False),
+        StructField("cnt_bytes", BinaryType(), False),
+        StructField("mc_bytes", BinaryType(), False),
+        StructField("dl_bytes", BinaryType(), False),
+        StructField("core_min", DoubleType(), False),
+        StructField("core_max", DoubleType(), False),
+        StructField("block_max", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def bm25_core(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def build_postings_compressed(
+    counts: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    *,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+) -> DataFrame:
+    """(doc_id, term, cnt) + (doc_id, maxcnt, length) → compressed chunks.
+
+    One shuffle: groupBy(term, chunk). The doc_stats join is a plain
+    equi-join Catalyst plans freely (broadcast at small N, sort-merge at
+    scale; at 10^12 docs bucket both sides by doc_id)."""
+    chunk_size = 1 << chunk_bits
+
+    if {"maxcnt", "length"}.issubset(set(counts.columns)):
+        joined = counts  # Arrow-path counts already carry per-doc stats
+    else:
+        joined = counts.join(
+            doc_stats.select("doc_id", "maxcnt", "length"), "doc_id"
+        )
+    joined = joined.withColumn(
+        "chunk", (F.col("doc_id") / F.lit(chunk_size)).cast("int")
+    )
+
+    def compress_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        chunk = int(pdf["chunk"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        base = chunk << chunk_bits
+        deltas = np.empty(doc_ids.shape, dtype=np.uint64)
+        deltas[0] = doc_ids[0] - base
+        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        mc = pdf["maxcnt"].to_numpy(dtype=np.int64)
+        dl = pdf["length"].to_numpy(dtype=np.int64)
+        tf = cnt.astype(np.float64) / mc.astype(np.float64)
+        core = bm25_core(tf, dl.astype(np.float64), avgdl)
+        nblocks = (len(core) + BLOCK - 1) // BLOCK
+        bmax = [
+            float(core[i * BLOCK : (i + 1) * BLOCK].max()) for i in range(nblocks)
+        ]
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "chunk": [chunk],
+                "df_chunk": [len(doc_ids)],
+                "doc_bytes": [vb_encode(deltas)],
+                "cnt_bytes": [vb_encode(cnt.astype(np.uint64))],
+                "mc_bytes": [vb_encode(mc.astype(np.uint64))],
+                "dl_bytes": [vb_encode(dl.astype(np.uint64))],
+                "core_min": [float(core.min())],
+                "core_max": [float(core.max())],
+                "block_max": [bmax],
+            }
+        )
+
+    return joined.groupBy("term", "chunk").applyInPandas(
+        compress_group, POSTING_CHUNK_SCHEMA
+    )
+
+
+def decode_chunk_row(
+    row, *, chunk_bits: int = DEFAULT_CHUNK_BITS
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (doc_ids int64, tf float64, dl int64) for one compressed row."""
+    deltas = vb_decode(row["doc_bytes"]).astype(np.int64)
+    doc_ids = np.cumsum(deltas) + (int(row["chunk"]) << chunk_bits)
+    cnt = vb_decode(row["cnt_bytes"]).astype(np.float64)
+    mc = vb_decode(row["mc_bytes"]).astype(np.float64)
+    dl = vb_decode(row["dl_bytes"]).astype(np.int64)
+    return doc_ids, cnt / mc, dl
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", DoubleType(), False),
+        StructField("length", LongType(), False),
+    ]
+)
+
+
+def decode_postings(
+    compressed: DataFrame, *, chunk_bits: int = DEFAULT_CHUNK_BITS
+) -> DataFrame:
+    """Compressed chunks → flat (term, doc_id, tf, length): the round-trip
+    proof used by tests and the driver's postings_roundtrip oracle check."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                doc_ids, tf, dl = decode_chunk_row(row, chunk_bits=chunk_bits)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": row["term"],
+                            "doc_id": doc_ids,
+                            "tf": tf,
+                            "length": dl,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return compressed.mapInPandas(gen, DECODED_SCHEMA)
+
+
+def compression_metrics(compressed: DataFrame) -> DataFrame:
+    """Per-chunk physical metrics — feeds the build_metrics table.
+    bytes_uncompressed is the reference's 56-B/posting record
+    (Index.java:209-228) as the comparison point."""
+    return compressed.select(
+        "term",
+        "chunk",
+        "df_chunk",
+        (
+            F.length("doc_bytes")
+            + F.length("cnt_bytes")
+            + F.length("mc_bytes")
+            + F.length("dl_bytes")
+        ).alias("bytes_compressed"),
+        (F.col("df_chunk") * 56).alias("bytes_uncompressed"),
+    )

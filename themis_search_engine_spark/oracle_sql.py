@@ -137,14 +137,17 @@ def sql_bm25_scores() -> str:
 
 
 def sql_bm25_topk(k: int = 10) -> str:
+    # rank on the ROUNDED score (+ doc_id tiebreak): float-sum order differs
+    # across engines at ~1e-15, rounding absorbs it so ranking is engine-
+    # independent and deterministic.
     return f"""{_bm25_scored_cte()},
 ranked AS (
-  SELECT qid, doc_id, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
-           AS rank
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scored
 )
-SELECT qid, doc_id, round(score, 6) AS score, rank::BIGINT AS rank
+SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 

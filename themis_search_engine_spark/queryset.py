@@ -1,0 +1,34 @@
+"""Deterministic reference-style query workload (FIXTURES.md §5).
+
+50 queries over the driver testdata vocabulary: mix of 1-5 terms, including
+an all-stopword query, an unknown-term query, and head-term queries. No RNG
+state — composition is a fixed arithmetic schedule, so every bench and
+correctness run sees the identical workload.
+"""
+
+from __future__ import annotations
+
+# vocabulary of the driver's documents.parquet corpus (plus a few stopwords
+# and unknowns to exercise the drop paths)
+_VOCAB = [
+    "batch", "small", "scan", "agg", "data", "slow", "join", "customer",
+    "big", "hash", "merge", "row", "filter", "table", "stream", "sort",
+    "window", "order", "group", "query", "spark", "column", "value",
+    "vector", "line", "fast", "key", "dup",
+]
+
+
+def reference_queries(n: int = 50) -> dict[int, str]:
+    out: dict[int, str] = {}
+    v = len(_VOCAB)
+    for i in range(n):
+        if i == 7:
+            out[i] = "the and of a"  # all stopwords
+            continue
+        if i == 23:
+            out[i] = "qzxunknown dup"  # unknown term + rare term
+            continue
+        n_terms = 1 + (i * 3) % 5
+        terms = [_VOCAB[(i * 7 + j * 11) % v] for j in range(n_terms)]
+        out[i] = " ".join(terms)
+    return out

@@ -85,16 +85,28 @@ def q_bm25_scores(spark, sf_dir):
     return scored.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def _rounded_rank_topk(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Rank on round(score,6) + doc_id: engine-independent deterministic
+    ordering (float-sum dust across Spark/numpy/DuckDB is ~1e-15 ≪ 5e-7)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     idx = get_index(spark, sf_dir)
-    ranked = bm25_topk(
+    scored = bm25_score_all(
         _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
-        idx.doc_stats, idx.avgdl, k=10,
+        idx.doc_stats, idx.avgdl,
     )
-    return ranked.select(
-        "qid", "doc_id", F.round("score", 6).alias("score"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+    return _rounded_rank_topk(scored, 10)
 
 
 def q_existential(spark, sf_dir):
@@ -120,6 +132,46 @@ def q_vsm_scores(spark, sf_dir):
         idx.n_docs,
     )
     return scored.select("qid", "doc_id", F.round("score", 6).alias("score"))
+
+
+# --- compressed-postings paths ---------------------------------------------
+
+_CCACHE: dict[tuple, DataFrame] = {}
+
+
+def get_compressed(spark, sf_dir, *, stem: bool = False) -> DataFrame:
+    from .indexing.compress import build_postings_compressed
+
+    key = (sf_dir, stem)
+    if key not in _CCACHE:
+        idx = get_index(spark, sf_dir, stem=stem)
+        _CCACHE[key] = build_postings_compressed(
+            idx.counts, idx.doc_stats, idx.avgdl
+        ).cache()
+    return _CCACHE[key]
+
+
+def q_postings_roundtrip(spark, sf_dir):
+    """delta+varbyte encode∘decode == identity, proven against the SQL
+    tf oracle (same rows as tf_maxnorm)."""
+    from .indexing.compress import decode_postings
+
+    dec = decode_postings(get_compressed(spark, sf_dir))
+    return dec.select("doc_id", "term", F.round("tf", 6).alias("tf"))
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    """Block-max WAND over compressed chunks; must equal the naive top-k
+    oracle (score everything, sort, take k)."""
+    from .queryeng.wand import wand_topk
+
+    idx = get_index(spark, sf_dir)
+    comp = get_compressed(spark, sf_dir)
+    # over-fetch (k*3) at raw-score granularity, then final rounded ranking
+    wide = wand_topk(
+        _qt(spark, stem=False), comp, idx.dictionary, idx.avgdl, k=30
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
 # --- stemmed pipeline (rows-only driver check; oracle is pytest vs the
@@ -155,6 +207,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vsm_scores": q_vsm_scores,
     "dictionary_stemmed": q_dictionary_stemmed,
     "bm25_topk_stemmed": q_bm25_topk_stemmed,
+    "postings_roundtrip": q_postings_roundtrip,
+    "bm25_topk_wand": q_bm25_topk_wand,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -171,6 +225,8 @@ ORACLE_SQL: dict[str, str] = {
     "vsm_scores": osql.sql_vsm_scores(),
     # dictionary_stemmed / bm25_topk_stemmed: intentionally no SQL oracle
     # (stemming not SQL-expressible here) → driver rows-only check.
+    "postings_roundtrip": osql.sql_tf_maxnorm(),
+    "bm25_topk_wand": osql.sql_bm25_topk(10),
 }
 
 

@@ -107,40 +107,98 @@ TERM_COUNTS_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("term", StringType(), False),
         StructField("cnt", DoubleType(), False),
+        StructField("maxcnt", DoubleType(), False),
+        StructField("length", LongType(), False),
     ]
 )
+
+_EMPTY_COUNTS = {
+    "doc_id": "int64", "term": "object", "cnt": "float64",
+    "maxcnt": "float64", "length": "int64",
+}
 
 
 def _batch_term_counts(
     pdf: pd.DataFrame, id_col: str, text_col: str, do_stem: bool
 ) -> pd.DataFrame:
-    # vectorized normalize: C-level pandas str ops, no per-row Python
-    norm = (
-        pdf[text_col]
-        .fillna("")
-        .str.replace(_NON_ALNUM, " ", regex=True)
-        .str.lower()
-        .str.split()
-    )
-    n_tokens = norm.str.len().to_numpy()
-    import numpy as np
+    """Arrow/numpy kernel: per-doc (term, cnt, maxcnt, length) rows.
 
-    doc_ids = np.repeat(pdf[id_col].to_numpy(), n_tokens)
-    if len(doc_ids) == 0:
-        return pd.DataFrame({"doc_id": [], "term": [], "cnt": []}).astype(
-            {"doc_id": "int64", "term": "object", "cnt": "float64"}
-        )
-    terms = pd.Series(np.concatenate([v for v in norm.to_numpy() if len(v)]))
-    mask = ~terms.isin(STOPWORDS)
-    doc_ids, terms = doc_ids[mask.to_numpy()], terms[mask]
-    if do_stem:
-        # memoized over the batch vocabulary (Zipf ⇒ tiny vs token count)
-        vocab = pd.unique(terms)
-        terms = terms.map({v: porter_stem(v) for v in vocab})
-    out = pd.DataFrame({"doc_id": doc_ids, "term": terms.to_numpy()})
-    out = out.groupby(["doc_id", "term"], sort=False).size().reset_index(name="cnt")
-    out["cnt"] = out["cnt"].astype("float64")
-    return out
+    Token strings never materialize as Python objects: normalization and
+    splitting run as pyarrow C++ kernels, tokens are dictionary-encoded, and
+    stopword/stem work happens once per *vocabulary entry* (Zipf ⇒ tiny vs
+    token count). The doc×term count is an int64-key np.unique, and per-doc
+    maxcnt/length come from reduceat over the grouped result — emitting them
+    here removes a groupBy+join from the downstream plan entirely.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pd.DataFrame({k: pd.Series(dtype=v) for k, v in _EMPTY_COUNTS.items()})
+    if len(pdf) == 0:
+        return empty
+    arr = pa.Array.from_pandas(pdf[text_col].fillna(""))
+    norm = pc.utf8_lower(
+        pc.replace_substring_regex(arr, pattern="[^a-zA-Z0-9]", replacement=" ")
+    )
+    toks = pc.utf8_split_whitespace(norm)
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return empty
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = denc.dictionary.to_pylist()
+
+    # vocabulary-level stopword filter + stem, then re-encode to stem codes
+    stems: list[str] = []
+    stem_code: dict[str, int] = {}
+    code_map = np.empty(len(vocab), dtype=np.int64)
+    for i, w in enumerate(vocab):
+        if not w or w in STOPWORDS:
+            code_map[i] = -1
+            continue
+        s = porter_stem(w) if do_stem else w
+        j = stem_code.get(s)
+        if j is None:
+            j = len(stems)
+            stem_code[s] = j
+            stems.append(s)
+        code_map[i] = j
+    mapped = code_map[codes]
+    keep = mapped >= 0
+    parent, mapped = parent[keep], mapped[keep]
+    if len(parent) == 0:
+        return empty
+
+    n_stems = len(stems)
+    combined = np.sort(parent * n_stems + mapped)  # quicksort ≫ np.unique
+    bounds = np.nonzero(np.diff(combined))[0] + 1
+    firsts = np.concatenate([[0], bounds])
+    uniq = combined[firsts]
+    cnt = np.diff(np.concatenate([firsts, [len(combined)]]))
+    doc_idx = uniq // n_stems
+    term_idx = uniq % n_stems
+
+    # uniq is sorted ⇒ rows group contiguously by doc: reduceat per doc
+    doc_first = np.concatenate([[0], np.nonzero(np.diff(doc_idx))[0] + 1])
+    maxc = np.maximum.reduceat(cnt, doc_first)
+    lens = np.add.reduceat(cnt, doc_first)
+    inv = np.zeros(len(doc_idx), dtype=np.int64)
+    inv[doc_first[1:]] = 1
+    inv = np.cumsum(inv)
+
+    doc_ids = pdf[id_col].to_numpy()[doc_idx]
+    term_arr = np.asarray(stems, dtype=object)[term_idx]
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "term": term_arr,
+            "cnt": cnt.astype(np.float64),
+            "maxcnt": maxc[inv].astype(np.float64),
+            "length": lens[inv].astype(np.int64),
+        }
+    )
 
 
 def term_counts_arrow(
