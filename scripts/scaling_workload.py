@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""One scaling-bench trial: index build + batch BM25 at a given parallelism.
+
+Run standalone (``python scripts/scaling_workload.py``) or via
+``spark-submit --py-files dist/themis_search_engine_spark.zip`` — the
+north-rule launch mode. Parallelism comes from ``SPARK_GRAFT_CPUS`` (local
+mode) or the cluster's executor count (spark-submit with a real master).
+
+Prints ONE JSON line:
+  {"cpus": N, "n_docs": D, "build_sec": s, "build_docs_per_sec": r,
+   "query_sec": s, "queries_per_sec": r, "n_queries": Q, "postings": P}
+
+Measurement protocol (what makes the efficiency number honest):
+- corpus materialized to parquet FIRST — both levels read identical bytes;
+- an untimed warmup job touches every input partition, so Python-worker
+  spawn + whole-stage-codegen compile are excluded (on a long-lived cluster
+  they are one-time costs, not per-job costs);
+- the measured build = tokenize → aggregate → persist all four index
+  tables (realistic: a build that isn't persisted isn't a build);
+- the measured query batch runs against the PERSISTED index (term-bucketed
+  parquet), not a warm cache — the 100 TB serving shape;
+- workload sized so fixed per-job overhead (~1.5 s: scheduling, Arrow
+  round-trips) is <5% of the measured region — scaling efficiency should
+  measure the engine, not local-mode job-launch constants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from themis_search_engine_spark.corpus import synth_pages  # noqa: E402
+from themis_search_engine_spark.indexing.build import (  # noqa: E402
+    build_and_save,
+    load_index,
+)
+from themis_search_engine_spark.queryeng import bm25_topk, qterms_df  # noqa: E402
+from themis_search_engine_spark.queryset import reference_queries  # noqa: E402
+from themis_search_engine_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_200_000))
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 3_000))
+    # input partitioning fixed across trials so every level reads the same
+    # file layout; 128 splits keeps each level's cores saturated
+    in_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", 128))
+    pages_dir = os.environ.get("SPARK_GRAFT_SCALE_PAGES")  # reuse across trials
+
+    spark = get_spark(
+        f"themis-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix=f"themis_scale_{cpus}_")
+    out: dict[str, float | int] = {"cpus": cpus, "n_docs": n_docs}
+    try:
+        if pages_dir and os.path.isdir(pages_dir):
+            pdir = pages_dir
+        else:
+            pdir = pages_dir or f"{tmp}/pages"
+            synth_pages(spark, n_docs, partitions=in_parts).write.mode(
+                "overwrite"
+            ).parquet(pdir)
+        corpus = spark.read.parquet(pdir).select(
+            F.abs(F.xxhash64("url")).alias("doc_id"), "text"
+        )
+
+        # warmup: full tokenize pass (spawns all workers, compiles codegen)
+        from themis_search_engine_spark.textproc import term_counts_arrow
+
+        term_counts_arrow(corpus).count()
+
+        t0 = time.perf_counter()
+        build_and_save(corpus, f"{tmp}/index", stem=True, term_buckets=64)
+        build_sec = time.perf_counter() - t0
+        out.update(
+            build_sec=round(build_sec, 3),
+            build_docs_per_sec=round(n_docs / build_sec, 1),
+        )
+
+        pidx = load_index(spark, f"{tmp}/index")
+        out["postings"] = pidx.postings_flat.count()
+
+        queries = reference_queries(n_queries)
+        qt = qterms_df(spark, queries, stem=True).cache()
+        qt.count()
+        # warmup the query plan shape (small batch)
+        wq = qterms_df(spark, reference_queries(20), stem=True)
+        bm25_topk(
+            wq, pidx.postings_flat, pidx.dictionary, pidx.doc_stats,
+            pidx.avgdl, k=10,
+        ).collect()
+
+        t0 = time.perf_counter()
+        rows = bm25_topk(
+            qt, pidx.postings_flat, pidx.dictionary, pidx.doc_stats,
+            pidx.avgdl, k=10,
+        ).collect()
+        query_sec = time.perf_counter() - t0
+        out.update(
+            query_sec=round(query_sec, 3),
+            queries_per_sec=round(len(queries) / query_sec, 1),
+            n_queries=len(queries),
+            result_rows=len(rows),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,11 @@ def test_save_load_roundtrip(spark, tiny_docs_df, tmp_path, idx):
     save_index(idx, str(tmp_path / "idx"), term_buckets=4)
     idx2 = load_index(spark, str(tmp_path / "idx"))
     a = sorted(map(tuple, idx.postings_flat.collect()))
-    b = sorted(map(tuple, idx2.postings_flat.select("term", "doc_id", "tf").collect()))
+    b = sorted(
+        map(
+            tuple,
+            idx2.postings_flat.select("term", "doc_id", "tf", "length").collect(),
+        )
+    )
     assert a == b
     assert idx2.n_docs == idx.n_docs

@@ -102,8 +102,12 @@ def build_index(
         .fillna({"length": 0, "maxcnt": 0.0})
     )
 
+    # length is denormalized into postings: BM25's denominator needs dl per
+    # posting, and carrying it here (4 B, dictionary-encoded in parquet)
+    # removes the doc_stats join — the scored side's only wide shuffle —
+    # from the query path entirely.
     postings_flat = counts.select(
-        "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf")
+        "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf"), "length"
     )
 
     gs_row = stats.agg(
@@ -168,7 +172,7 @@ def save_index(
         idx.postings_flat.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
         )
-        .repartition("bucket")
+        .repartition(term_buckets, "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings_flat")
@@ -176,6 +180,78 @@ def save_index(
     idx.dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
     idx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     idx.global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
+
+
+def build_and_save(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stem: bool = True,
+    term_buckets: int = 64,
+) -> InvertedIndex:
+    """Streamlined build: tokenize → ONE shuffle → postings on disk, then
+    derive dictionary/doc_stats/global_stats from the WRITTEN postings.
+
+    Why not build_index + save_index: at bench scale the intermediate
+    counts either get cached (heap cache of ~70 rows/doc → GC-bound scans;
+    measured slower to re-read than to recompute at 16 cores) or get
+    recomputed once per consumer. Writing postings first makes the single
+    tokenize pass feed the single shuffle, and every derived table is a
+    column-pruned scan of compressed parquet — the same
+    write-once-derive-after shape as checkpoint.finalize.
+    """
+    counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
+    (
+        counts.select(
+            "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf"),
+            "length",
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+        )
+        .repartition(term_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings_flat")
+    )
+    spark = docs.sparkSession
+    postings = spark.read.parquet(f"{path}/postings_flat").drop("bucket")
+
+    # doc stats: every corpus doc gets a row (token-less docs → length 0),
+    # lengths come from the written postings (any row per doc carries dl)
+    per_doc = postings.groupBy("doc_id").agg(F.first("length").alias("length"))
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .fillna({"length": 0})
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    stats = spark.read.parquet(f"{path}/doc_stats")
+
+    gs_row = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("length").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(gs_row["n_docs"]), float(gs_row["avgdl"] or 0.0)
+    global_stats = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    )
+    global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
+
+    dictionary = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf",
+            F.log2(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+
+    return load_index(spark, path)
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:

@@ -246,7 +246,7 @@ def finalize(
     n_docs, avgdl = int(gs["n_docs"]), float(gs["avgdl"] or 0.0)
 
     postings = counts.select(
-        "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf")
+        "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf"), "length"
     )
     dictionary = counts.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")

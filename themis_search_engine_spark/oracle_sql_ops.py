@@ -1,0 +1,374 @@
+r"""DuckDB oracle-SQL builders for the pipeline_ops operators.
+
+Same contract as oracle_sql.py: each builder returns ANSI SQL over the
+driver's pre-registered views (``documents``, ``embeddings``) that must
+value-match the Spark query in registry.py (columns sorted by name,
+6-decimal rounding on floats). The MinHash/SimHash constructions are
+seeded-md5 based precisely so they ARE SQL-expressible — the oracle runs
+the identical math, not an approximation of it.
+
+Array-valued results are serialized to strings (``array_to_string``) on
+both sides: the driver's value-hash compares scalars.
+"""
+
+from __future__ import annotations
+
+from .pipeline_ops.textstats import LANG_MARKERS
+from .stopwords import STOPWORDS
+
+_ASCII_STOPS = sorted(w for w in STOPWORDS if w.isascii())
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _ASCII_STOPS)
+
+# normalized token array (dedup keeps stopwords — see dedup._tok_array)
+TOKS = (
+    r"list_filter(regexp_split_to_array("
+    r"lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\s+'),"
+    r" t -> t <> '')"
+)
+
+
+def _shingle_cte(n: int) -> str:
+    """sh(doc_id, shingle): DISTINCT word n-grams. toks[i:i+n-1] is the
+    1-based inclusive slice = n tokens starting at i."""
+    return f"""tokarr AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    [array_to_string(toks[i:i+{n - 1}], ' ')
+     for i in range(1, len(toks) - {n - 2})]) AS shingle
+  FROM tokarr WHERE len(toks) >= {n}
+)"""
+
+
+def sql_exact_dedup() -> str:
+    return """WITH hashed AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+), canon AS (
+  SELECT content_hash, min(doc_id) AS canonical_id FROM hashed GROUP BY 1
+)
+SELECT h.doc_id, h.content_hash, c.canonical_id,
+       h.doc_id <> c.canonical_id AS is_duplicate
+FROM hashed h JOIN canon c USING (content_hash)"""
+
+
+def sql_jaccard_pairs(n: int = 2, tau: float = 0.8) -> str:
+    return f"""WITH {_shingle_cte(n)},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= {tau}"""
+
+
+def sql_minhash_signatures(n: int = 2, k: int = 16) -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    sig = " || '|' || ".join(f"h{i}" for i in range(k))
+    return f"""WITH {_shingle_cte(n)},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, md5({sig}) AS sig_digest, h0, h{k - 1} FROM sigs"""
+
+
+def sql_minhash_lsh_pairs(
+    n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.8
+) -> str:
+    """LSH candidates ∩ exact-Jaccard>=tau. The oracle generates candidates
+    with the SAME banding, so Spark and DuckDB agree even if LSH recall on
+    some corpus were < 1."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_rows = ", ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_shingle_cte(n)},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bandkeys AS (
+  SELECT doc_id, bk.* FROM sigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= {tau}"""
+
+
+_SIM_BITS = 60
+
+
+def _simhash_cte() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+        for b in range(_SIM_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
+        for b in range(_SIM_BITS)
+    )
+    return f"""tokarr AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM tokarr
+),
+counted AS (
+  SELECT doc_id, term, count(*)::BIGINT AS cnt,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM tok GROUP BY doc_id, term
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM counted GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id, {val} AS simhash FROM votes
+)"""
+
+
+def sql_simhash() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM simh"
+
+
+def sql_simhash_pairs(max_hamming: int = 3, bands: int = 4) -> str:
+    width = _SIM_BITS // bands
+    mask = (1 << width) - 1
+    band_rows = ", ".join(
+        f"({b}, (simhash >> {b * width}) & {mask})" for b in range(bands)
+    )
+    return f"""WITH {_simhash_cte()},
+banded AS (
+  SELECT doc_id, simhash, bk.* FROM simh,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+# --- text stats -------------------------------------------------------------
+
+
+def sql_token_stats() -> str:
+    return f"""WITH tokarr AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       round(CASE WHEN len(toks) > 0
+             THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                  * 1.0 / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len
+FROM tokarr"""
+
+
+def sql_lang_id() -> str:
+    hits = {
+        la: (
+            "len(list_filter(toks, t -> t in ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for la, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"hit_{la}" for la in langs) + ")"
+    pred = "'und'"
+    for la in reversed(langs):
+        pred = f"CASE WHEN hit_{la} = best THEN '{la}' ELSE {pred} END"
+    hit_cols = ",\n       ".join(f"{sql} AS hit_{la}" for la, sql in hits.items())
+    return f"""WITH tokarr AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, text,
+       {hit_cols}
+  FROM tokarr
+),
+scored AS (
+  SELECT doc_id, text, {best} AS best,
+         {pred} AS pred
+  FROM hits
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN best = 0 THEN 'und' ELSE pred END AS pred_lang,
+       best::BIGINT AS marker_hits
+FROM scored"""
+
+
+def sql_quality_score() -> str:
+    return f"""WITH tokarr AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                   * 1.0 / length(text) ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t in ({_STOP_LIST_SQL})))
+                   * 1.0 / len(toks) ELSE 0.0 END AS stop_ratio,
+         least(len(toks), 256) / 256.0 AS len_score
+  FROM tokarr
+)
+SELECT doc_id,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(len_score, 6) AS len_score,
+       round(0.4 * alpha_ratio + 0.4 * least(stop_ratio * 4, 1.0)
+             + 0.2 * len_score, 6) AS quality
+FROM feats"""
+
+
+def sql_fingerprints(n: int = 3, k: int = 4) -> str:
+    return f"""WITH {_shingle_cte(n)},
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh)
+SELECT doc_id, min(h) AS fingerprint,
+       array_to_string((list_sort(list(DISTINCT h)))[1:{k}], ',') AS sketch
+FROM hashed GROUP BY doc_id"""
+
+
+# --- embeddings -------------------------------------------------------------
+
+# queries = every 50th vector (10 queries at sf0.01); double-precision dot
+# products via index comprehension so both engines sum float32-exact values
+# as doubles.
+_DOT = (
+    "list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE "
+    "for i in range(1, len(a.embedding) + 1)])"
+)
+_NORM_A = (
+    "sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE "
+    "for i in range(1, len(a.embedding) + 1)]))"
+)
+_NORM_B = (
+    "sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE "
+    "for i in range(1, len(b.embedding) + 1)]))"
+)
+
+
+def sql_cosine_topk(k: int = 5, every_m: int = 50) -> str:
+    return f"""WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE b.vec_id % {every_m} = 0
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_cosine_pairs(tau: float = 0.4) -> str:
+    return f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_DOT} / ({_NORM_A} * {_NORM_B}) >= {tau}"""
+
+
+def sql_ivf_topk(k: int = 5, every_m: int = 50, n_probe: int = 2,
+                 centroid_m: int = 25) -> str:
+    return f"""WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id % {centroid_m} = 0
+),
+cell_scored AS (
+  SELECT a.vec_id AS _id, b.centroid_id AS cell,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS c
+  FROM embeddings a, (SELECT centroid_id AS vec_id, centroid_id,
+                             embedding FROM cents) b
+),
+cells AS (
+  SELECT _id, cell FROM (
+    SELECT _id, cell,
+           row_number() OVER (PARTITION BY _id
+                              ORDER BY round(c, 6) DESC, cell ASC) AS r
+    FROM cell_scored) WHERE r <= 1
+),
+qcells AS (
+  SELECT _id AS query_id, cell FROM (
+    SELECT _id, cell,
+           row_number() OVER (PARTITION BY _id
+                              ORDER BY round(c, 6) DESC, cell ASC) AS r
+    FROM cell_scored WHERE _id % {every_m} = 0) WHERE r <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         max({_DOT} / ({_NORM_A} * {_NORM_B})) AS cosine
+  FROM embeddings a
+  JOIN cells ca ON ca._id = a.vec_id
+  JOIN qcells q ON q.cell = ca.cell
+  JOIN embeddings b ON b.vec_id = q.query_id
+  GROUP BY q.query_id, a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def sql_media_meta() -> str:
+    """Mirrors decode_media_meta's fake-codec header parse on md5 hex."""
+    return """SELECT doc_id,
+       (['png', 'jpeg', 'webp'])[
+         ('0x' || substr(md5(text), 1, 2))::INT % 3 + 1] AS media_format,
+       (('0x' || substr(md5(text), 3, 2))::BIGINT * 256
+        + ('0x' || substr(md5(text), 5, 2))::BIGINT) AS width,
+       (('0x' || substr(md5(text), 7, 2))::BIGINT * 256
+        + ('0x' || substr(md5(text), 9, 2))::BIGINT) AS height,
+       16::BIGINT AS n_bytes
+FROM documents"""

@@ -1,0 +1,312 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All four are pure Column-expression pipelines (no Python UDFs): shingling
+is transform/slice over a split array, MinHash permutations are seeded md5
+mins (deterministic, engine-portable — the same construction is expressible
+in the DuckDB oracle SQL), SimHash bit votes are 60 codegen'd aggregate
+expressions. That keeps every operator inside whole-stage codegen AND makes
+each one value-checkable against DuckDB.
+
+Scale notes (100 TB):
+- exact_dedup: one hash-keyed shuffle; the md5 groupBy is the canonical
+  map-side-combinable aggregation.
+- jaccard_pairs: the shingle self-join explodes on frequent shingles —
+  correct but quadratic in shingle df; it is the small-scale ORACLE.
+  MinHash+LSH is the scale path: candidate generation is a band-keyed
+  shuffle (linear), and the exact-Jaccard verify join touches only
+  candidate pairs (semi-join pruned).
+- simhash: hamming-ball dedup with banded candidate generation (4×16-bit
+  bands → any pair within hamming distance 3 of 64 bits shares ≥1 band by
+  pigeonhole when distance < #bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared: normalized token array + shingles
+# ---------------------------------------------------------------------------
+
+
+def _tok_array(text: Column) -> Column:
+    """Normalized token array: P2 normalization (SURVEY.md §2.2), whitespace
+    split, empties dropped. Dedup keeps stopwords — boilerplate phrasing is
+    signal for near-dup detection, unlike for retrieval."""
+    arr = F.split(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9]", " ")), r"\s+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 2,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams per doc (set semantics,
+    as Jaccard requires). transform(sequence(...)) stays in codegen."""
+    toks = _tok_array(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, content_hash, canonical_id, is_duplicate).
+
+    canonical = min doc_id per md5(text) group. min() is map-side
+    combinable, so the shuffle carries one row per (partition, hash) — the
+    only scalable shape for 10^12 rows. A window over the hash would work
+    too but sorts within groups for no benefit.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return hashed.join(canon, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the oracle path; quadratic on frequent shingles)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    tau: float = 0.8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingle sets) >= tau.
+
+    With ``candidates`` (doc_a, doc_b) the intersection join is restricted
+    to those pairs — the LSH verify step. Without, it is all-pairs exact
+    (small-scale oracle only).
+    """
+    sh = shingles(docs, n, text_col=text_col, id_col=id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 16,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig: array<string>[k]) — k seeded-md5 min-hashes.
+
+    Permutation i is "sort shingles by md5(i || '|' || shingle)"; the min
+    hex digest IS the min-hash (lexicographic order on hex == numeric order
+    on the 128-bit value). Deterministic across engines and runs — no RNG —
+    so the DuckDB oracle reproduces it exactly. k mins compute as k
+    map-side-combinable aggregates in ONE groupBy pass.
+    """
+    sh = shingles(docs, n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 16,
+    bands: int = 8,
+    tau: float = 0.8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs via banded MinHash LSH.
+
+    rows-per-band r = k/bands; candidate iff some band's r signature slots
+    all match (band key = md5 of the concatenated slots). With k=16, r=2,
+    P[candidate] = 1-(1-j^2)^8: j=0.8 → 99.8%, j=0.9 → 100% (≈); the exact-
+    Jaccard verify then removes false positives, so output = true pairs ∩
+    LSH recall. Banding is a linear shuffle — the whole point vs all-pairs.
+    """
+    r = k // bands
+    assert bands * r == k, "k must be divisible by bands"
+    sigs = minhash_signatures(docs, n, k, text_col=text_col, id_col=id_col)
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(
+                        "|", *[F.col("sig")[b * r + j] for j in range(r)]
+                    )).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    left = band_entries.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = band_entries.select("band", "key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    return jaccard_pairs(
+        docs, n, tau, text_col=text_col, id_col=id_col, candidates=cand
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int exactly
+
+
+def _term_hash60(term: Column) -> Column:
+    """60-bit integer hash of a token: first 15 hex chars of md5. conv()
+    base-16 → base-10 string, cast long — portable to the oracle via
+    ('0x'||substr(md5(t),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash: long) — 60-bit Charikar SimHash, tf-weighted.
+
+    Bit b of the result is 1 iff Σ_tokens cnt·(±1 by bit b of token hash)
+    ≥ 0. The 60 votes are 60 independent aggregate expressions in one
+    groupBy — no 60× row explosion, no UDF; whole-stage codegen fuses them.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tok_array(F.col(text_col))).alias("term"),
+    )
+    counted = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).withColumn("h", _term_hash60(F.col("term")))
+
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(_SIM_BITS)
+    ]
+    per_doc = counted.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(_SIM_BITS):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within a hamming ball, banded LSH.
+
+    Pigeonhole: distance ≤ bands-1 ⇒ some band of the 60-bit hash is
+    identical ⇒ banding has perfect recall for max_hamming < bands. The
+    band join is the linear-shuffle candidate step; bit_count(xor) verifies.
+    """
+    assert max_hamming < bands, "recall guarantee needs max_hamming < bands"
+    width = _SIM_BITS // bands
+    sh = simhash64(docs, text_col=text_col, id_col=id_col)
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+
+    left = banded.select("band", "key", F.col("doc_id").alias("doc_a"),
+                         F.col("simhash").alias("sim_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("doc_b"),
+                          F.col("simhash").alias("sim_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

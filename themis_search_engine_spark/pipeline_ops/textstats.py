@@ -1,0 +1,143 @@
+"""Text analysis operators: token stats, language-ID, quality, fingerprints.
+
+Everything is native Column expressions — no Python in the hot path, and
+each operator has an exact DuckDB-SQL twin (oracle_sql.py). These are the
+per-document map-side operators of a training-data pipeline: they shuffle
+nothing (narrow projections), so at 100 TB they run at scan speed and
+their outputs feed the filter/bucket decisions downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..stopwords import STOPWORDS
+from .dedup import _tok_array, shingles
+
+_ASCII_STOPS = sorted(w for w in STOPWORDS if w.isascii())
+
+# tiny per-language marker lexicons for the n-gram/stopword-hit heuristic;
+# chosen to be disjoint across languages (deterministic arithmetic, no
+# model). 'en' additionally wins as the fallback for Latin-script text.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "una", "por", "para", "con", "del"],
+}
+
+
+def token_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_distinct, mean_token_len).
+
+    Whitespace tokenization after P2 normalization; distinct count via
+    array_distinct (in-row, no shuffle — NOT a groupBy count-distinct).
+    """
+    toks = _tok_array(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.when(F.size(toks) > 0,
+                   F.aggregate(toks, F.lit(0).cast("long"),
+                               lambda acc, t: acc + F.length(t))
+                   / F.size(toks)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def lang_id(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pred_lang, marker_hits) — stopword-marker language ID.
+
+    Deterministic argmax over per-language marker-hit counts; ties and
+    zero-hit docs fall back to 'und'. CJK content short-circuits to 'zh'
+    via a codepoint-class test on the RAW text (P2 would erase it).
+    """
+    toks = _tok_array(F.col(text_col))
+    hit_cols = {
+        lang: _marker_hits(toks, words) for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[hit_cols[la] for la in langs])
+    pred = F.lit("und")
+    # reversed so that earlier languages win ties (first-match semantics)
+    for la in reversed(langs):
+        pred = F.when(hit_cols[la] == best, F.lit(la)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(has_cjk, F.lit("zh")).otherwise(pred).alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, alpha_ratio, stop_ratio, len_score, quality).
+
+    Gopher/C4-style heuristic signals, arithmetic only:
+      alpha_ratio = alnum chars / chars          (symbol soup ↓)
+      stop_ratio  = stopword tokens / tokens     (natural prose ↑)
+      len_score   = min(n_tokens, 256)/256       (tiny docs ↓)
+      quality     = 0.4·alpha + 0.4·min(stop·4, 1) + 0.2·len
+    """
+    toks = _tok_array(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(_ASCII_STOPS)))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok, F.lit(256)) / F.lit(256.0)
+    quality = (
+        0.4 * alpha_ratio + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.2 * len_score
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 4,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fingerprint, sketch) — content fingerprinting.
+
+    fingerprint = min md5 over word n-gram shingles (winnowing-lite: the
+    global min of the rolling window hashes); sketch = the k smallest
+    shingle hashes as a sorted array (a bottom-k set sketch — its overlap
+    estimates Jaccard, and equal sketches ⇒ near-identical content).
+    Map-side-combinable aggregates only.
+    """
+    sh = shingles(docs, n, text_col=text_col, id_col=id_col)
+    hashed = sh.select("doc_id", F.md5("shingle").alias("h"))
+    return (
+        hashed.groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fingerprint"),
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch"),
+        )
+    )

@@ -230,6 +230,13 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+# training-data pipeline operators (dedup / ANN / text analysis / media)
+from .registry_ops import OPS_ORACLE_SQL, OPS_QUERIES  # noqa: E402
+
+QUERIES.update(OPS_QUERIES)
+ORACLE_SQL.update(OPS_ORACLE_SQL)
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """Stemmed Arrow-path BM25 top-10 batch on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"

@@ -1,0 +1,169 @@
+"""Registry entries for the training-data pipeline operators.
+
+Each Spark callable here runs pipeline_ops operators over the driver's
+``documents.parquet`` / ``embeddings.parquet`` and must value-match its
+DuckDB twin in oracle_sql_ops.py (driver compare: columns sorted by name,
+row-order-insensitive value hash, floats pre-rounded to 6 decimals).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle_sql_ops as osqlo
+from .corpus import load_documents, load_embeddings
+from .pipeline_ops import (
+    cosine_pairs,
+    cosine_topk,
+    exact_dedup,
+    fingerprints,
+    ivf_topk,
+    jaccard_pairs,
+    lang_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    quality_score,
+    simhash64,
+    simhash_pairs,
+    token_stats,
+)
+from .pipeline_ops.multimodal import media_meta_pipeline
+from .session import _ship_package
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_documents(spark, sf_dir).select("doc_id", "text")
+
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return jaccard_pairs(_docs(spark, sf_dir), n=2, tau=0.8).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = minhash_signatures(_docs(spark, sf_dir), n=2, k=16)
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *[F.col("sig")[i] for i in range(16)]))
+        .alias("sig_digest"),
+        F.col("sig")[0].alias("h0"),
+        F.col("sig")[15].alias("h15"),
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=2, k=16, bands=8, tau=0.8
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    fp = fingerprints(_docs(spark, sf_dir), n=3, k=4)
+    return fp.select(
+        "doc_id", "fingerprint",
+        F.array_join("sketch", ",").alias("sketch"),
+    )
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+
+
+def _query_vecs(embs: DataFrame, every_m: int = 50) -> DataFrame:
+    return embs.where(F.col("vec_id") % every_m == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    out = cosine_topk(embs, _query_vecs(embs), k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return cosine_pairs(embs, tau=0.4).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    out = ivf_topk(embs, _query_vecs(embs), k=5, every_m=25, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_media_meta(spark, sf_dir):
+    _ship_package(spark)  # decode runs in Python workers
+    return media_meta_pipeline(_docs(spark, sf_dir))
+
+
+OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_dedup": q_exact_dedup,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "dedup_simhash": q_dedup_simhash,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprints": q_fingerprints,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "media_meta": q_media_meta,
+}
+
+OPS_ORACLE_SQL: dict[str, str] = {
+    "exact_dedup": osqlo.sql_exact_dedup(),
+    "dedup_jaccard": osqlo.sql_jaccard_pairs(2, 0.8),
+    "minhash_signatures": osqlo.sql_minhash_signatures(2, 16),
+    "dedup_minhash_lsh": osqlo.sql_minhash_lsh_pairs(2, 16, 8, 0.8),
+    "simhash": osqlo.sql_simhash(),
+    "dedup_simhash": osqlo.sql_simhash_pairs(3, 4),
+    "token_stats": osqlo.sql_token_stats(),
+    "lang_id": osqlo.sql_lang_id(),
+    "quality_score": osqlo.sql_quality_score(),
+    "fingerprints": osqlo.sql_fingerprints(3, 4),
+    "ann_cosine_topk": osqlo.sql_cosine_topk(5, 50),
+    "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
+    "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
+    "media_meta": osqlo.sql_media_meta(),
+}
