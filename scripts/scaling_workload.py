@@ -82,12 +82,16 @@ def main() -> None:
 
         term_counts_arrow(corpus).count()
 
+        phase_t: dict[str, float] = {}
         t0 = time.perf_counter()
-        build_and_save(corpus, f"{tmp}/index", stem=True, term_buckets=64)
+        build_and_save(
+            corpus, f"{tmp}/index", stem=True, term_buckets=64, timings=phase_t
+        )
         build_sec = time.perf_counter() - t0
         out.update(
             build_sec=round(build_sec, 3),
             build_docs_per_sec=round(n_docs / build_sec, 1),
+            **{f"phase_{k}": round(v, 2) for k, v in phase_t.items()},
         )
 
         pidx = load_index(spark, f"{tmp}/index")

@@ -1,0 +1,59 @@
+"""E1/E2 eval metrics: DataFrame implementation vs the pure-Python walk."""
+
+import pytest
+
+from themis_search_engine_spark.queryeng.evalmetrics import (
+    ap_ndcg,
+    ap_ndcg_py,
+    metric_aggregates,
+    synthetic_judgments,
+)
+
+
+def test_ap_ndcg_matches_python_walk(spark):
+    # hand-built ranked lists + judgments with judged-irrelevant gaps
+    ranked_rows = [
+        # qid, doc_id, rank
+        (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+        (2, 20, 1), (2, 21, 2), (2, 22, 3),
+        (3, 30, 1),  # no judged docs → absent from output
+    ]
+    judged = {
+        (1, 10): 1, (1, 12): 0, (1, 13): 1, (1, 99): 1,
+        (2, 21): 1, (2, 22): 1, (2, 50): 0,
+        (3, 77): 1,
+    }
+    ranked = spark.createDataFrame(ranked_rows, "qid int, doc_id long, rank long")
+    jdf = spark.createDataFrame(
+        [(q, d, r) for (q, d), r in judged.items()],
+        "qid int, doc_id long, relevance int",
+    )
+    got = {r["qid"]: (r["ap"], r["ndcg"]) for r in ap_ndcg(ranked, jdf).collect()}
+    want = ap_ndcg_py(
+        [(q, d) for q, d, _ in sorted(ranked_rows, key=lambda t: (t[0], t[2]))],
+        judged,
+    )
+    assert set(got) == set(want) == {1, 2}
+    for qid in got:
+        assert got[qid][0] == pytest.approx(want[qid][0], abs=1e-6)
+        assert got[qid][1] == pytest.approx(want[qid][1], abs=1e-6)
+
+
+def test_synthetic_judgments_deterministic(spark):
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    j1 = sorted(map(tuple, synthetic_judgments(docs, {1: "a", 4: "b"}).collect()))
+    j2 = sorted(map(tuple, synthetic_judgments(docs, {1: "a", 4: "b"}).collect()))
+    assert j1 == j2
+    assert all(d % 7 == q % 7 for q, d, _ in j1)
+    assert {r for _, _, r in j1} == {0, 1}
+
+
+def test_metric_aggregates(spark):
+    perq = spark.createDataFrame(
+        [(1, 0.5, 0.6), (2, 1.0, 0.8)], "qid int, ap double, ndcg double"
+    )
+    row = metric_aggregates(perq).collect()[0]
+    assert row["ap_min"] == 0.5 and row["ap_max"] == 1.0
+    assert row["ap_avg"] == pytest.approx(0.75)
+    assert row["ap_mean"] == pytest.approx(0.75)
+    assert row["ndcg_avg"] == pytest.approx(0.7)

@@ -190,6 +190,7 @@ def build_and_save(
     id_col: str = "doc_id",
     stem: bool = True,
     term_buckets: int = 64,
+    timings: dict | None = None,
 ) -> InvertedIndex:
     """Streamlined build: tokenize → ONE shuffle → postings on disk, then
     derive dictionary/doc_stats/global_stats from the WRITTEN postings.
@@ -202,6 +203,10 @@ def build_and_save(
     column-pruned scan of compressed parquet — the same
     write-once-derive-after shape as checkpoint.finalize.
     """
+    import time as _time
+
+    t = timings if timings is not None else {}
+    t0 = _time.perf_counter()
     counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
     (
         counts.select(
@@ -216,11 +221,14 @@ def build_and_save(
         .partitionBy("bucket")
         .parquet(f"{path}/postings_flat")
     )
+    t["postings_write"] = _time.perf_counter() - t0
     spark = docs.sparkSession
     postings = spark.read.parquet(f"{path}/postings_flat").drop("bucket")
 
     # doc stats: every corpus doc gets a row (token-less docs → length 0),
-    # lengths come from the written postings (any row per doc carries dl)
+    # lengths come from the written postings (any row per doc carries dl).
+    # Column pruning matters: this scan reads exactly two int columns.
+    t0 = _time.perf_counter()
     per_doc = postings.groupBy("doc_id").agg(F.first("length").alias("length"))
     stats = (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -229,7 +237,9 @@ def build_and_save(
     )
     stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     stats = spark.read.parquet(f"{path}/doc_stats")
+    t["doc_stats"] = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     gs_row = stats.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("length").alias("avgdl")
     ).collect()[0]
@@ -238,7 +248,9 @@ def build_and_save(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
     )
     global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
+    t["global_stats"] = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     dictionary = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -250,6 +262,7 @@ def build_and_save(
         )
     )
     dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    t["dictionary"] = _time.perf_counter() - t0
 
     return load_index(spark, path)
 

@@ -151,6 +151,48 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_eval_ap_ndcg(k: int = 20) -> str:
+    """E1+E2 over the bm25 top-k ranking with the deterministic synthetic
+    judgment rule (evalmetrics.synthetic_judgments). Judged-only position
+    counting per themisEval.java:94-153,217-273."""
+    qid_vals = ", ".join(f"({q})" for q in QUERYSET)
+    return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+judg AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN ((d.doc_id // 7) + q.qid) % 2 = 0 THEN 1 ELSE 0 END
+           AS relevance
+  FROM documents d CROSS JOIN (VALUES {qid_vals}) q(qid)
+  WHERE d.doc_id % 7 = q.qid % 7
+),
+walked AS (
+  SELECT r.qid, r.rank, j.relevance,
+         count(*) OVER (PARTITION BY r.qid ORDER BY r.rank) AS counter,
+         sum(j.relevance) OVER (PARTITION BY r.qid ORDER BY r.rank) AS found
+  FROM ranked r JOIN judg j ON r.qid = j.qid AND r.doc_id = j.doc_id
+  WHERE r.rank <= {k}
+),
+perq AS (
+  SELECT qid,
+         sum(CASE WHEN relevance = 1 THEN found * 1.0 / counter
+                  ELSE 0.0 END) AS ap_num,
+         max(found) AS found_total,
+         sum(CASE WHEN relevance = 1 THEN 1.0 / log2(counter + 1.0)
+                  ELSE 0.0 END) AS dcg
+  FROM walked GROUP BY qid
+),
+rq AS (SELECT qid, count(*) AS r FROM judg WHERE relevance = 1 GROUP BY qid)
+SELECT p.qid, round(p.ap_num / p.found_total, 6) AS ap,
+       round(p.dcg / list_sum([1.0 / log2(j + 2.0) for j in range(0, r)]),
+             6) AS ndcg
+FROM perq p JOIN rq USING (qid) WHERE p.found_total > 0"""
+
+
 def sql_existential() -> str:
     return f"""WITH {TOK_CTE}
 SELECT DISTINCT q.qid, c.doc_id, 1.0::DOUBLE AS score

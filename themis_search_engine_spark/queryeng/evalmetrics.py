@@ -1,0 +1,146 @@
+"""E1-E4: IR evaluation metrics — Average Precision and nDCG.
+
+Reference semantics (themisEval.java:94-153 AP, :217-273 nDCG; SURVEY.md
+§2.7): both metrics walk the ranked answer list but count POSITIONS only
+at judged documents (unjudged answers are invisible to the metric — the
+TREC judged-only convention the reference implements):
+
+  AP   = (Σ_{judged relevant hit i} found_i / counter_i) / found_total
+         counter_i = #judged docs seen up to i, found_i = #relevant seen
+  DCG  = Σ_{judged relevant hit i} 1 / log2(counter_i + 1)
+  IDCG = Σ_{j < R} 1 / log2(j + 2),  R = #relevant among the query's
+         judged docs (themisEval.java:247-253)
+  nDCG = DCG / IDCG
+
+Spark shape: ranked ⋈ judgments (inner = judged-only), then two running
+windows (counter, found) per qid ordered by rank — no UDF. Queries with no
+judged doc in the ranked list produce NaN in the reference (0/0); here they
+are simply absent from the output (the driver-side aggregate skips NaN the
+same way, themisEval.java:280-317).
+
+The synthetic judgment set is a deterministic arithmetic rule over doc_id
+and qid (SQL-expressible, so the whole metric pipeline is DuckDB-oracled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def synthetic_judgments(docs: DataFrame, queryset: dict[int, str]) -> DataFrame:
+    """(qid, doc_id, relevance) — deterministic pseudo-judgments over the
+    corpus doc_ids: every 7th doc (phase-shifted by qid) is judged;
+    relevance alternates by a qid-dependent parity. Mirrors the oracle's
+    judgments CTE exactly (oracle_sql_ops.sql_eval_ap_ndcg)."""
+    spark: SparkSession = docs.sparkSession
+    qids = spark.createDataFrame([(q,) for q in queryset], "qid int")
+    return (
+        docs.select("doc_id")
+        .crossJoin(qids)
+        .where(F.col("doc_id") % 7 == F.col("qid") % 7)
+        .select(
+            "qid",
+            "doc_id",
+            F.when(
+                (F.floor(F.col("doc_id") / 7) + F.col("qid")) % 2 == 0, 1
+            ).otherwise(0).alias("relevance"),
+        )
+    )
+
+
+def ap_ndcg(ranked: DataFrame, judgments: DataFrame) -> DataFrame:
+    """(qid, ap, ndcg) from a ranked result (qid, doc_id, rank) and a
+    judgment table (qid, doc_id, relevance)."""
+    j = ranked.select("qid", "doc_id", "rank").join(
+        judgments, ["qid", "doc_id"]
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    walked = j.select(
+        "qid", "rank", "relevance",
+        F.count(F.lit(1)).over(w).alias("counter"),
+        F.sum("relevance").over(w).alias("found"),
+    )
+    per_q = walked.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("relevance") == 1,
+                   F.col("found") / F.col("counter")).otherwise(0.0)
+        ).alias("ap_num"),
+        F.max("found").alias("found_total"),
+        F.sum(
+            F.when(F.col("relevance") == 1,
+                   1.0 / F.log2(F.col("counter") + 1.0)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    r_per_q = judgments.where(F.col("relevance") == 1).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    # IDCG = Σ_{j=0..R-1} 1/log2(j+2) as a sequence aggregate (no UDF)
+    idcg = F.aggregate(
+        F.sequence(F.lit(0), F.col("r") - 1),
+        F.lit(0.0),
+        lambda acc, jj: acc + 1.0 / F.log2(jj.cast("double") + 2.0),
+    )
+    return (
+        per_q.where(F.col("found_total") > 0)
+        .join(r_per_q, "qid")
+        .select(
+            "qid",
+            F.round(F.col("ap_num") / F.col("found_total"), 6).alias("ap"),
+            F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+        )
+    )
+
+
+def metric_aggregates(per_query: DataFrame) -> DataFrame:
+    """E4: min/max/avg (+ mean=(max+min)/2, themisEval.java:280-317) over
+    the per-query metric values."""
+    return per_query.agg(
+        F.round(F.min("ap"), 6).alias("ap_min"),
+        F.round(F.max("ap"), 6).alias("ap_max"),
+        F.round(F.avg("ap"), 6).alias("ap_avg"),
+        F.round((F.min("ap") + F.max("ap")) / 2.0, 6).alias("ap_mean"),
+        F.round(F.min("ndcg"), 6).alias("ndcg_min"),
+        F.round(F.max("ndcg"), 6).alias("ndcg_max"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg_avg"),
+        F.round((F.min("ndcg") + F.max("ndcg")) / 2.0, 6).alias("ndcg_mean"),
+    )
+
+
+# --- pure-Python twin (unit-test oracle, reference-shaped walk) ------------
+
+
+def ap_ndcg_py(
+    ranked: list[tuple[int, int]], judged: dict[tuple[int, int], int]
+) -> dict[int, tuple[float, float]]:
+    """ranked = [(qid, doc_id)] in rank order; judged[(qid, doc_id)] = 0/1.
+    Literal transcription of the reference's walk (themisEval.java:94-153,
+    :217-273) for cross-checking the DataFrame version."""
+    from collections import defaultdict
+
+    by_q: dict[int, list[int]] = defaultdict(list)
+    for qid, doc in ranked:
+        by_q[qid].append(doc)
+    out = {}
+    for qid, docs in by_q.items():
+        counter = found = 0
+        ap_sum = dcg = 0.0
+        import math
+
+        for doc in docs:
+            rel = judged.get((qid, doc))
+            if rel is None:
+                continue
+            counter += 1
+            if rel == 1:
+                found += 1
+                ap_sum += found / counter
+                dcg += 1.0 / math.log2(counter + 1)
+        r = sum(
+            1 for (q, _d), v in judged.items() if q == qid and v == 1
+        )
+        idcg = sum(1.0 / math.log2(j + 2) for j in range(r))
+        if found > 0:
+            out[qid] = (ap_sum / found, dcg / idcg if idcg else float("nan"))
+    return out

@@ -230,6 +230,28 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+def q_eval_ap_ndcg(spark, sf_dir):
+    """E1+E2: AP + nDCG of the bm25 top-20 ranking against deterministic
+    synthetic judgments (judged-only position walk per the reference)."""
+    from .corpus import load_documents
+    from .queryeng.evalmetrics import ap_ndcg, synthetic_judgments
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    ranked = _rounded_rank_topk(scored, 20)
+    judgments = synthetic_judgments(
+        load_documents(spark, sf_dir).select("doc_id"), osql.QUERYSET
+    )
+    return ap_ndcg(ranked, judgments)
+
+
+QUERIES["eval_ap_ndcg"] = q_eval_ap_ndcg
+ORACLE_SQL["eval_ap_ndcg"] = osql.sql_eval_ap_ndcg(20)
+
+
 # training-data pipeline operators (dedup / ANN / text analysis / media)
 from .registry_ops import OPS_ORACLE_SQL, OPS_QUERIES  # noqa: E402
 

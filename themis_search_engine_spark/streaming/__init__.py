@@ -1,0 +1,7 @@
+"""Structured Streaming surface: incremental index ingestion."""
+
+from .ingest import (  # noqa: F401
+    finalize_stream,
+    ingest_pages_stream,
+    windowed_ingest_rate,
+)

@@ -1,0 +1,154 @@
+"""Incremental index ingestion via Structured Streaming.
+
+The reference has no streaming surface (SURVEY.md §2.9); this is the
+Spark-native extension for a corpus that keeps growing (Common Crawl
+snapshots landing as files/Iceberg appends):
+
+  readStream(pages) → foreachBatch: tokenize (Arrow path) and commit the
+  micro-batch as one checkpoint batch in EXACTLY the layout
+  indexing.checkpoint uses (counts/docs parquet + atomic manifest.json)
+  → checkpoint.finalize() merges committed batches into the four index
+  tables whenever a fresh snapshot is wanted.
+
+Exactly-once: Structured Streaming's own checkpoint (WAL + offsets)
+replays a failed batch with the same batch_id; the writer below is
+idempotent per batch_id (overwrite + atomic manifest rename), so replays
+converge. Max-TF tf stays correct because a doc lives entirely inside one
+micro-batch (file-source batches split on file boundaries, and a doc is
+one row) — the same doc-boundary invariant the batch build relies on.
+
+:func:`windowed_ingest_rate` adds the event-time lane: per-window doc
+counts with a watermark for late data — the streaming metrics feed
+(docs/sec over warc_ts windows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..corpus import PAGES_SCHEMA
+from ..indexing.checkpoint import _FMT_VERSION, _batch_dir, _write_manifest
+from ..textproc import term_counts_arrow
+
+
+def _commit_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    *,
+    key_col: str,
+    text_col: str,
+    stem: bool,
+) -> None:
+    t0 = time.perf_counter()
+    counts = term_counts_arrow(batch_df, text_col, key_col, stem=stem)
+    cdir = f"{_batch_dir(out_path, batch_id)}/counts"
+    counts.write.mode("overwrite").parquet(cdir)
+    sdir = f"{_batch_dir(out_path, batch_id)}/docs"
+    batch_df.select(F.col(key_col).alias("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(sdir)
+
+    spark = batch_df.sparkSession
+    n_postings = spark.read.parquet(cdir).count()
+    n_docs = spark.read.parquet(sdir).count()
+    wall = time.perf_counter() - t0
+    _write_manifest(
+        out_path,
+        batch_id,
+        {
+            "format_version": _FMT_VERSION,
+            "batch": batch_id,
+            "n_batches": None,  # open-ended stream
+            "input_fingerprint": f"stream:{text_col}:{stem}",
+            "slice_predicate": f"stream micro-batch {batch_id}",
+            "n_docs": int(n_docs),
+            "n_postings": int(n_postings),
+            "bytes_written": 0,
+            "wall_seconds": round(wall, 4),
+            "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
+            "postings_per_sec": (
+                round(n_postings / wall, 2) if wall > 0 else None
+            ),
+            "committed": True,
+        },
+    )
+
+
+def ingest_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_path: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    stem: bool = True,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the ingestion stream over a parquet directory of pages
+    (doc_id assigned upstream, e.g. abs(xxhash64(url))).
+
+    ``available_now=True`` drains everything currently in the directory
+    and stops (the batch-backfill trigger); False keeps listening.
+    """
+    pages = (
+        spark.readStream.schema(
+            # file source needs an explicit schema; accept either raw pages
+            # or pre-keyed (doc_id, text) layouts
+            PAGES_SCHEMA if key_col == "url" else f"{key_col} long, {text_col} string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _commit_stream_batch(
+            batch_df, batch_id, out_path,
+            key_col=key_col, text_col=text_col, stem=stem,
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_path}/_stream_checkpoint")
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_stream(spark: SparkSession, out_path: str):
+    """Merge every committed micro-batch into the four index tables —
+    identical to resuming a batch checkpoint build."""
+    from ..indexing.checkpoint import finalize
+
+    return finalize(spark, out_path)
+
+
+def windowed_ingest_rate(
+    pages_stream: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time ingestion metrics: docs per ``window`` of crawl time,
+    tolerating ``watermark`` of late-arriving pages. Append-mode safe
+    (the watermark closes windows); feeds a metrics sink at scale."""
+    return (
+        pages_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+        )
+    )
