@@ -61,6 +61,12 @@ def _ship_package(spark: SparkSession) -> None:
 
     if spark.conf.get("themis.pyfiles.shipped", None) == "1":
         return
+    # already launched with spark-submit --py-files <pkg>.zip? addPyFile of
+    # a same-named zip would fail ("registered with different contents")
+    submitted = spark.conf.get("spark.submit.pyFiles", "") or ""
+    if "themis_search_engine_spark.zip" in submitted:
+        spark.conf.set("themis.pyfiles.shipped", "1")
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(
         spark.sparkContext._temp_dir, "themis_search_engine_spark.zip"
