@@ -101,7 +101,13 @@ def wand_topk(
     prune: bool = True,
 ) -> DataFrame:
     """(qid, doc_id, score, rank) — top-k per query over compressed chunks."""
-    spark = compressed.sparkSession
+    from .bm25 import MAX_PRUNE_LITERALS
+
+    # plant the batch term set into the chunk scan (same pushdown as
+    # bm25_score_all): parquet dictionary/row-group pruning on `term`
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+        compressed = compressed.where(F.col("term").isin(terms))
     q = F.broadcast(qterms.select("qid", "term").join(
         dictionary.select("term", "idf"), "term"
     ))
