@@ -1,0 +1,127 @@
+"""L1/L2: citation/link graph build + PageRank (SURVEY.md §2.6).
+
+The reference builds a weighted citation graph in two corpus passes
+(PageRank.java:48-108, Graph.java:49-139) and then STUBS the rank
+computation (the fill loop is empty, PageRank.java:110-137) — documents
+keep pagerank 0.0 and it never reaches scoring. This module implements
+what that code declares:
+
+- :func:`citation_edges` — (src, dst, weight): explode out-citations,
+  keep only edges whose dst exists in the corpus (the reference skips
+  unknown ids), multi-edges collapse into integer weights.
+- :func:`pagerank` — damped weighted PageRank with a FIXED iteration
+  count, as iterative DataFrame joins. Fixed iterations (not a
+  convergence loop) keep the computation deterministic and make the whole
+  thing SQL-expressible (the DuckDB oracle unrolls the same iterations).
+  Dangling mass: ranks of nodes with no out-edges are NOT redistributed
+  (the straightforward reading of the reference's row-normalized
+  transition matrix, where a dangling row stays all-zero).
+
+Scale: each iteration is one (edges ⋈ ranks) shuffle + a groupBy(dst).
+Edges are repartitioned by src once and reused; ranks are the small side
+at web scale only after aggregation — at 10^12 docs both sides are big,
+so the join keys co-partition (src) and AQE handles skewed hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def citation_edges(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    citations_col: str = "citations",
+) -> DataFrame:
+    """(src, dst, weight) — exploded, known-dst-only, multi-edge-weighted
+    (PageRank.java:69-101: nodes pass then edges pass skipping unknown)."""
+    ids = docs.select(F.col(id_col).alias("dst")).distinct()
+    raw = docs.select(
+        F.col(id_col).alias("src"),
+        F.explode(F.col(citations_col)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (
+        raw.join(ids, "dst", "left_semi")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def synthetic_citations(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pseudo-citations for corpora without a citation field:
+    doc d cites (d*7+1) % N, (d*13+3) % N, (d*31+11) % N (self-cites and
+    unknown ids naturally excluded downstream). Mirrors the oracle CTE."""
+    n = docs.count()
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array(
+            (F.col(id_col) * 7 + 1) % n,
+            (F.col(id_col) * 13 + 3) % n,
+            (F.col(id_col) * 31 + 11) % n,
+        ).alias("citations"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """(doc_id, pagerank) after ``iterations`` damped weighted steps.
+
+    rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v} rank_t(u)·weight(u,v)/outweight(u)
+    """
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+    # transition probability per edge — static across iterations, cache it
+    trans = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("outw")).alias("p"))
+        .cache()
+    )
+    ranks = nodes.select(
+        F.col(nodes.columns[0]).alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("node").alias("doc_id"),
+                        F.col("rank").alias("pagerank"))
+
+
+def pagerank_py(
+    edges: list[tuple[int, int, int]], nodes: list[int],
+    damping: float = 0.85, iterations: int = 5,
+) -> dict[int, float]:
+    """Pure-Python twin for unit tests."""
+    n = len(nodes)
+    outw: dict[int, int] = {}
+    for s, _d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += ranks[s] * (w / outw[s])
+        ranks = {v: base + damping * inflow[v] for v in nodes}
+    return ranks

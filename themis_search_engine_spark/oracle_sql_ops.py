@@ -358,6 +358,56 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+# --- link graph -------------------------------------------------------------
+
+# two-step list→unnest: DuckDB 1.0 fails to bind an unnest-aliased column
+# through a subsequent join unless it passes through an intermediate CTE
+_EDGES_CTE = """nn AS (SELECT count(*) AS n FROM documents),
+cite_lists AS (
+  SELECT doc_id AS src,
+         [(doc_id * 7 + 1) % n, (doc_id * 13 + 3) % n,
+          (doc_id * 31 + 11) % n] AS ds
+  FROM documents CROSS JOIN nn
+),
+cites AS (SELECT src, unnest(ds) AS dst FROM cite_lists),
+edges AS (
+  SELECT c.src, c.dst, count(*)::BIGINT AS weight
+  FROM cites c JOIN documents dd ON dd.doc_id = c.dst
+  WHERE c.src <> c.dst
+  GROUP BY c.src, c.dst
+)"""
+
+
+def sql_citation_edges() -> str:
+    return f"WITH {_EDGES_CTE} SELECT src, dst, weight FROM edges"
+
+
+def sql_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
+    """Unrolled damped weighted PageRank — the same fixed iterations the
+    Spark loop runs (linkgraph.pagerank)."""
+    base = f"(1.0 - {damping}) / nn.n"
+    ctes = [
+        "outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src)",
+        "trans AS (SELECT src, dst, weight * 1.0 / outw AS p "
+        "FROM edges JOIN outw USING (src))",
+        "pr0 AS (SELECT doc_id AS node, 1.0 / nn.n AS rank "
+        "FROM documents CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT d.doc_id AS node, {base} + {damping} * coalesce(i.inflow, 0.0) AS rank
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN (SELECT t.dst, sum(p.rank * t.p) AS inflow
+             FROM trans t JOIN pr{i - 1} p ON p.node = t.src
+             GROUP BY t.dst) i ON i.dst = d.doc_id)"""
+        )
+    return (
+        f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, round(rank, 9) AS pagerank FROM pr{iterations}"
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 

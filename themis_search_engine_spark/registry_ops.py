@@ -129,6 +129,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_citation_edges(spark, sf_dir):
+    from .linkgraph import citation_edges, synthetic_citations
+
+    docs = _docs(spark, sf_dir)
+    return citation_edges(synthetic_citations(docs))
+
+
+def q_pagerank(spark, sf_dir):
+    from .linkgraph import citation_edges, pagerank, synthetic_citations
+
+    docs = _docs(spark, sf_dir)
+    edges = citation_edges(synthetic_citations(docs))
+    pr = pagerank(edges, docs.select("doc_id"), damping=0.85, iterations=5)
+    return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
+
+
 def q_media_meta(spark, sf_dir):
     _ship_package(spark)  # decode runs in Python workers
     return media_meta_pipeline(_docs(spark, sf_dir))
@@ -149,6 +165,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_meta": q_media_meta,
+    "citation_edges": q_citation_edges,
+    "pagerank": q_pagerank,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -166,4 +184,6 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "media_meta": osqlo.sql_media_meta(),
+    "citation_edges": osqlo.sql_citation_edges(),
+    "pagerank": osqlo.sql_pagerank(0.85, 5),
 }
