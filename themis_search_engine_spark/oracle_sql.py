@@ -151,6 +151,38 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_query_expansion(prefix_len: int = 4, expansion_weight: float = 0.5) -> str:
+    """P6/P7 operator twin: prefix-synonym expansion capped at the
+    original distinct-term count per qid."""
+    return f"""WITH {TOK_CTE},
+q AS (SELECT DISTINCT qid, term, qweight::DOUBLE AS qweight FROM {_qterms_values()}),
+syn AS (
+  SELECT a.term, b.term AS synonym
+  FROM dict a JOIN dict b
+    ON substr(a.term, 1, {prefix_len}) = substr(b.term, 1, {prefix_len})
+  WHERE length(a.term) >= {prefix_len} AND length(b.term) >= {prefix_len}
+    AND a.term <> b.term
+),
+norig AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
+cand AS (
+  SELECT DISTINCT q.qid, s.synonym AS term
+  FROM q JOIN syn s ON q.term = s.term
+  WHERE NOT EXISTS (SELECT 1 FROM q q2
+                    WHERE q2.qid = q.qid AND q2.term = s.synonym)
+),
+capped AS (
+  SELECT c.qid, c.term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY term ASC) AS r
+    FROM cand) c JOIN norig USING (qid)
+  WHERE c.r <= norig.n_terms
+)
+SELECT qid, term, qweight, FALSE AS is_expansion FROM q
+UNION ALL
+SELECT qid, term, {expansion_weight}::DOUBLE AS qweight, TRUE AS is_expansion
+FROM capped"""
+
+
 def sql_eval_ap_ndcg(k: int = 20) -> str:
     """E1+E2 over the bm25 top-k ranking with the deterministic synthetic
     judgment rule (evalmetrics.synthetic_judgments). Judged-only position

@@ -252,6 +252,21 @@ QUERIES["eval_ap_ndcg"] = q_eval_ap_ndcg
 ORACLE_SQL["eval_ap_ndcg"] = osql.sql_eval_ap_ndcg(20)
 
 
+def q_query_expansion(spark, sf_dir):
+    """P6/P7 operator: prefix-synonym expansion of the batch query set,
+    capped per qid at the original distinct-term count."""
+    from .queryeng.expansion import expand_queries, prefix_synonyms
+
+    idx = get_index(spark, sf_dir)
+    return expand_queries(
+        _qt(spark, stem=False), prefix_synonyms(idx.dictionary, 4)
+    )
+
+
+QUERIES["query_expansion"] = q_query_expansion
+ORACLE_SQL["query_expansion"] = osql.sql_query_expansion(4, 0.5)
+
+
 # training-data pipeline operators (dedup / ANN / text analysis / media)
 from .registry_ops import OPS_ORACLE_SQL, OPS_QUERIES  # noqa: E402
 
