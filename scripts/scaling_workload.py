@@ -43,14 +43,16 @@ from themis_search_engine_spark.indexing.build import (  # noqa: E402
     load_index,
 )
 from themis_search_engine_spark.queryeng import bm25_topk, qterms_df  # noqa: E402
-from themis_search_engine_spark.queryset import reference_queries  # noqa: E402
+from themis_search_engine_spark.queryset import (  # noqa: E402
+    synth_reference_queries,
+)
 from themis_search_engine_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_200_000))
-    n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 3_000))
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 300))
     # input partitioning fixed across trials so every level reads the same
     # file layout; 128 splits keeps each level's cores saturated
     in_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", 128))
@@ -97,11 +99,11 @@ def main() -> None:
         pidx = load_index(spark, f"{tmp}/index")
         out["postings"] = pidx.postings_flat.count()
 
-        queries = reference_queries(n_queries)
+        queries = synth_reference_queries(n_queries)
         qt = qterms_df(spark, queries, stem=True).cache()
         qt.count()
         # warmup the query plan shape (small batch)
-        wq = qterms_df(spark, reference_queries(20), stem=True)
+        wq = qterms_df(spark, synth_reference_queries(20), stem=True)
         bm25_topk(
             wq, pidx.postings_flat, pidx.dictionary, pidx.doc_stats,
             pidx.avgdl, k=10,

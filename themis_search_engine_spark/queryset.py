@@ -18,6 +18,28 @@ _VOCAB = [
 ]
 
 
+def synth_reference_queries(n: int = 300) -> dict[int, str]:
+    """Query workload over the SYNTHETIC page corpus vocabulary
+    (corpus.VOCAB, Zipf-distributed): mid-frequency terms with a head-term
+    ("web") sprinkle — the scaling bench's batch-query mix. The driver-
+    testdata workload above matches documents.parquet, NOT this corpus."""
+    from .corpus import HEAD_TERM, VOCAB
+
+    out: dict[int, str] = {}
+    v = len(VOCAB)
+    for i in range(n):
+        n_terms = 1 + (i * 3) % 4
+        # first term from the mid-frequency band (meaningful df), rest from
+        # the full vocab (mostly tail), every 11th query hits the head term
+        terms = [VOCAB[(300 + i * 13) % 1700]]
+        for j in range(1, n_terms):
+            terms.append(VOCAB[(i * 29 + j * 577) % v])
+        if i % 11 == 0:
+            terms.append(HEAD_TERM)
+        out[i] = " ".join(terms)
+    return out
+
+
 def reference_queries(n: int = 50) -> dict[int, str]:
     out: dict[int, str] = {}
     v = len(_VOCAB)
