@@ -83,16 +83,34 @@ def bm25_score_all(
     return scored
 
 
-def topk(scored: DataFrame, k: int = 10) -> DataFrame:
-    """Q8 per qid: rank by (score desc, doc_id asc), take k.
+TOPK_SALT = 16
 
-    A window over qid partitions is fine here because candidates per query
-    ≪ corpus; at extreme fan-in the WAND path (queryeng/wand.py) caps
-    candidates before this step.
+
+def topk(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Q8 per qid: rank by (score desc, doc_id asc), take k — in TWO
+    salted phases, because a single per-qid window sorts each query's
+    whole candidate set in ONE task (a head-term query at web scale has
+    ~half the corpus as candidates; that task is the wall-clock).
+
+    Phase 1 ranks within (qid, doc-salt) — TOPK_SALT× the parallelism,
+    1/TOPK_SALT the sort size — and keeps k per salt. The global top-k is
+    a subset of the union (any doc in the global top-k is in its own
+    salt's top-k), so phase 2's window sorts ≤ TOPK_SALT·k rows per qid.
+    Exact, deterministic, and the same (score desc, doc_id asc) order.
     """
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    salt = F.pmod(F.col("doc_id"), F.lit(TOPK_SALT))
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    pre = (
+        scored.withColumn("salt", salt)
+        .withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= k)
+        .drop("salt", "r")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "score", "rank")
     )

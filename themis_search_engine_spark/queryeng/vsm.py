@@ -21,6 +21,12 @@ def vsm_score_all(
 ) -> DataFrame:
     """(qid, doc_id, score). doc_stats must carry the VSM ``norm`` column
     (build_index(with_norms=True))."""
+    from .bm25 import MAX_PRUNE_LITERALS
+
+    # same literal IN-pushdown as bm25_score_all: prune the postings scan
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+        postings_flat = postings_flat.where(F.col("term").isin(terms))
     idf_vsm = F.log2(F.lit(float(n_docs)) / F.col("df"))
     qw = (
         qterms.join(dictionary.select("term", "df"), "term")

@@ -30,11 +30,11 @@ def synth_reference_queries(n: int = 300) -> dict[int, str]:
     for i in range(n):
         n_terms = 1 + (i * 3) % 4
         # first term from the mid-frequency band (meaningful df), rest from
-        # the full vocab (mostly tail), every 11th query hits the head term
+        # the full vocab (mostly tail), every 23rd query hits the head term
         terms = [VOCAB[(300 + i * 13) % 1700]]
         for j in range(1, n_terms):
             terms.append(VOCAB[(i * 29 + j * 577) % v])
-        if i % 11 == 0:
+        if i % 23 == 0:
             terms.append(HEAD_TERM)
         out[i] = " ".join(terms)
     return out
