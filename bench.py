@@ -126,15 +126,27 @@ def main() -> None:
             spark.read.parquet(f"{tmp}/pages")
             .select(F.abs(F.xxhash64("url")).alias("doc_id"), "text")
         )
+        from themis_search_engine_spark.indexing.build import build_and_save
+
         t0 = time.perf_counter()
-        sidx = build_index(corpus, stem=True)
-        s_postings = sidx.postings_flat.count()
+        sidx = build_and_save(corpus, f"{tmp}/index", stem=True)
         stages["build_synth"] = time.perf_counter() - t0
+        s_postings = sidx.postings_flat.count()
         extra["synth_docs"] = synth_docs
         extra["synth_postings"] = s_postings
         extra["docs_per_sec_synth"] = synth_docs / stages["build_synth"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # surface the latest scaling-efficiency record if present
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SCALING.json")) as fh:
+            sc_rec = json.load(fh)
+        extra["scaling_build_efficiency"] = sc_rec["build_efficiency"]
+        extra["scaling_query_efficiency"] = sc_rec["query_efficiency"]
+    except (OSError, KeyError, ValueError):
+        pass
 
     total = sum(stages.values())
     print(
