@@ -5,3 +5,4 @@ from .ingest import (  # noqa: F401
     ingest_pages_stream,
     windowed_ingest_rate,
 )
+from .stateful import streaming_exact_dedup  # noqa: F401
