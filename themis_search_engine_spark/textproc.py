@@ -141,7 +141,13 @@ def _batch_term_counts(
     norm = pc.utf8_lower(
         pc.replace_substring_regex(arr, pattern="[^a-zA-Z0-9]", replacement=" ")
     )
-    toks = pc.utf8_split_whitespace(norm)
+    # ascii_split_whitespace, NOT utf8_split_whitespace: P2 just mapped
+    # every non-[a-zA-Z0-9] codepoint to an ASCII space, so the array is
+    # ASCII-only and the ascii splitter is exact — and pyarrow 16.x's utf8
+    # splitter mis-scans buffers shrunk by multibyte regex replacement,
+    # emitting tokens with stale trailing spaces (hypothesis-found; see
+    # tests/test_tokenizer_parity.py).
+    toks = pc.ascii_split_whitespace(norm)
     flat = pc.list_flatten(toks)
     if len(flat) == 0:
         return empty
@@ -150,12 +156,17 @@ def _batch_term_counts(
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = denc.dictionary.to_pylist()
 
-    # vocabulary-level stopword filter + stem, then re-encode to stem codes
+    # vocabulary-level stopword filter + stem, then re-encode to stem codes.
+    # The " " guard works around a pyarrow 16.x utf8_split_whitespace bug:
+    # on buffers produced by replace_substring_regex over multibyte input it
+    # can emit a stale space-containing token (hypothesis-found, see
+    # tests/test_tokenizer_parity.py); post-P2 tokens are [a-z0-9]+ so any
+    # space-bearing vocab entry is corrupt and must be dropped.
     stems: list[str] = []
     stem_code: dict[str, int] = {}
     code_map = np.empty(len(vocab), dtype=np.int64)
     for i, w in enumerate(vocab):
-        if not w or w in STOPWORDS:
+        if not w or " " in w or w in STOPWORDS:
             code_map[i] = -1
             continue
         s = porter_stem(w) if do_stem else w
