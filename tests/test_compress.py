@@ -93,3 +93,44 @@ def test_compression_wins_on_real_data(spark):
     raw_b = m["sum(bytes_uncompressed)"]
     assert comp_b < raw_b / 5, (comp_b, raw_b)
     assert comp_b / m["sum(df_chunk)"] < 8  # < 8 bytes per posting
+
+
+def test_save_load_compressed_roundtrip(spark, tmp_path):
+    from themis_search_engine_spark.corpus import load_documents
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.indexing.compress import (
+        build_postings_compressed,
+        decode_postings,
+        load_compressed,
+        save_compressed,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    idx = build_index(docs, stem=False)
+    comp = build_postings_compressed(idx.counts, idx.doc_stats, idx.avgdl)
+    save_compressed(comp, str(tmp_path / "comp"), term_buckets=8)
+    comp2 = load_compressed(spark, str(tmp_path / "comp"))
+
+    a = sorted(
+        (r["term"], r["doc_id"], round(r["tf"], 9))
+        for r in decode_postings(comp).collect()
+    )
+    b = sorted(
+        (r["term"], r["doc_id"], round(r["tf"], 9))
+        for r in decode_postings(comp2).collect()
+    )
+    assert a == b and len(a) > 0
+
+    # WAND over the RELOADED chunks matches WAND over in-memory chunks
+    from themis_search_engine_spark.queryeng import qterms_df
+    from themis_search_engine_spark.queryeng.wand import wand_topk
+
+    qt = qterms_df(spark, {1: "spark shuffle join", 2: "merge sort"},
+                   stem=False)
+    ra = sorted(map(tuple, wand_topk(qt, comp, idx.dictionary, idx.avgdl,
+                                     k=5).collect()))
+    rb = sorted(map(tuple, wand_topk(qt, comp2, idx.dictionary, idx.avgdl,
+                                     k=5).collect()))
+    assert ra == rb

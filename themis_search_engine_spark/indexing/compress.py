@@ -218,6 +218,27 @@ def decode_postings(
     return compressed.mapInPandas(gen, DECODED_SCHEMA)
 
 
+def save_compressed(
+    compressed: DataFrame, path: str, *, term_buckets: int = 64
+) -> None:
+    """Persist compressed chunks bucketed+clustered by term hash: the
+    serving layout for query-time WAND. Salting is unnecessary here —
+    chunking already split head terms into bounded (term, chunk) groups,
+    so the repartition keys are well distributed."""
+    (
+        compressed.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+        )
+        .repartition(term_buckets, "bucket")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_compressed(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("bucket")
+
+
 def compression_metrics(compressed: DataFrame) -> DataFrame:
     """Per-chunk physical metrics — feeds the build_metrics table.
     bytes_uncompressed is the reference's 56-B/posting record

@@ -198,7 +198,9 @@ SELECT doc_id,
        round(CASE WHEN len(toks) > 0
              THEN list_aggregate(list_transform(toks, t -> length(t)), 'sum')
                   * 1.0 / len(toks)
-             ELSE 0.0 END, 6) AS mean_token_len
+             ELSE 0.0 END, 6) AS mean_token_len,
+       len(regexp_extract_all(text,
+           '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+'))::BIGINT AS n_subwords
 FROM tokarr"""
 
 

@@ -28,13 +28,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# BPE-ish pre-tokenization (RE2-safe, no lookahead — portable to the
+# DuckDB oracle): letter runs, single digits, runs of other non-space.
+# Approximates how byte-pair pre-tokenizers segment before merges; the
+# unit count is the budget-estimation signal for training pipelines.
+BPE_UNIT_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
+
+
 def token_stats(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, n_tokens, n_chars, n_distinct, mean_token_len).
+    """(doc_id, n_tokens, n_chars, n_distinct, mean_token_len, n_subwords).
 
     Whitespace tokenization after P2 normalization; distinct count via
-    array_distinct (in-row, no shuffle — NOT a groupBy count-distinct).
+    array_distinct (in-row, no shuffle — NOT a groupBy count-distinct);
+    n_subwords = BPE-ish pre-token unit count over the RAW text.
     """
     toks = _tok_array(F.col(text_col))
     return docs.select(
@@ -49,6 +57,8 @@ def token_stats(
                    / F.size(toks)).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_token_len"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_UNIT_RE), 0))
+        .cast("long").alias("n_subwords"),
     )
 
 
