@@ -413,6 +413,50 @@ def sql_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
 # --- multimodal -------------------------------------------------------------
 
 
+def sql_frame_sample(k: int = 3) -> str:
+    """Mirrors frame_sample over attach_fake_blobs: frame j is the 4-byte
+    window at offset (j*4) % 13 of the 16-byte md5 blob → 8 hex chars at
+    2*off+1 in md5(text)."""
+    frames = ", ".join(
+        f"({j}, lower(substr(md5(text), {2 * ((j * 4) % 13) + 1}, 8)))"
+        for j in range(k)
+    )
+    return f"""SELECT d.doc_id, f.frame_idx::BIGINT AS frame_idx, f.frame_sig
+FROM documents d,
+LATERAL (SELECT * FROM (VALUES {frames}) v(frame_idx, frame_sig)) f"""
+
+
+def sql_media_ann_topk(k: int = 3, every_m: int = 50, dim: int = 8) -> str:
+    """Cosine top-k over the deterministic media feature vectors
+    (media_feature_vectors): dim i = uint16 at md5 hex [4i+1..4i+4] /
+    65536, computed in float32 then summed as double on both engines."""
+    feat = ", ".join(
+        f"(('0x' || substr(md5(text), {4 * i + 1}, 4))::BIGINT "
+        f"/ 65536.0)::FLOAT" for i in range(dim)
+    )
+    return f"""WITH feats AS (
+  SELECT doc_id, [{feat}] AS embedding FROM documents
+),
+scored AS (
+  SELECT b.doc_id AS query_id, a.doc_id AS vec_id,
+         list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                   for i in range(1, {dim + 1})])
+         / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                           for i in range(1, {dim + 1})]))
+            * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                             for i in range(1, {dim + 1})]))) AS cosine
+  FROM feats a, feats b WHERE b.doc_id % {every_m} = 0
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_media_meta() -> str:
     """Mirrors decode_media_meta's fake-codec header parse on md5 hex."""
     return """SELECT doc_id,

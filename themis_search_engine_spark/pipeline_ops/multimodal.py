@@ -113,3 +113,71 @@ def media_meta_pipeline(
     """docs → blobs → decoded metadata, the end-to-end multimodal lane."""
     return decode_media_meta(attach_fake_blobs(docs, text_col=text_col,
                                                id_col=id_col))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_sig", StringType(), False),
+    ]
+)
+
+
+def frame_sample(blobs: DataFrame, k: int = 3) -> DataFrame:
+    """'Video' frame sampling plumbing: emit k deterministic frames per
+    blob. A real sampler (pyav) decodes at timestamps; the stub derives
+    frame signatures from byte windows of the blob — per-blob fan-out,
+    Arrow-batched, one row per (doc, frame). frame_sig is a hex digest so
+    the lane is engine-portable (DuckDB oracle mirrors the window math).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(media)
+                for j in range(k):
+                    # frame j = 4-byte window starting at j*4 (wraps via mod)
+                    off = (j * 4) % max(len(b) - 3, 1)
+                    rows.append((int(doc_id), j, b[off:off + 4].hex()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_sig"]
+            )
+
+    return blobs.select("doc_id", "media").mapInPandas(gen, FRAME_SCHEMA)
+
+
+def media_feature_vectors(
+    blobs: DataFrame, dim: int = 8
+) -> DataFrame:
+    """(doc_id, embedding array<float>) — deterministic pseudo-features
+    from blob bytes (byte pairs scaled to [0,1)); the integration point
+    for a real encoder. Output schema matches the ANN operators
+    (simsearch.cosine_topk / ivf_topk), closing the multimodal → ANN lane.
+    """
+    assert dim <= 8, "fake blobs carry 16 bytes -> at most 8 byte-pair dims"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mats = []
+            for media in pdf["media"]:
+                b = np.frombuffer(bytes(media)[: 2 * dim], dtype=np.uint8)
+                mats.append((b[0::2].astype(np.float32) * 256
+                             + b[1::2]) / 65536.0)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "embedding": [m.tolist() for m in mats]}
+            )
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+    return blobs.select("doc_id", "media").mapInPandas(gen, schema)

@@ -150,6 +150,31 @@ def q_media_meta(spark, sf_dir):
     return media_meta_pipeline(_docs(spark, sf_dir))
 
 
+def q_frame_sample(spark, sf_dir):
+    from .pipeline_ops.multimodal import attach_fake_blobs, frame_sample
+
+    _ship_package(spark)
+    return frame_sample(attach_fake_blobs(_docs(spark, sf_dir)), k=3)
+
+
+def q_media_ann_topk(spark, sf_dir):
+    from .pipeline_ops.multimodal import (
+        attach_fake_blobs,
+        media_feature_vectors,
+    )
+
+    _ship_package(spark)
+    feats = media_feature_vectors(attach_fake_blobs(_docs(spark, sf_dir)))
+    feats = feats.withColumnRenamed("doc_id", "vec_id")
+    queries = feats.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(feats, queries, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "dedup_jaccard": q_dedup_jaccard,
@@ -167,6 +192,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
+    "frame_sample": q_frame_sample,
+    "media_ann_topk": q_media_ann_topk,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -186,4 +213,6 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
+    "frame_sample": osqlo.sql_frame_sample(3),
+    "media_ann_topk": osqlo.sql_media_ann_topk(3, 50, 8),
 }
