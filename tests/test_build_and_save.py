@@ -32,3 +32,71 @@ def test_build_and_save_equals_logical_build(spark, tmp_path):
     sa = sorted((r["doc_id"], r["length"]) for r in idx_d.doc_stats.collect())
     sb = sorted((r["doc_id"], r["length"]) for r in idx_m.doc_stats.collect())
     assert sa == sb
+
+
+def test_build_and_save_serving_equals_logical_build(spark, tmp_path):
+    """Serving build (raw sorted shuffle + observe + shuffle-free compress)
+    produces the same logical tables AND the same compressed chunks as the
+    reference in-memory path; WAND over them matches naive BM25."""
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.indexing.compress import (
+        build_postings_compressed,
+        decode_postings,
+    )
+    from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+    from themis_search_engine_spark.queryeng.wand import wand_topk
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    sv = build_and_save_serving(docs, str(tmp_path / "sv"), stem=True)
+    idx_m = build_index(docs, stem=True)
+
+    assert sv.n_docs == idx_m.n_docs
+    assert sv.avgdl == pytest.approx(idx_m.avgdl)
+    assert sv.n_postings == idx_m.postings_flat.count()
+
+    a = sorted(
+        (r["term"], r["doc_id"], round(r["tf"], 9), r["length"])
+        for r in sv.postings_flat.collect()
+    )
+    b = sorted(
+        (r["term"], r["doc_id"], round(r["tf"], 9), r["length"])
+        for r in idx_m.postings_flat.collect()
+    )
+    assert a == b
+    da = sorted((r["term"], r["df"]) for r in sv.dictionary.collect())
+    db = sorted((r["term"], r["df"]) for r in idx_m.dictionary.collect())
+    assert da == db
+    sa = sorted((r["doc_id"], r["length"]) for r in sv.doc_stats.collect())
+    sb = sorted((r["doc_id"], r["length"]) for r in idx_m.doc_stats.collect())
+    assert sa == sb
+
+    # compressed chunks decode to the identical postings
+    ref = build_postings_compressed(idx_m.counts, idx_m.doc_stats, idx_m.avgdl)
+    ca = sorted(
+        (r["term"], r["doc_id"], round(r["tf"], 9))
+        for r in decode_postings(sv.compressed).collect()
+    )
+    cb = sorted(
+        (r["term"], r["doc_id"], round(r["tf"], 9))
+        for r in decode_postings(ref).collect()
+    )
+    assert ca == cb and len(ca) > 0
+
+    # reload round-trip + rank identity: WAND (batch plan) vs naive BM25
+    sv2 = load_serving_index(spark, str(tmp_path / "sv"))
+    qt = qterms_df(spark, {1: "spark shuffle join", 2: "merge sort window"},
+                   stem=True)
+    naive = sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(qt, sv2.postings_flat, sv2.dictionary,
+                           sv2.doc_stats, sv2.avgdl, k=5).collect()
+    )
+    wand = sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(qt, sv2.compressed, sv2.dictionary, sv2.avgdl,
+                           k=5, prune=False).collect()
+    )
+    assert naive == wand and len(naive) > 0

@@ -78,6 +78,55 @@ def test_block_max_bounds(spark, idx):
         assert sorted(doc_ids) == list(doc_ids)  # chunk is doc-sorted
 
 
+def test_sorted_compressor_identical_chunks(spark, idx):
+    """The streaming sorted-partition compressor must emit byte-identical
+    chunk rows to the groupBy/applyInPandas reference path."""
+    from themis_search_engine_spark.indexing.compress import (
+        build_postings_compressed_sorted,
+    )
+
+    ref = build_postings_compressed(idx.counts, idx.doc_stats, idx.avgdl)
+    fast = build_postings_compressed_sorted(idx.counts, idx.doc_stats, idx.avgdl)
+
+    def key(rows):
+        return {
+            (r["term"], r["chunk"]): (
+                r["df_chunk"], bytes(r["doc_bytes"]), bytes(r["cnt_bytes"]),
+                bytes(r["mc_bytes"]), bytes(r["dl_bytes"]),
+                round(r["core_min"], 12), round(r["core_max"], 12),
+                tuple(round(x, 12) for x in r["block_max"]),
+            )
+            for r in rows
+        }
+
+    a, b = key(ref.collect()), key(fast.collect())
+    assert a == b and len(a) > 0
+
+
+def test_sorted_compressor_batch_boundaries(spark, tiny_docs_df):
+    """Groups spanning Arrow batches must be carried correctly: force 1-row
+    batches so EVERY multi-posting group crosses a batch boundary."""
+    from themis_search_engine_spark.indexing.compress import (
+        build_postings_compressed_sorted,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        idx2 = build_index(tiny_docs_df, stem=True)
+        ref = build_postings_compressed(idx2.counts, idx2.doc_stats, idx2.avgdl)
+        fast = build_postings_compressed_sorted(
+            idx2.counts, idx2.doc_stats, idx2.avgdl
+        )
+        a = {(r["term"], r["chunk"]): bytes(r["doc_bytes"])
+             for r in ref.collect()}
+        b = {(r["term"], r["chunk"]): bytes(r["doc_bytes"])
+             for r in fast.collect()}
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_compression_wins_on_real_data(spark):
     """On sf0.001 the varbyte chunks must be well under the reference's
     56 B/posting record format."""

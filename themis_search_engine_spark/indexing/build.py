@@ -279,6 +279,152 @@ def build_and_save(
     return load_index(spark, path)
 
 
+def build_and_save_serving(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stem: bool = True,
+    chunk_bits: int | None = None,
+    timings: dict | None = None,
+) -> "ServingIndex":
+    """The north-rule serving build: tokenize → ONE salted/sorted term-chunk
+    shuffle → raw postings on disk → shuffle-FREE compression pass → the
+    delta+varbyte block-max chunks WAND serves, plus the derived tables.
+
+    Physical plan (the Spark re-expression of SPIMI partial dump + fastmerge
+    + posting serialization, Indexer.java:447-902 / Index.java:209-228):
+
+      action 1  raw postings: repartition(term, chunk) — head-term skew is
+                bounded because ``chunk = doc_id >> chunk_bits`` splits any
+                term across doc-range chunks — sortWithinPartitions, write.
+                An attached Observation aggregates Σcnt (= Σ doc lengths)
+                DURING the write, so avgdl needs no extra pass.
+      action 2  compression: read the raw files back (each shuffle task
+                wrote whole groups → contiguity preserved; no shuffle) and
+                stream-compress via compress_presorted.
+      then      dictionary from the compressed chunks (Σ df_chunk per term:
+                a scan of two tiny columns), doc_stats from the raw table,
+                global_stats from the observed metrics.
+
+    The raw table doubles as postings_flat for the naive/oracle BM25 path
+    (tf = cnt/maxcnt recomputed on read — identical IEEE division), so
+    nothing is stored twice.
+    """
+    import time as _time
+
+    from pyspark.sql import Observation
+
+    from .compress import DEFAULT_CHUNK_BITS, compress_presorted
+
+    cb = DEFAULT_CHUNK_BITS if chunk_bits is None else chunk_bits
+    t = timings if timings is not None else {}
+    spark = docs.sparkSession
+
+    t0 = _time.perf_counter()
+    counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
+    obs = Observation("build_stats")
+    raw = (
+        counts.withColumn(
+            "chunk", (F.col("doc_id") / F.lit(1 << cb)).cast("int")
+        )
+        .select("term", "chunk", "doc_id", "cnt", "maxcnt", "length")
+        .repartition("term", "chunk")
+        .sortWithinPartitions("term", "chunk", "doc_id")
+        .observe(
+            obs,
+            F.sum("cnt").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
+    )
+    raw.write.mode("overwrite").parquet(f"{path}/postings_raw")
+    t["postings_write"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    n_docs = docs.count()  # parquet count(*) → metadata-only for file sources
+    total_tokens = float(obs.get["total_tokens"] or 0.0)
+    n_postings = int(obs.get["n_postings"])
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    global_stats = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    )
+    global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
+    t["global_stats"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    raw_r = spark.read.parquet(f"{path}/postings_raw")
+    compress_presorted(raw_r, avgdl, chunk_bits=cb).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings_comp")
+    t["compress"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    comp = spark.read.parquet(f"{path}/postings_comp")
+    dictionary = (
+        comp.groupBy("term")
+        .agg(F.sum("df_chunk").alias("df"))
+        .withColumn(
+            "idf",
+            F.log2(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    t["dictionary"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    per_doc = raw_r.groupBy("doc_id").agg(
+        F.first("length").alias("length"), F.max("cnt").alias("maxcnt")
+    )
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .fillna({"length": 0, "maxcnt": 0.0})
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    t["doc_stats"] = _time.perf_counter() - t0
+
+    idx = load_serving_index(spark, path)
+    idx.n_postings = n_postings
+    return idx
+
+
+@dataclass
+class ServingIndex:
+    """InvertedIndex tables + the compressed chunk table WAND serves."""
+
+    index: InvertedIndex
+    compressed: DataFrame
+    n_postings: int = -1
+
+    def __getattr__(self, name):  # delegate table access to the index
+        return getattr(self.index, name)
+
+
+def load_serving_index(spark: SparkSession, path: str) -> ServingIndex:
+    raw = spark.read.parquet(f"{path}/postings_raw")
+    postings_flat = raw.select(
+        "term", "doc_id", (F.col("cnt") / F.col("maxcnt")).alias("tf"), "length"
+    )
+    dictionary = spark.read.parquet(f"{path}/dictionary")
+    doc_stats = spark.read.parquet(f"{path}/doc_stats")
+    global_stats = spark.read.parquet(f"{path}/global_stats")
+    row = global_stats.collect()[0]
+    idx = InvertedIndex(
+        counts=raw,
+        postings_flat=postings_flat,
+        dictionary=dictionary,
+        doc_stats=doc_stats,
+        global_stats=global_stats,
+        n_docs=int(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+    )
+    compressed = spark.read.parquet(f"{path}/postings_comp")
+    return ServingIndex(index=idx, compressed=compressed)
+
+
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     postings = spark.read.parquet(f"{path}/postings_flat").drop("bucket")
     dictionary = spark.read.parquet(f"{path}/dictionary")

@@ -50,12 +50,15 @@ BLOCK = 128
 # --- numpy varbyte codec ----------------------------------------------------
 
 
-def vb_encode(values: np.ndarray) -> bytes:
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Varbyte-encode a uint64 array: little-endian 7-bit groups, MSB set on
-    continuation bytes. Fully vectorized (one pass per byte position)."""
+    continuation bytes. Fully vectorized (one pass per byte position).
+    Also returns the per-value byte lengths, so a caller that encoded many
+    concatenated posting lists in ONE call can slice the buffer back apart
+    by cumulative offsets (see :func:`compress_sorted_partitions`)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(v.shape, dtype=np.int64)
     for kpow in range(1, 10):
         nb += (v >= np.uint64(1) << np.uint64(7 * kpow)).astype(np.int64)
@@ -66,7 +69,11 @@ def vb_encode(values: np.ndarray) -> bytes:
         byte = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nb[sel] > j + 1).astype(np.uint8) << 7
         out[starts[sel] + j] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    return vb_encode_with_lengths(values)[0]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
@@ -167,6 +174,155 @@ def build_postings_compressed(
     return joined.groupBy("term", "chunk").applyInPandas(
         compress_group, POSTING_CHUNK_SCHEMA
     )
+
+
+def _compress_many(pdf: pd.DataFrame, chunk_bits: int, avgdl: float) -> pd.DataFrame:
+    """Compress ALL complete (term, chunk) groups of a sorted frame at once.
+
+    Input rows MUST be sorted by (term, chunk, doc_id). Every varbyte stream
+    for the whole frame is encoded in ONE vectorized call, then sliced back
+    per group by cumulative byte offsets — the per-group Python work is two
+    buffer slices per column, not an encode. Group min/max/block-max come
+    from reduceat over group/block start indices.
+    """
+    n = len(pdf)
+    term_codes, _ = pd.factorize(pdf["term"], sort=False)
+    chunks = pdf["chunk"].to_numpy(dtype=np.int64)
+    gkey = term_codes.astype(np.int64) * (np.int64(chunks.max()) + 1) + chunks
+    gstart = np.concatenate([[0], np.nonzero(np.diff(gkey))[0] + 1])
+    gend = np.concatenate([gstart[1:], [n]])
+    glen = gend - gstart
+
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    bases = chunks[gstart].astype(np.int64) << chunk_bits
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = np.diff(doc_ids)
+    deltas[gstart] = doc_ids[gstart] - bases
+    cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+    mc = pdf["maxcnt"].to_numpy(dtype=np.int64)
+    dl = pdf["length"].to_numpy(dtype=np.int64)
+    tf = cnt.astype(np.float64) / mc.astype(np.float64)
+    core = bm25_core(tf, dl.astype(np.float64), avgdl)
+
+    cols = {}
+    for name, arr in (
+        ("doc_bytes", deltas.astype(np.uint64)),
+        ("cnt_bytes", cnt.astype(np.uint64)),
+        ("mc_bytes", mc.astype(np.uint64)),
+        ("dl_bytes", dl.astype(np.uint64)),
+    ):
+        buf, nb = vb_encode_with_lengths(arr)
+        boff = np.concatenate([[0], np.cumsum(nb)])
+        s, e = boff[gstart], boff[gend]
+        cols[name] = [buf[s[i]:e[i]] for i in range(len(gstart))]
+
+    core_min = np.minimum.reduceat(core, gstart)
+    core_max = np.maximum.reduceat(core, gstart)
+    # per-group 128-posting block maxima, one global reduceat
+    nblocks = (glen + BLOCK - 1) // BLOCK
+    bcum = np.concatenate([[0], np.cumsum(nblocks)])
+    gob = np.repeat(np.arange(len(gstart)), nblocks)  # group of each block
+    within = (np.arange(bcum[-1]) - bcum[gob]) * BLOCK
+    bstarts = gstart[gob] + within
+    bmax_flat = np.maximum.reduceat(core, bstarts) if len(bstarts) else np.empty(0)
+    block_max = [
+        bmax_flat[bcum[i]:bcum[i + 1]].tolist() for i in range(len(gstart))
+    ]
+
+    return pd.DataFrame(
+        {
+            "term": pdf["term"].to_numpy()[gstart],
+            "chunk": chunks[gstart].astype(np.int32),
+            "df_chunk": glen.astype(np.int64),
+            "doc_bytes": cols["doc_bytes"],
+            "cnt_bytes": cols["cnt_bytes"],
+            "mc_bytes": cols["mc_bytes"],
+            "dl_bytes": cols["dl_bytes"],
+            "core_min": core_min,
+            "core_max": core_max,
+            "block_max": block_max,
+        }
+    )
+
+
+def build_postings_compressed_sorted(
+    counts: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    *,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+) -> DataFrame:
+    """Scale-path compressor: same output as :func:`build_postings_compressed`
+    (equality-tested), different physical plan.
+
+    groupBy().applyInPandas pays one Python call + one pandas frame per
+    (term, chunk) group — at ~10^5 groups/bench (and ~10^9 at web scale) the
+    per-group overhead dominates the actual encoding (measured 90 s vs 13 s
+    for the rest of the build). Here the shuffle is an explicit
+    repartition(term, chunk) + sortWithinPartitions, and a mapInPandas
+    stream compresses whole Arrow batches of groups at once
+    (:func:`_compress_many`), carrying the possibly-split last group across
+    batch boundaries. Memory is bounded by one (term, chunk) group
+    (≤ 2^chunk_bits postings) plus one Arrow batch.
+    """
+    if {"maxcnt", "length"}.issubset(set(counts.columns)):
+        joined = counts
+    else:
+        joined = counts.join(
+            doc_stats.select("doc_id", "maxcnt", "length"), "doc_id"
+        )
+    chunk_size = 1 << chunk_bits
+    joined = joined.withColumn(
+        "chunk", (F.col("doc_id") / F.lit(chunk_size)).cast("int")
+    ).select("term", "chunk", "doc_id", "cnt", "maxcnt", "length")
+    return compress_presorted(
+        joined.repartition("term", "chunk")
+        .sortWithinPartitions("term", "chunk", "doc_id"),
+        avgdl,
+        chunk_bits=chunk_bits,
+    )
+
+
+def compress_presorted(
+    raw: DataFrame, avgdl: float, *, chunk_bits: int = DEFAULT_CHUNK_BITS
+) -> DataFrame:
+    """Compress a raw postings frame whose partitions hold (term, chunk)
+    groups contiguously, each group doc_id-sorted — e.g. the output of
+    ``repartition(term, chunk).sortWithinPartitions(...)``, or a re-read of
+    files written that way (each shuffle task's file holds whole groups, so
+    concatenating files into read partitions preserves contiguity).
+
+    Split tolerance: if a storage layer DOES split one group across two
+    partitions (a file larger than maxPartitionBytes gets divided), the
+    result is two fragment rows for that (term, chunk) — each is a valid
+    chunk (deltas are base-relative), and every consumer (wand scorer,
+    decode_postings, compression_metrics, dictionary aggregation) treats
+    fragments additively, so results remain exact; only the layout is
+    marginally less compact.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            # hold back the final (term, chunk) group — it may continue in
+            # the next batch of this partition
+            last_term = pdf["term"].iloc[-1]
+            last_chunk = pdf["chunk"].iloc[-1]
+            tail = (pdf["term"] == last_term) & (pdf["chunk"] == last_chunk)
+            split = int(len(pdf) - tail.to_numpy()[::-1].argmin()) if not tail.all() else 0
+            head, pending = pdf.iloc[:split], pdf.iloc[split:].copy()
+            if len(head):
+                yield _compress_many(head, chunk_bits, avgdl)
+        if pending is not None and len(pending):
+            yield _compress_many(pending, chunk_bits, avgdl)
+
+    return raw.select(
+        "term", "chunk", "doc_id", "cnt", "maxcnt", "length"
+    ).mapInPandas(gen, POSTING_CHUNK_SCHEMA)
 
 
 def decode_chunk_row(

@@ -46,6 +46,7 @@ def bm25_score_all(
     dictionary: DataFrame,
     doc_stats: DataFrame,
     avgdl: float,
+    term_list: list[str] | None = None,
 ) -> DataFrame:
     """(qid, doc_id, score) for every candidate doc of every query —
     one distributed job for the whole query batch.
@@ -63,10 +64,14 @@ def bm25_score_all(
     writes one), the per-doc doc_stats join — the only wide shuffle in
     this plan — is skipped entirely.
     """
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
     pruned = postings_flat
     if 0 < len(terms) <= MAX_PRUNE_LITERALS:
-        pruned = postings_flat.where(F.col("term").isin(terms))
+        pruned = postings_flat.where(F.col("term").isin(list(terms)))
     q = F.broadcast(qterms.join(dictionary.select("term", "idf"), "term"))
     joined = pruned.join(q, "term")
     if "length" not in postings_flat.columns:
@@ -123,7 +128,11 @@ def bm25_topk(
     doc_stats: DataFrame,
     avgdl: float,
     k: int = 10,
+    term_list: list[str] | None = None,
 ) -> DataFrame:
     return topk(
-        bm25_score_all(qterms, postings_flat, dictionary, doc_stats, avgdl), k
+        bm25_score_all(
+            qterms, postings_flat, dictionary, doc_stats, avgdl, term_list
+        ),
+        k,
     )

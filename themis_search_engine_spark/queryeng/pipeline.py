@@ -38,6 +38,15 @@ def parse_queries(
     return rows
 
 
+def query_term_list(
+    queries: dict[int, str] | list[str], *, stem: bool = True
+) -> list[str]:
+    """The batch's distinct processed terms, driver-side — pass as
+    ``term_list`` to bm25/wand so the scan-pushdown IN-list needs no
+    distinct+collect job over qterms."""
+    return sorted({t for _, t, _, _ in parse_queries(queries, stem=stem)})
+
+
 def qterms_df(
     spark: SparkSession, queries: dict[int, str] | list[str], *, stem: bool = True
 ) -> DataFrame:

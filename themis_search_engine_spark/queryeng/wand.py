@@ -15,6 +15,15 @@ doesn't map onto a cluster, so this is the distributed adaptation:
           possible doc can't reach the current top-k are never decoded) →
           union with phase 1, global top-k.
 
+Planner note (measured, BENCH_SCALING.json): the pruned path is the
+LATENCY plan — a single query over a big corpus decodes only the chunks
+that can reach the top-k. For BATCH throughput (hundreds of queries in one
+job) ``prune=False`` is the better physical plan: the probe→θ→rest chain
+costs three extra synchronization barriers per job, and with a whole batch
+in flight the chunk-scoring work is already dense, so barrier elimination
+beats chunk skipping (4→16-core scaling efficiency 0.62 pruned vs 0.80
+unpruned on the 1.2M-doc workload, with 24% higher absolute q/s).
+
 Exact chunk scoring is applyInPandas per (qid, chunk): varbyte-decode each
 term's slice, accumulate into a dense per-offset float64 array (chunks are
 doc-range aligned across terms, so accumulation is O(postings) numpy
@@ -99,25 +108,35 @@ def wand_topk(
     chunk_bits: int = DEFAULT_CHUNK_BITS,
     probe_chunks: int = 2,
     prune: bool = True,
+    term_list: list[str] | None = None,
 ) -> DataFrame:
-    """(qid, doc_id, score, rank) — top-k per query over compressed chunks."""
+    """(qid, doc_id, score, rank) — top-k per query over compressed chunks.
+
+    ``term_list``: the batch's distinct (already-stemmed) terms, if the
+    caller knows them driver-side (qterms_df callers always do) — saves the
+    collect job that would otherwise derive them.
+    """
     from .bm25 import MAX_PRUNE_LITERALS
 
     # plant the batch term set into the chunk scan (same pushdown as
     # bm25_score_all): parquet dictionary/row-group pruning on `term`
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
     if 0 < len(terms) <= MAX_PRUNE_LITERALS:
-        compressed = compressed.where(F.col("term").isin(terms))
+        compressed = compressed.where(F.col("term").isin(list(terms)))
     q = F.broadcast(qterms.select("qid", "term").join(
         dictionary.select("term", "idf"), "term"
     ))
     joined = compressed.join(q, "term")
-    joined = joined.localCheckpoint(eager=False)  # reused by both phases
 
     scorer = _chunk_scorer(k, avgdl, chunk_bits)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
 
     if not prune:
+        # batch plan: one scoring pass over all matched chunks, no barriers
         ranked = (
             joined.groupBy("qid", "chunk")
             .applyInPandas(scorer, _SCORED_SCHEMA)
@@ -125,6 +144,8 @@ def wand_topk(
             .where(F.col("rank") <= k)
         )
         return ranked
+
+    joined = joined.localCheckpoint(eager=False)  # reused by both phases
 
     # phase 0: chunk upper bounds from metadata only
     ub = joined.groupBy("qid", "chunk").agg(

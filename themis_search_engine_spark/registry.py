@@ -174,6 +174,23 @@ def q_bm25_topk_wand(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+def q_bm25_topk_wand_batch(spark, sf_dir):
+    """WAND batch plan (prune=False: one chunk-scoring pass, no probe/θ
+    barriers) over chunks from the streaming sorted-partition compressor
+    (compress.build_postings_compressed_sorted) — the serving-path physical
+    plan of scripts/scaling_workload.py, against the same naive SQL oracle."""
+    from .indexing.compress import build_postings_compressed_sorted
+    from .queryeng.wand import wand_topk
+
+    idx = get_index(spark, sf_dir)
+    comp = build_postings_compressed_sorted(idx.counts, idx.doc_stats, idx.avgdl)
+    wide = wand_topk(
+        _qt(spark, stem=False), comp, idx.dictionary, idx.avgdl, k=30,
+        prune=False,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 # --- stemmed pipeline (rows-only driver check; oracle is pytest vs the
 # pure-Python scorer, since DuckDB has no stemmer in this sandbox) ----------
 
@@ -209,6 +226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_stemmed": q_bm25_topk_stemmed,
     "postings_roundtrip": q_postings_roundtrip,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_topk_wand_batch": q_bm25_topk_wand_batch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -227,6 +245,7 @@ ORACLE_SQL: dict[str, str] = {
     # (stemming not SQL-expressible here) → driver rows-only check.
     "postings_roundtrip": osql.sql_tf_maxnorm(),
     "bm25_topk_wand": osql.sql_bm25_topk(10),
+    "bm25_topk_wand_batch": osql.sql_bm25_topk(10),
 }
 
 
