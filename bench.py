@@ -4,12 +4,15 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Stages
   build_docs     index build over documents.parquet (stemmed Arrow path)
-  compress       delta+varbyte chunked postings build
+  compress       delta+varbyte chunked postings build (streaming sorted-
+                 partition compressor)
   bm25_batch     50-query batch BM25 top-10, naive DataFrame path
-  wand_batch     same workload over compressed chunks (block-max WAND)
-  build_synth    index build over the deterministic synthetic web-page
-                 corpus (~500k·sf docs) — the scaling-efficiency workload
-                 (BASELINE.md: same job at local[8] vs local[32])
+  wand_batch     same workload over compressed chunks (WAND batch plan:
+                 prune=False, one scoring pass; single-query latency below
+                 uses the pruned block-max plan)
+  build_synth    serving index build (raw postings + compression + derived
+                 tables) over the deterministic synthetic web-page corpus
+                 (~500k·sf docs) — the scaling-efficiency workload
 
 Extra JSON keys report derived throughputs (docs/sec, queries/sec) and the
 query-latency distribution; the driver's contract needs only
@@ -28,10 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from themis_search_engine_spark.corpus import load_documents, synth_pages
 from themis_search_engine_spark.indexing import build_index
 from themis_search_engine_spark.indexing.compress import (
-    build_postings_compressed,
+    build_postings_compressed_sorted,
     compression_metrics,
 )
-from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+from themis_search_engine_spark.queryeng import (
+    bm25_topk,
+    qterms_df,
+    query_term_list,
+)
 from themis_search_engine_spark.queryeng.wand import wand_topk
 from themis_search_engine_spark.queryset import reference_queries
 from themis_search_engine_spark.session import get_spark
@@ -64,9 +71,11 @@ def main() -> None:
     extra["docs_per_sec_build"] = n_docs / stages["build_docs"]
     extra["postings"] = n_postings
 
-    # --- compression --------------------------------------------------------
+    # --- compression (streaming sorted-partition compressor) ---------------
     t0 = time.perf_counter()
-    comp = build_postings_compressed(idx.counts, idx.doc_stats, idx.avgdl).cache()
+    comp = build_postings_compressed_sorted(
+        idx.counts, idx.doc_stats, idx.avgdl
+    ).cache()
     m = (
         compression_metrics(comp)
         .agg({"bytes_compressed": "sum", "df_chunk": "sum"})
@@ -81,17 +90,21 @@ def main() -> None:
     # --- batch query: naive DataFrame path ---------------------------------
     queries = reference_queries(50)
     qt = qterms_df(spark, queries, stem=True)
+    tl = query_term_list(queries, stem=True)
     t0 = time.perf_counter()
     rows = bm25_topk(
-        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=10
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+        k=10, term_list=tl,
     ).collect()
     stages["bm25_batch"] = time.perf_counter() - t0
     extra["queries_per_sec_naive"] = len(queries) / stages["bm25_batch"]
     extra["bm25_result_rows"] = len(rows)
 
-    # --- batch query: WAND over compressed ---------------------------------
+    # --- batch query: WAND batch plan over compressed ----------------------
     t0 = time.perf_counter()
-    rows_w = wand_topk(qt, comp, idx.dictionary, idx.avgdl, k=10).collect()
+    rows_w = wand_topk(
+        qt, comp, idx.dictionary, idx.avgdl, k=10, prune=False, term_list=tl
+    ).collect()
     stages["wand_batch"] = time.perf_counter() - t0
     extra["queries_per_sec_wand"] = len(queries) / stages["wand_batch"]
     extra["wand_result_rows"] = len(rows_w)
@@ -120,20 +133,25 @@ def main() -> None:
         synth_pages(spark, synth_docs, partitions=4 * cpus).write.mode(
             "overwrite"
         ).parquet(f"{tmp}/pages")
-        # non-negative hash ids: the assign_doc_ids global sort is a separate
-        # feature, not part of the throughput-critical build being measured
+        # dense ids parsed from the synthetic urls (assign_doc_ids is the
+        # general-corpus path, a one-time cost benched separately)
         corpus = (
             spark.read.parquet(f"{tmp}/pages")
-            .select(F.abs(F.xxhash64("url")).alias("doc_id"), "text")
+            .select(
+                F.regexp_extract("url", r"/p/(\d+)", 1)
+                .cast("long").alias("doc_id"),
+                "text",
+            )
         )
-        from themis_search_engine_spark.indexing.build import build_and_save
+        from themis_search_engine_spark.indexing.build import (
+            build_and_save_serving,
+        )
 
         t0 = time.perf_counter()
-        sidx = build_and_save(corpus, f"{tmp}/index", stem=True)
+        sidx = build_and_save_serving(corpus, f"{tmp}/index", stem=True)
         stages["build_synth"] = time.perf_counter() - t0
-        s_postings = sidx.postings_flat.count()
         extra["synth_docs"] = synth_docs
-        extra["synth_postings"] = s_postings
+        extra["synth_postings"] = sidx.n_postings
         extra["docs_per_sec_synth"] = synth_docs / stages["build_synth"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -92,6 +92,17 @@ def test_lineage_manifest_fields(spark, docs, tmp_path):
     assert snap["committed_batches"] == [0, 1]
     assert snap["n_docs"] == total_docs
 
+    # north-rule merge metrics: throughput + bytes compressed
+    mm = snap["merge_metrics"]
+    assert mm["n_postings"] > 0
+    assert mm["postings_per_sec"] > 0
+    assert 0 < mm["bytes_per_posting"] < 56  # beats the reference record
+    # and the compressed serving chunks decode back to the flat postings
+    from themis_search_engine_spark.indexing.compress import decode_postings
+
+    comp = spark.read.parquet(f"{out}/index/postings_comp")
+    assert decode_postings(comp).count() == mm["n_postings"]
+
 
 def test_fingerprint_mismatch_forces_rebuild(spark, docs, tmp_path):
     out = str(tmp_path / "fp")

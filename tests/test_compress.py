@@ -183,3 +183,43 @@ def test_save_load_compressed_roundtrip(spark, tmp_path):
     rb = sorted(map(tuple, wand_topk(qt, comp2, idx.dictionary, idx.avgdl,
                                      k=5).collect()))
     assert ra == rb
+
+
+def test_compress_files_equals_reference(spark, idx, tmp_path):
+    """The file-parallel pyarrow compressor (one task per raw file) must
+    produce the same chunk set as the groupBy reference path."""
+    from pyspark.sql import functions as F
+
+    from themis_search_engine_spark.indexing.compress import compress_files
+
+    raw = (
+        idx.counts.withColumn(
+            "chunk", (F.col("doc_id") / F.lit(1 << 16)).cast("int")
+        )
+        .select("term", "chunk", "doc_id", "cnt", "maxcnt", "length")
+        .repartition("term", "chunk")
+        .sortWithinPartitions("term", "chunk", "doc_id")
+    )
+    raw.write.mode("overwrite").parquet(str(tmp_path / "raw"))
+    metrics = compress_files(
+        spark, str(tmp_path / "raw"), str(tmp_path / "comp"), idx.avgdl
+    )
+    assert sum(m["postings"] for m in metrics) == idx.postings_flat.count()
+    assert all(m["seconds"] >= 0 for m in metrics)
+
+    fast = spark.read.parquet(str(tmp_path / "comp"))
+    ref = build_postings_compressed(idx.counts, idx.doc_stats, idx.avgdl)
+
+    def key(rows):
+        return {
+            (r["term"], r["chunk"]): (
+                r["df_chunk"], bytes(r["doc_bytes"]), bytes(r["cnt_bytes"]),
+                bytes(r["mc_bytes"]), bytes(r["dl_bytes"]),
+                round(r["core_min"], 12), round(r["core_max"], 12),
+                tuple(round(x, 12) for x in r["block_max"]),
+            )
+            for r in rows
+        }
+
+    a, b = key(ref.collect()), key(fast.collect())
+    assert a == b and len(a) > 0

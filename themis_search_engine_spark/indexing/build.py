@@ -299,14 +299,16 @@ def build_and_save_serving(
       action 1  raw postings: repartition(term, chunk) — head-term skew is
                 bounded because ``chunk = doc_id >> chunk_bits`` splits any
                 term across doc-range chunks — sortWithinPartitions, write.
-                An attached Observation aggregates Σcnt (= Σ doc lengths)
-                DURING the write, so avgdl needs no extra pass.
-      action 2  compression: read the raw files back (each shuffle task
-                wrote whole groups → contiguity preserved; no shuffle) and
-                stream-compress via compress_presorted.
-      then      dictionary from the compressed chunks (Σ df_chunk per term:
-                a scan of two tiny columns), doc_stats from the raw table,
-                global_stats from the observed metrics.
+      action 2  doc_stats + global stats from the raw table (two int
+                columns, column-pruned scan) — yields avgdl for the
+                block-max metadata before any chunk is encoded.
+      action 3  compression: one Spark task per raw file, each reading its
+                file directly with pyarrow and writing one compressed file
+                (compress_files — no shuffle, and the posting stream never
+                crosses the row-oriented JVM↔Python bridge).
+      then      dictionary from the compressed chunks: Σ df_chunk per term,
+                a scan of two tiny columns; n_postings from the per-file
+                compression metrics.
 
     The raw table doubles as postings_flat for the naive/oracle BM25 path
     (tf = cnt/maxcnt recomputed on read — identical IEEE division), so
@@ -314,9 +316,7 @@ def build_and_save_serving(
     """
     import time as _time
 
-    from pyspark.sql import Observation
-
-    from .compress import DEFAULT_CHUNK_BITS, compress_presorted
+    from .compress import DEFAULT_CHUNK_BITS, compress_files
 
     cb = DEFAULT_CHUNK_BITS if chunk_bits is None else chunk_bits
     t = timings if timings is not None else {}
@@ -324,7 +324,6 @@ def build_and_save_serving(
 
     t0 = _time.perf_counter()
     counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
-    obs = Observation("build_stats")
     raw = (
         counts.withColumn(
             "chunk", (F.col("doc_id") / F.lit(1 << cb)).cast("int")
@@ -332,31 +331,42 @@ def build_and_save_serving(
         .select("term", "chunk", "doc_id", "cnt", "maxcnt", "length")
         .repartition("term", "chunk")
         .sortWithinPartitions("term", "chunk", "doc_id")
-        .observe(
-            obs,
-            F.sum("cnt").alias("total_tokens"),
-            F.count(F.lit(1)).alias("n_postings"),
-        )
     )
     raw.write.mode("overwrite").parquet(f"{path}/postings_raw")
     t["postings_write"] = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
-    n_docs = docs.count()  # parquet count(*) → metadata-only for file sources
-    total_tokens = float(obs.get["total_tokens"] or 0.0)
-    n_postings = int(obs.get["n_postings"])
-    avgdl = total_tokens / n_docs if n_docs else 0.0
+    raw_r = spark.read.parquet(f"{path}/postings_raw")
+    per_doc = raw_r.groupBy("doc_id").agg(
+        F.first("length").alias("length"), F.max("cnt").alias("maxcnt")
+    )
+    stats = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .fillna({"length": 0, "maxcnt": 0.0})
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    gs_row = (
+        spark.read.parquet(f"{path}/doc_stats")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("length").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = int(gs_row["n_docs"]), float(gs_row["avgdl"] or 0.0)
     global_stats = spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
     )
     global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
-    t["global_stats"] = _time.perf_counter() - t0
+    t["doc_stats"] = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
-    raw_r = spark.read.parquet(f"{path}/postings_raw")
-    compress_presorted(raw_r, avgdl, chunk_bits=cb).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/postings_comp")
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{path}/postings_comp", ignore_errors=True)
+    cmetrics = compress_files(
+        spark, f"{path}/postings_raw", f"{path}/postings_comp", avgdl,
+        chunk_bits=cb,
+    )
+    n_postings = sum(m["postings"] for m in cmetrics)
     t["compress"] = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
@@ -373,18 +383,6 @@ def build_and_save_serving(
     )
     dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
     t["dictionary"] = _time.perf_counter() - t0
-
-    t0 = _time.perf_counter()
-    per_doc = raw_r.groupBy("doc_id").agg(
-        F.first("length").alias("length"), F.max("cnt").alias("maxcnt")
-    )
-    stats = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .fillna({"length": 0, "maxcnt": 0.0})
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    t["doc_stats"] = _time.perf_counter() - t0
 
     idx = load_serving_index(spark, path)
     idx.n_postings = n_postings

@@ -215,12 +215,15 @@ def build_resumable(
 def finalize(
     spark: SparkSession, out_path: str, *, term_buckets: int = 64
 ) -> InvertedIndex:
-    """Cross-batch merge: union committed batch counts → final four tables.
+    """Cross-batch merge: union committed batch counts → final four tables
+    PLUS the compressed serving chunks (delta+varbyte, block-max).
 
     This is the reference's fastmerge (Indexer.java:776-902) as ONE
     term-keyed aggregation — Spark's shuffle is the k-way merge. Also writes
-    the per-batch metrics table and the snapshot pointer.
+    the per-batch metrics table, a merge-phase manifest with the north
+    rule's throughput + bytes-compressed metrics, and the snapshot pointer.
     """
+    t_merge0 = time.perf_counter()
     snap = snapshot_status(out_path)
     batches = snap["committed_batches"]
     if not batches:
@@ -266,6 +269,32 @@ def finalize(
 
     save_index(idx, f"{out_path}/index", term_buckets=term_buckets)
 
+    # serving chunks: delta+varbyte + block-max via the streaming compressor
+    from .compress import build_postings_compressed_sorted, compression_metrics
+
+    comp = build_postings_compressed_sorted(counts, stats, avgdl)
+    comp.write.mode("overwrite").parquet(f"{out_path}/index/postings_comp")
+    cm = (
+        compression_metrics(spark.read.parquet(f"{out_path}/index/postings_comp"))
+        .agg(
+            F.sum("bytes_compressed").alias("bytes_compressed"),
+            F.sum("df_chunk").alias("postings"),
+        )
+        .collect()[0]
+    )
+    merge_wall = time.perf_counter() - t_merge0
+    merge_manifest = {
+        "wall_seconds": round(merge_wall, 4),
+        "n_postings": int(cm["postings"]),
+        "postings_per_sec": (
+            round(int(cm["postings"]) / merge_wall, 2) if merge_wall > 0 else None
+        ),
+        "bytes_compressed": int(cm["bytes_compressed"]),
+        "bytes_per_posting": round(
+            int(cm["bytes_compressed"]) / max(int(cm["postings"]), 1), 3
+        ),
+    }
+
     metrics_rows = []
     for i in batches:
         with open(_manifest_path(out_path, i)) as fh:
@@ -286,6 +315,7 @@ def finalize(
         "n_docs": n_docs,
         "avgdl": avgdl,
         "index_path": f"{out_path}/index",
+        "merge_metrics": merge_manifest,
     }
     tmp = f"{out_path}/snapshot.json.tmp"
     with open(tmp, "w") as fh:

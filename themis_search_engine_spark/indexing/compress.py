@@ -176,31 +176,33 @@ def build_postings_compressed(
     )
 
 
-def _compress_many(pdf: pd.DataFrame, chunk_bits: int, avgdl: float) -> pd.DataFrame:
-    """Compress ALL complete (term, chunk) groups of a sorted frame at once.
+def _encode_groups(
+    terms_out, chunks: np.ndarray, doc_ids: np.ndarray, cnt: np.ndarray,
+    mc: np.ndarray, dl: np.ndarray, gstart: np.ndarray,
+    chunk_bits: int, avgdl: float,
+):
+    """Compress ALL complete (term, chunk) groups of sorted flat arrays at
+    once → one pyarrow RecordBatch (one row per group).
 
-    Input rows MUST be sorted by (term, chunk, doc_id). Every varbyte stream
-    for the whole frame is encoded in ONE vectorized call, then sliced back
-    per group by cumulative byte offsets — the per-group Python work is two
-    buffer slices per column, not an encode. Group min/max/block-max come
-    from reduceat over group/block start indices.
+    Rows MUST be sorted so groups are contiguous and doc_id-sorted within.
+    Every varbyte stream for the whole frame is encoded in ONE vectorized
+    call, then sliced back per group by cumulative byte offsets — the
+    per-group Python work is two buffer slices per column, not an encode.
+    Group min/max/block-max come from reduceat over group/block starts.
+    ``terms_out`` is a pyarrow string array with ONE entry per group — term
+    strings for the 10^8-row input never materialize as Python objects.
     """
-    n = len(pdf)
-    term_codes, _ = pd.factorize(pdf["term"], sort=False)
-    chunks = pdf["chunk"].to_numpy(dtype=np.int64)
-    gkey = term_codes.astype(np.int64) * (np.int64(chunks.max()) + 1) + chunks
-    gstart = np.concatenate([[0], np.nonzero(np.diff(gkey))[0] + 1])
+    import pyarrow as pa
+
+    n = len(doc_ids)
+    gstart = np.asarray(gstart, dtype=np.int64)
     gend = np.concatenate([gstart[1:], [n]])
     glen = gend - gstart
 
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     bases = chunks[gstart].astype(np.int64) << chunk_bits
     deltas = np.empty(n, dtype=np.int64)
     deltas[1:] = np.diff(doc_ids)
     deltas[gstart] = doc_ids[gstart] - bases
-    cnt = pdf["cnt"].to_numpy(dtype=np.int64)
-    mc = pdf["maxcnt"].to_numpy(dtype=np.int64)
-    dl = pdf["length"].to_numpy(dtype=np.int64)
     tf = cnt.astype(np.float64) / mc.astype(np.float64)
     core = bm25_core(tf, dl.astype(np.float64), avgdl)
 
@@ -214,7 +216,9 @@ def _compress_many(pdf: pd.DataFrame, chunk_bits: int, avgdl: float) -> pd.DataF
         buf, nb = vb_encode_with_lengths(arr)
         boff = np.concatenate([[0], np.cumsum(nb)])
         s, e = boff[gstart], boff[gend]
-        cols[name] = [buf[s[i]:e[i]] for i in range(len(gstart))]
+        cols[name] = pa.array(
+            [buf[s[i]:e[i]] for i in range(len(gstart))], type=pa.binary()
+        )
 
     core_min = np.minimum.reduceat(core, gstart)
     core_max = np.maximum.reduceat(core, gstart)
@@ -224,24 +228,31 @@ def _compress_many(pdf: pd.DataFrame, chunk_bits: int, avgdl: float) -> pd.DataF
     gob = np.repeat(np.arange(len(gstart)), nblocks)  # group of each block
     within = (np.arange(bcum[-1]) - bcum[gob]) * BLOCK
     bstarts = gstart[gob] + within
-    bmax_flat = np.maximum.reduceat(core, bstarts) if len(bstarts) else np.empty(0)
-    block_max = [
-        bmax_flat[bcum[i]:bcum[i + 1]].tolist() for i in range(len(gstart))
-    ]
+    bmax_flat = (
+        np.maximum.reduceat(core, bstarts) if len(bstarts)
+        else np.empty(0, dtype=np.float64)
+    )
+    block_max = pa.ListArray.from_arrays(
+        pa.array(bcum, type=pa.int32()), pa.array(bmax_flat, type=pa.float64())
+    )
 
-    return pd.DataFrame(
-        {
-            "term": pdf["term"].to_numpy()[gstart],
-            "chunk": chunks[gstart].astype(np.int32),
-            "df_chunk": glen.astype(np.int64),
-            "doc_bytes": cols["doc_bytes"],
-            "cnt_bytes": cols["cnt_bytes"],
-            "mc_bytes": cols["mc_bytes"],
-            "dl_bytes": cols["dl_bytes"],
-            "core_min": core_min,
-            "core_max": core_max,
-            "block_max": block_max,
-        }
+    return pa.RecordBatch.from_arrays(
+        [
+            terms_out,
+            pa.array(chunks[gstart].astype(np.int32), type=pa.int32()),
+            pa.array(glen, type=pa.int64()),
+            cols["doc_bytes"],
+            cols["cnt_bytes"],
+            cols["mc_bytes"],
+            cols["dl_bytes"],
+            pa.array(core_min, type=pa.float64()),
+            pa.array(core_max, type=pa.float64()),
+            block_max,
+        ],
+        names=[
+            "term", "chunk", "df_chunk", "doc_bytes", "cnt_bytes",
+            "mc_bytes", "dl_bytes", "core_min", "core_max", "block_max",
+        ],
     )
 
 
@@ -299,30 +310,195 @@ def compress_presorted(
     decode_postings, compression_metrics, dictionary aggregation) treats
     fragments additively, so results remain exact; only the layout is
     marginally less compact.
-    """
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-            # hold back the final (term, chunk) group — it may continue in
-            # the next batch of this partition
-            last_term = pdf["term"].iloc[-1]
-            last_chunk = pdf["chunk"].iloc[-1]
-            tail = (pdf["term"] == last_term) & (pdf["chunk"] == last_chunk)
-            split = int(len(pdf) - tail.to_numpy()[::-1].argmin()) if not tail.all() else 0
-            head, pending = pdf.iloc[:split], pdf.iloc[split:].copy()
-            if len(head):
-                yield _compress_many(head, chunk_bits, avgdl)
-        if pending is not None and len(pending):
-            yield _compress_many(pending, chunk_bits, avgdl)
+    Physical path is ``mapInArrow``: the hot input columns stay Arrow/numpy
+    end-to-end — a mapInPandas version materialized every row's term as a
+    Python string (10^8 objects per task at bench scale) and was 3×
+    slower. Per batch, group boundaries come from dictionary-encoded term
+    indices (sorted input ⇒ codes are monotone), whole batches of groups
+    encode in one vectorized pass, and only the possibly-incomplete LAST
+    group is carried to the next batch as plain numpy slices.
+    """
+    def gen(batches):
+        yield from _compress_batches(batches, chunk_bits, avgdl)
 
     return raw.select(
         "term", "chunk", "doc_id", "cnt", "maxcnt", "length"
-    ).mapInPandas(gen, POSTING_CHUNK_SCHEMA)
+    ).mapInArrow(gen, POSTING_CHUNK_SCHEMA)
+
+
+def _compress_batches(batches, chunk_bits: int, avgdl: float):
+    """Stream-compress an iterator of pyarrow RecordBatches (sorted, group-
+    contiguous — see :func:`compress_presorted`) into chunk-row batches.
+    Shared by the mapInArrow path and the file-parallel path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pend: dict | None = None  # carried last group (numpy arrays + key)
+
+    def np_cols(rb: "pa.RecordBatch") -> dict:
+        return {
+            name: rb.column(name).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            for name in ("chunk", "doc_id", "cnt", "maxcnt", "length")
+        }
+
+    def flush(p: dict) -> "pa.RecordBatch":
+        return _encode_groups(
+            pa.array([p["term"]], type=pa.string()),
+            np.asarray([p["chunk_val"]] * len(p["doc_id"]), dtype=np.int64),
+            p["doc_id"], p["cnt"], p["maxcnt"], p["length"],
+            np.array([0], dtype=np.int64), chunk_bits, avgdl,
+        )
+
+    if True:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            term = rb.column("term")
+            cols = np_cols(rb)
+            codes = pc.dictionary_encode(term).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            newg = np.empty(n, dtype=bool)
+            newg[0] = True
+            np.logical_or(
+                codes[1:] != codes[:-1],
+                cols["chunk"][1:] != cols["chunk"][:-1],
+                out=newg[1:],
+            )
+            gstart = np.flatnonzero(newg)
+
+            first_term = term[0].as_py()
+            first_chunk = int(cols["chunk"][0])
+            if pend is not None:
+                if (pend["term"], pend["chunk_val"]) == (first_term, first_chunk):
+                    # batch continues the carried group: prepend its rows
+                    plen = len(pend["doc_id"])
+                    cols["chunk"] = np.concatenate(
+                        [pend["chunk_arr"], cols["chunk"]]
+                    )
+                    for k in ("doc_id", "cnt", "maxcnt", "length"):
+                        cols[k] = np.concatenate([pend[k], cols[k]])
+                    gstart = np.concatenate([[0], gstart[1:] + plen])
+                    n += plen
+                else:
+                    yield flush(pend)
+                pend = None
+
+            # hold back the final group (may continue in the next batch)
+            last_start = int(gstart[-1])
+            pend = {
+                "term": term[rb.num_rows - 1].as_py(),
+                "chunk_val": int(cols["chunk"][n - 1]),
+                "chunk_arr": cols["chunk"][last_start:],
+                "doc_id": cols["doc_id"][last_start:],
+                "cnt": cols["cnt"][last_start:],
+                "maxcnt": cols["maxcnt"][last_start:],
+                "length": cols["length"][last_start:],
+            }
+            if last_start == 0:
+                continue  # whole batch is one (possibly continuing) group
+            head_gstart = gstart[:-1]
+            # one output term string per group, taken from the arrow array
+            # (indices are batch-relative: subtract any prepended rows)
+            take_idx = head_gstart - (n - rb.num_rows)
+            take_idx[0] = max(int(take_idx[0]), 0)
+            terms_out = pc.take(term, pa.array(take_idx, type=pa.int64()))
+            yield _encode_groups(
+                terms_out, cols["chunk"][:last_start],
+                cols["doc_id"][:last_start], cols["cnt"][:last_start],
+                cols["maxcnt"][:last_start], cols["length"][:last_start],
+                head_gstart, chunk_bits, avgdl,
+            )
+        if pend is not None and len(pend["doc_id"]):
+            yield flush(pend)
+
+
+def compress_files(
+    spark,
+    raw_path: str,
+    out_path: str,
+    avgdl: float,
+    *,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    batch_rows: int = 1 << 20,
+) -> list[dict]:
+    """File-parallel compression: Spark schedules one task per raw postings
+    file; each task reads its file DIRECTLY with pyarrow (columnar C++
+    reader), stream-compresses it (:func:`_compress_batches`), and writes
+    one output parquet file — the JVM↔Python row bridge never touches the
+    posting stream.
+
+    Why not the mapInArrow DataFrame path for this phase: Spark's Python
+    runners convert scan output row-by-row into Arrow batches on the JVM
+    side; measured at 83M postings that conversion alone costs 32 s on 16
+    cores and (worse) hardly scales from 4→16 cores (~1.25×, contended).
+    The file-parallel stage is pure C++/numpy per task and scales with
+    tasks. Each shuffle-reduce task wrote whole (term, chunk) groups into
+    one file, so per-file compression is exact with no cross-file carry.
+    At cluster scale the same tasks read/write object storage through
+    pyarrow.fs; Spark remains the scheduler, retry and lineage layer.
+
+    Returns per-file metrics dicts (north-rule lineage: postings, chunk
+    rows, bytes in/out, seconds).
+    """
+    import os
+
+    files = sorted(
+        f for f in os.listdir(raw_path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    os.makedirs(out_path, exist_ok=True)
+
+    def one(fname: str) -> dict:
+        import os as _os
+        import time as _time
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        t0 = _time.perf_counter()
+        src = f"{raw_path}/{fname}"
+        pf = _pq.ParquetFile(src)
+        cols = ["term", "chunk", "doc_id", "cnt", "maxcnt", "length"]
+        out_batches = list(
+            _compress_batches(
+                pf.iter_batches(batch_size=batch_rows, columns=cols),
+                chunk_bits, avgdl,
+            )
+        )
+        n_rows = pf.metadata.num_rows
+        dst = f"{out_path}/{fname}"
+        if out_batches:
+            tbl = _pa.Table.from_batches(out_batches)
+            _pq.write_table(tbl, dst, compression="snappy")
+            n_chunks = tbl.num_rows
+        else:
+            n_chunks = 0
+        out = {
+            "file": fname,
+            "postings": int(n_rows),
+            "chunks": int(n_chunks),
+            "bytes_in": int(_os.path.getsize(src)),
+            "bytes_out": int(_os.path.getsize(dst)) if out_batches else 0,
+            "seconds": round(_time.perf_counter() - t0, 3),
+        }
+        del out_batches
+        # long-lived reused python workers must not retain the read/write
+        # buffers of a one-shot compression task
+        _pa.default_memory_pool().release_unused()
+        return out
+
+    if not files:
+        return []
+    sc = spark.sparkContext
+    metrics = sc.parallelize(files, len(files)).map(one).collect()
+    # commit marker so spark.read.parquet treats the dir as a valid table
+    with open(f"{out_path}/_SUCCESS", "w"):
+        pass
+    return metrics
 
 
 def decode_chunk_row(
