@@ -69,8 +69,11 @@ def test_build_and_save_serving_equals_logical_build(spark, tmp_path):
     da = sorted((r["term"], r["df"]) for r in sv.dictionary.collect())
     db = sorted((r["term"], r["df"]) for r in idx_m.dictionary.collect())
     assert da == db
+    # serving doc_stats holds only docs with >=1 posting (zero-token docs
+    # are inert in every scoring path; they still count in N and avgdl)
     sa = sorted((r["doc_id"], r["length"]) for r in sv.doc_stats.collect())
-    sb = sorted((r["doc_id"], r["length"]) for r in idx_m.doc_stats.collect())
+    sb = sorted((r["doc_id"], r["length"])
+                for r in idx_m.doc_stats.collect() if r["length"] > 0)
     assert sa == sb
 
     # compressed chunks decode to the identical postings

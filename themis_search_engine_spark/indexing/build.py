@@ -287,11 +287,19 @@ def build_and_save_serving(
     id_col: str = "doc_id",
     stem: bool = True,
     chunk_bits: int | None = None,
+    partitions: int = 64,
     timings: dict | None = None,
 ) -> "ServingIndex":
     """The north-rule serving build: tokenize → ONE salted/sorted term-chunk
     shuffle → raw postings on disk → shuffle-FREE compression pass → the
     delta+varbyte block-max chunks WAND serves, plus the derived tables.
+
+    ``partitions`` fixes the width of the (term, chunk) shuffle — the index
+    LAYOUT is a design constant of the table, not a function of the cluster
+    size that happened to build it (a cluster-size-dependent width makes
+    small builders sort giant per-task runs into spill while big builders
+    write shards too small to scan efficiently). Size it so a task's sort
+    run fits in executor memory at the target corpus scale.
 
     Physical plan (the Spark re-expression of SPIMI partial dump + fastmerge
     + posting serialization, Indexer.java:447-902 / Index.java:209-228):
@@ -329,7 +337,7 @@ def build_and_save_serving(
             "chunk", (F.col("doc_id") / F.lit(1 << cb)).cast("int")
         )
         .select("term", "chunk", "doc_id", "cnt", "maxcnt", "length")
-        .repartition("term", "chunk")
+        .repartition(partitions, "term", "chunk")
         .sortWithinPartitions("term", "chunk", "doc_id")
     )
     raw.write.mode("overwrite").parquet(f"{path}/postings_raw")
@@ -340,18 +348,19 @@ def build_and_save_serving(
     per_doc = raw_r.groupBy("doc_id").agg(
         F.first("length").alias("length"), F.max("cnt").alias("maxcnt")
     )
-    stats = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .fillna({"length": 0, "maxcnt": 0.0})
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    per_doc.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    # Zero-token docs (e.g. all-non-ASCII after P2) have NO doc_stats row in
+    # the serving layout — no scoring path can ever touch one (they appear
+    # in no posting). They still count toward N and avgdl exactly as the
+    # reference's every-doc records do (Indexer.java:423-443): N is the
+    # corpus count and avgdl = Σ length / N, not avg over stats rows.
     gs_row = (
         spark.read.parquet(f"{path}/doc_stats")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("length").alias("avgdl"))
+        .agg(F.sum("length").alias("total"))
         .collect()[0]
     )
-    n_docs, avgdl = int(gs_row["n_docs"]), float(gs_row["avgdl"] or 0.0)
+    n_docs = docs.count()
+    avgdl = float(gs_row["total"] or 0.0) / n_docs if n_docs else 0.0
     global_stats = spark.createDataFrame(
         [(n_docs, avgdl)], "n_docs long, avgdl double"
     )
