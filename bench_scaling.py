@@ -144,8 +144,18 @@ def main() -> None:
                             str(hi): r_hi["queries_per_sec"]},
         "build_efficiency": round(build_eff, 3),
         "query_efficiency": round(query_eff, 3),
-        # engine efficiency normalized by what THIS box's shared DRAM
-        # permits for the same access pattern (see hw_calibration)
+        # engine efficiency normalized by what THIS box itself scales at
+        # for raw multiprocessing kernels measured in the same run (see
+        # hw_calibration): a single box shares turbo headroom and DRAM
+        # across core counts, while the north rule's N→4N EXECUTOR
+        # scale-out multiplies both. >1.0 vs a ceiling means the engine
+        # scales better than the box's own hardware does for that pattern.
+        "build_efficiency_vs_compute_ceiling": round(
+            build_eff / max(calib["compute_efficiency"], 1e-9), 3
+        ),
+        "query_efficiency_vs_compute_ceiling": round(
+            query_eff / max(calib["compute_efficiency"], 1e-9), 3
+        ),
         "query_efficiency_vs_membound_ceiling": round(
             query_eff / max(calib["membound_efficiency"], 1e-9), 3
         ),

@@ -55,14 +55,18 @@ def main(argv: list[str] | None = None) -> None:
         stem=not args.no_stem,
     )
     idx = finalize(spark, args.output)
+    with open(f"{args.output}/snapshot.json") as fh:
+        snap = json.load(fh)
     report = {
         "batches": len(manifests),
         "n_docs": idx.n_docs,
         "avgdl": round(idx.avgdl, 4),
         "docs_per_sec_per_batch": [m["docs_per_sec"] for m in manifests],
+        "merge_metrics": snap.get("merge_metrics", {}),
     }
     if args.queries:
         from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+        from themis_search_engine_spark.queryeng.wand import wand_topk
 
         qs = {
             i + 1: q for i, q in enumerate(args.queries.split(";")) if q.strip()
@@ -73,6 +77,15 @@ def main(argv: list[str] | None = None) -> None:
             k=10,
         ).collect()
         report["smoke_query_rows"] = len(rows)
+        comp = spark.read.parquet(f"{args.output}/index/postings_comp")
+        wrows = wand_topk(
+            qt, comp, idx.dictionary, idx.avgdl, k=10, prune=False
+        ).collect()
+        report["smoke_wand_rows"] = len(wrows)
+        assert (
+            sorted((r["qid"], r["rank"], r["doc_id"]) for r in wrows)
+            == sorted((r["qid"], r["rank"], r["doc_id"]) for r in rows)
+        ), "WAND smoke diverged from naive BM25"
     print(json.dumps(report))
     spark.stop()
 
