@@ -50,3 +50,30 @@ def test_chunking_bounds_head_term_groups(spark):
     assert len(head) == 8
     assert all(r["df_chunk"] <= 256 for r in head)
     assert sum(r["df_chunk"] for r in head) == 2000
+
+
+def test_serving_build_layout_invariant_to_input_partitioning(spark, tmp_path):
+    """The serving index is a pure function of the corpus: rebuilding from a
+    differently-partitioned input yields the identical compressed chunk set,
+    and the fixed-width (term, chunk) shuffle bounds every head-term group."""
+    from themis_search_engine_spark.indexing.build import build_and_save_serving
+
+    docs = _skewed_corpus(spark)
+
+    def chunk_set(path):
+        sv = build_and_save_serving(
+            docs.repartition(*path[1]), str(tmp_path / path[0]),
+            stem=False, chunk_bits=8, partitions=path[2],
+        )
+        return {
+            (r["term"], r["chunk"]): (r["df_chunk"], bytes(r["doc_bytes"]))
+            for r in sv.compressed.collect()
+        }
+
+    a = chunk_set(("a", [2], 16))
+    b = chunk_set(("b", [7, "doc_id"], 16))
+    assert a == b and len(a) > 0
+    # head term (df=2000, every doc) split into bounded 256-doc-range groups
+    head = [(k[1], v[0]) for k, v in a.items() if k[0] == "head"]
+    assert len(head) == 8
+    assert all(df <= 256 for _, df in head)
