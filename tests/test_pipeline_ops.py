@@ -1,0 +1,112 @@
+"""Scale-shape tests for the dedup/ANN pipeline operators.
+
+The correctness of these operators is covered by the DuckDB contract tests
+(test_driver_contract.py); these tests pin the PHYSICAL shape — that the
+LSH verify paths are candidate-bounded (no all-pairs join survives in the
+optimized plan once candidates are supplied) and that the SRP LSH scale
+path loses nothing vs brute force on the fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_search_engine_spark.pipeline_ops import (
+    cosine_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    srp_lsh_pairs,
+)
+from themis_search_engine_spark.pipeline_ops.simsearch import srp_signature
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_jaccard_verify_is_candidate_bounded(spark, tiny_docs_df):
+    """With candidates supplied, the verify plan must contain NO all-pairs
+    shingle self-join. Marker: the all-pairs path is the only one that
+    filters on (doc_a < doc_b) — the candidate path never forms an
+    unordered pair, so the '<' predicate must be absent."""
+    cand = spark.createDataFrame([(0, 2)], "doc_a long, doc_b long")
+    bounded = jaccard_pairs(tiny_docs_df, n=2, tau=0.1, candidates=cand)
+    assert "< doc_b" not in _optimized_plan(bounded)
+
+    # sanity: the marker detects the all-pairs shape
+    unbounded = jaccard_pairs(tiny_docs_df, n=2, tau=0.1)
+    assert "< doc_b" in _optimized_plan(unbounded)
+
+
+def test_jaccard_candidates_match_allpairs_restriction(spark, tiny_docs_df):
+    """Candidate-bounded verify == all-pairs output restricted to the
+    candidate list (same jaccard values, no spurious rows)."""
+    full = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(tiny_docs_df, n=2, tau=0.0).collect()
+    }
+    assert full, "fixture must produce at least one overlapping pair"
+    pairs = sorted(full)[:3] + [(0, 5)]  # mix real pairs + a non-pair
+    cand = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(
+            tiny_docs_df, n=2, tau=0.0, candidates=cand
+        ).collect()
+    }
+    expect = {p: full[p] for p in pairs if p in full}
+    assert got == expect
+
+
+def test_minhash_lsh_verify_plan(spark, tiny_docs_df):
+    """End-to-end LSH: the full pipeline's optimized plan has no shingle
+    self-join in the verify stage — the only '<' comparison left is the
+    band-join candidate ordering (doc_a over band/key columns)."""
+    df = minhash_lsh_pairs(tiny_docs_df, n=2, k=16, bands=8, tau=0.1)
+    plan = _optimized_plan(df)
+    # exactly one unordered-pair formation: the banded candidate join
+    assert plan.count("< doc_b") == 1
+
+
+def test_cosine_pairs_candidate_bounded_plan(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cand = spark.createDataFrame([(1, 2)], "vec_a long, vec_b long")
+    plan = _optimized_plan(cosine_pairs(embs, tau=0.0, candidates=cand))
+    assert "< vec_b" not in plan
+    assert "Cross" not in plan  # no cartesian in the bounded path
+
+
+def test_srp_lsh_full_recall_on_fixture(spark):
+    """SRP LSH (16 planes, 8 bands) finds every true pair at tau=0.4 on the
+    fixture — deterministic construction, so this pins exact equality, and
+    candidate generation prunes the quadratic pair space."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exact = {
+        (r.vec_a, r.vec_b, round(r.cosine, 6))
+        for r in cosine_pairs(embs, tau=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, round(r.cosine, 6))
+        for r in srp_lsh_pairs(
+            embs, tau=0.4, n_planes=16, bands=8, dim=64
+        ).collect()
+    }
+    assert exact == lsh
+    assert len(exact) > 0
+
+
+def test_srp_signature_deterministic(spark):
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(50)
+    a = dict(srp_signature(embs, 16, 64).collect())
+    b = dict(srp_signature(embs, 16, 64).collect())
+    assert a == b
+    assert all(0 <= v < (1 << 16) for v in a.values())

@@ -315,6 +315,54 @@ WHERE a.vec_id < b.vec_id
   AND {_DOT} / ({_NORM_A} * {_NORM_B}) >= {tau}"""
 
 
+def sql_srp_lsh_pairs(
+    tau: float = 0.4, n_planes: int = 16, bands: int = 8, dim: int = 64
+) -> str:
+    """SRP-LSH candidates ∩ exact cosine >= tau. The oracle reproduces the
+    SAME deterministic ±1 hyperplanes (literal sign lists from
+    simsearch.srp_signs) and banding, so Spark and DuckDB agree even where
+    LSH recall < 1. Both engines sum the dot in index order as doubles, so
+    the sign bits match exactly."""
+    from .pipeline_ops.simsearch import srp_signs
+
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    bits = []
+    for i in range(n_planes):
+        lst = "[" + ", ".join(
+            f"{s:.1f}" for s in srp_signs(i, dim)
+        ) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum([embedding[d]::DOUBLE * ({lst})[d] "
+            f"for d in range(1, {dim + 1})]) >= 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    sig_expr = "\n         + ".join(bits)
+    band_rows = ", ".join(
+        f"({b}, (srp >> {b * r}) & {mask})" for b in range(bands)
+    )
+    return f"""WITH sigs AS (
+  SELECT vec_id,
+         {sig_expr} AS srp
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, bk.* FROM sigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= {tau}"""
+
+
 def sql_ivf_topk(k: int = 5, every_m: int = 50, n_probe: int = 2,
                  centroid_m: int = 25) -> str:
     return f"""WITH cents AS (

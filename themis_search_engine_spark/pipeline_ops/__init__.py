@@ -20,5 +20,11 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_pairs,
 )
-from .simsearch import cosine_pairs, cosine_topk, ivf_topk  # noqa: F401
+from .simsearch import (  # noqa: F401
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    srp_lsh_pairs,
+    srp_signature,
+)
 from .textstats import fingerprints, lang_id, quality_score, token_stats  # noqa: F401

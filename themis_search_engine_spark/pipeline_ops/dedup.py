@@ -13,8 +13,9 @@ Scale notes (100 TB):
 - jaccard_pairs: the shingle self-join explodes on frequent shingles —
   correct but quadratic in shingle df; it is the small-scale ORACLE.
   MinHash+LSH is the scale path: candidate generation is a band-keyed
-  shuffle (linear), and the exact-Jaccard verify join touches only
-  candidate pairs (semi-join pruned).
+  shuffle (linear), and the exact-Jaccard verify enumerates ONLY candidate
+  pairs (the candidate list is joined against per-doc shingle sets before
+  any pair is formed — no shingle self-join in the verify plan).
 - simhash: hamming-ball dedup with banded candidate generation (4×16-bit
   bands → any pair within hamming distance 3 of 64 bits shares ≥1 band by
   pigeonhole when distance < #bands).
@@ -46,12 +47,19 @@ def shingles(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, shingle) — DISTINCT word n-grams per doc (set semantics,
-    as Jaccard requires). transform(sequence(...)) stays in codegen."""
+    as Jaccard requires). transform(sequence(...)) stays in codegen.
+
+    Docs with fewer than n tokens yield no shingles — the size guard
+    matters because sequence(1, 0) DESCENDS to [1, 0] and slice(…, 0, …)
+    is an error, not an empty array."""
     toks = _tok_array(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
@@ -103,23 +111,44 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with Jaccard(shingle sets) >= tau.
 
-    With ``candidates`` (doc_a, doc_b) the intersection join is restricted
-    to those pairs — the LSH verify step. Without, it is all-pairs exact
-    (small-scale oracle only).
+    With ``candidates`` (doc_a, doc_b) the verify is CANDIDATE-BOUNDED: the
+    intersection is computed by joining the candidate pair list against the
+    per-doc shingle sets (candidates ⋈ shingles(doc_a) on doc_a, then
+    ⋈ shingles(doc_b) on (doc_b, shingle)) — work is O(|candidates| ·
+    shingles/doc), never the all-pairs shingle self-join. (A left-semi above
+    the self-join would NOT bound it: Catalyst can push a semi through the
+    aggregate but not *into* a join whose condition spans both legs, so
+    every co-shingle pair would still be enumerated — fatal on frequent
+    shingles like "of the", since dedup keeps stopwords.)
+
+    Without ``candidates`` it is the all-pairs exact shape (small-scale
+    oracle only; quadratic in shingle document frequency).
+
+    Zero-intersection candidate pairs drop out of the inner join — harmless,
+    they cannot pass any tau > 0.
     """
     sh = shingles(docs, n, text_col=text_col, id_col=id_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_sh", "na"), "doc_a")

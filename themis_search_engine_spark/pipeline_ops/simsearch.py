@@ -183,22 +183,127 @@ def cosine_pairs(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine) all pairs with cosine >= tau — embedding
-    near-dup. All-pairs is the oracle shape; at scale restrict to LSH/IVF
-    candidate pairs exactly like jaccard_pairs(candidates=...)."""
+    """(vec_a, vec_b, cosine) pairs with cosine >= tau — embedding near-dup.
+
+    With ``candidates`` (vec_a, vec_b) the pair enumeration itself is
+    candidate-bounded: the candidate list joins the embedding table twice
+    (on vec_a, then vec_b) BEFORE any cosine is computed, so work is
+    O(|candidates|). Without, it is the all-pairs crossJoin — the
+    small-scale oracle shape only; :func:`srp_lsh_pairs` is the scale path.
+    """
     e = with_norm(embs, vec_col)
     a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
                  F.col("_norm").alias("_na"))
     b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
                  F.col("_norm").alias("_nb"))
+    if candidates is not None:
+        pairs = (
+            candidates.select("vec_a", "vec_b").distinct()
+            .join(a, "vec_a").join(b, "vec_b")
+        )
+    else:
+        pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
     return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        pairs.select(
             "vec_a", "vec_b",
             (_dot(F.col("_va"), F.col("_vb"))
              / (F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
         .where(F.col("cosine") >= tau)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP (random-hyperplane) LSH: the scale path for embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def srp_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components: +1 iff the first hex digit
+    of md5('{plane}|{d}') < 8. No RNG — the same construction is emitted
+    as literals into the DuckDB oracle SQL, so both engines agree bit-for-
+    bit (the MinHash seeded-md5 trick, applied to Charikar SRP)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[0], 16) < 8
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def srp_signature(
+    embs: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, srp: long) — n_planes-bit sign signature. Bit i is 1 iff
+    v · h_i >= 0 (Charikar 2002: P[bit match] = 1 - angle/π). Each dot is a
+    zip_with/aggregate over a literal ±1 array — pure codegen, one narrow
+    pass, no shuffle."""
+    sig = None
+    for i in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in srp_signs(i, dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), signs,
+                       lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return embs.select(F.col(id_col).alias("vec_id"), sig.alias("srp"))
+
+
+def srp_lsh_pairs(
+    embs: DataFrame,
+    tau: float = 0.4,
+    *,
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) near-dup pairs via banded SRP LSH + exact
+    cosine verify — the 100 TB path for embedding near-dup.
+
+    Banding: r = n_planes/bands bits per band; candidate iff some band's
+    bits all match. P[candidate] = 1-(1-p^r)^bands with p = 1-θ/π; at
+    tau=0.4 (θ≈66°), r=2, bands=8 → ~0.98 recall; precision is exact
+    because the verify computes true cosine over candidates only (the
+    candidate restriction is applied BEFORE pair enumeration — see
+    cosine_pairs). Candidate generation is a band-keyed linear shuffle,
+    mirroring minhash_lsh_pairs/simhash_pairs.
+    """
+    r = n_planes // bands
+    assert bands * r == n_planes, "n_planes must be divisible by bands"
+    sigs = srp_signature(embs, n_planes, dim, vec_col=vec_col, id_col=id_col)
+    mask = (1 << r) - 1
+    banded = sigs.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("srp"), b * r)
+                .bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
+    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return cosine_pairs(
+        embs, tau, vec_col=vec_col, id_col=id_col, candidates=cand
     )

@@ -26,6 +26,7 @@ from .pipeline_ops import (
     minhash_lsh_pairs,
     minhash_signatures,
     quality_score,
+    srp_lsh_pairs,
     simhash64,
     simhash_pairs,
     token_stats,
@@ -121,6 +122,13 @@ def q_emb_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_emb_lsh_pairs(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    return srp_lsh_pairs(embs, tau=0.4, n_planes=16, bands=8, dim=64).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     out = ivf_topk(embs, _query_vecs(embs), k=5, every_m=25, n_probe=2)
@@ -188,6 +196,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
     "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_lsh_pairs": q_emb_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
@@ -209,6 +218,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "fingerprints": osqlo.sql_fingerprints(3, 4),
     "ann_cosine_topk": osqlo.sql_cosine_topk(5, 50),
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
+    "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
