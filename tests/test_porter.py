@@ -44,9 +44,50 @@ GOLDEN = {
 }
 
 
+# Every post-stopword term in the driver corpora (/root/testdata/sf*), with
+# its hand-verified Porter stem. This pins the EXACT substitution table the
+# DuckDB stemmed oracle joins through (oracle_sql._corpus_stem_map), so the
+# driver's stemmed value-checks rest on these independent expectations, not
+# on porter.py agreeing with itself.
+CORPUS_GOLDEN = {
+    "agg": "agg", "batch": "batch", "big": "big", "column": "column",
+    "customer": "custom",       # step 4: -er, m("custom")=2
+    "data": "data", "dup": "dup", "fast": "fast", "filter": "filter",
+    "group": "group", "hash": "hash", "join": "join",
+    "key": "kei",               # step 1c: y→i after vowel
+    "line": "line",
+    "merge": "merg",            # step 5a: -e, m=1 and not *o
+    "order": "order", "query": "queri", "row": "row", "scan": "scan",
+    "slow": "slow", "small": "small", "sort": "sort", "spark": "spark",
+    "stream": "stream",
+    "table": "tabl",            # step 5a
+    "value": "valu",            # step 5a
+    "vector": "vector",         # -or not removable: m("vect")=1
+    "window": "window",
+}
+
+
 def test_golden_pairs():
     bad = {w: (want, stem(w)) for w, want in GOLDEN.items() if stem(w) != want}
     assert not bad, bad
+
+
+def test_corpus_vocabulary_stems():
+    bad = {
+        w: (want, stem(w))
+        for w, want in CORPUS_GOLDEN.items()
+        if stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_oracle_stem_map_matches_goldens():
+    """The mapping the stemmed DuckDB oracle embeds == the hand-verified
+    goldens, and it covers the whole corpus vocabulary."""
+    from themis_search_engine_spark.oracle_sql import _corpus_stem_map
+
+    got = dict(_corpus_stem_map())
+    assert got == CORPUS_GOLDEN
 
 
 def test_non_ascii_passthrough():

@@ -48,7 +48,7 @@ def _qterms_values(stem: bool = False) -> str:
     return f"(VALUES {vals}) AS q(qid, term, qweight)"
 
 
-TOK_CTE = r"""
+_TOK_HEAD = r"""
 tok AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(
@@ -59,10 +59,14 @@ tok_f AS (
   SELECT doc_id, term FROM tok
   WHERE term <> '' AND term NOT IN (%(stops)s)
 ),
-counts AS (
+""" % {"stops": _STOP_LIST_SQL}
+
+_COUNTS_UNSTEMMED = """counts AS (
   SELECT doc_id, term, count(*)::BIGINT AS cnt FROM tok_f GROUP BY doc_id, term
 ),
-docstat AS (
+"""
+
+_TOK_TAIL = """docstat AS (
   SELECT d.doc_id,
          coalesce(mx.maxcnt, 0)::BIGINT  AS maxcnt,
          coalesce(mx.length, 0)::BIGINT  AS length
@@ -82,7 +86,69 @@ tfn AS (
   SELECT c.doc_id, c.term, c.cnt::DOUBLE / s.maxcnt AS tf
   FROM counts c JOIN docstat s USING (doc_id)
 )
-""" % {"stops": _STOP_LIST_SQL}
+"""
+
+TOK_CTE = _TOK_HEAD + _COUNTS_UNSTEMMED + _TOK_TAIL
+
+
+def _corpus_stem_map() -> list[tuple[str, str]]:
+    """(term, Porter stem) for every post-stopword token in the driver's
+    test corpora — the stem substitution table that makes the stemmed
+    pipeline SQL-expressible (DuckDB here has no stemmer extension).
+
+    The mapping is produced by the repo's porter.py, whose behavior is
+    independently pinned by hand-verified golden vectors in
+    tests/test_porter.py — including every stem in THIS corpus vocabulary
+    (test_corpus_vocabulary_stems) — so a stemmer bug breaks the goldens,
+    not both sides of the driver compare.
+    """
+    import os
+
+    import duckdb
+
+    from .porter import stem as porter_stem
+
+    vocab: set[str] = set()
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = con.sql(
+            r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(
+                lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+                '\s+')) AS t
+              FROM read_parquet('%s'))
+            SELECT DISTINCT t FROM tok WHERE t <> ''
+            """ % path
+        ).fetchall()
+        vocab |= {r[0] for r in rows}
+    con.close()
+    return sorted(
+        (t, porter_stem(t)) for t in vocab if t not in STOPWORDS
+    )
+
+
+def tok_cte_stemmed() -> str:
+    """TOK_CTE with P5 stemming: tokens map through the (term, stem)
+    VALUES table, counts merge per (doc, stem) — the A2 stem-level merge —
+    and every downstream table (docstat/dict/tfn) derives from the merged
+    counts exactly as the Spark stemmed path does (textproc
+    term_counts_arrow with stem=True)."""
+    pairs = _corpus_stem_map()
+    vals = ", ".join(f"('{t}', '{s}')" for t, s in pairs) or "('', '')"
+    stem_ctes = f"""stem_map AS (
+  SELECT * FROM (VALUES {vals}) v(term, stem)
+),
+counts AS (
+  SELECT t.doc_id, coalesce(m.stem, t.term) AS term, count(*)::BIGINT AS cnt
+  FROM tok_f t LEFT JOIN stem_map m USING (term)
+  GROUP BY 1, 2
+),
+"""
+    return _TOK_HEAD + stem_ctes + _TOK_TAIL
 
 
 def sql_tok_counts() -> str:
@@ -114,7 +180,7 @@ def sql_tf_maxnorm() -> str:
 
 
 def _bm25_scored_cte(stem: bool = False) -> str:
-    return f"""WITH {TOK_CTE},
+    return f"""WITH {tok_cte_stemmed() if stem else TOK_CTE},
 scored AS (
   SELECT q.qid, t.doc_id,
          sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
@@ -151,11 +217,27 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
-def sql_query_expansion(prefix_len: int = 4, expansion_weight: float = 0.5) -> str:
-    """P6/P7 operator twin: prefix-synonym expansion capped at the
-    original distinct-term count per qid."""
-    return f"""WITH {TOK_CTE},
-q AS (SELECT DISTINCT qid, term, qweight::DOUBLE AS qweight FROM {_qterms_values()}),
+def sql_dictionary_stemmed() -> str:
+    return f"WITH {tok_cte_stemmed()} SELECT term, df FROM dict"
+
+
+def sql_bm25_topk_stemmed(k: int = 10) -> str:
+    return f"""{_bm25_scored_cte(stem=True)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _expansion_ctes(prefix_len: int, expansion_weight: float) -> str:
+    """CTE chain ending in expq(qid, term, qweight, is_expansion) — the
+    prefix-synonym expansion capped at the original distinct-term count
+    per qid. Shared by sql_query_expansion and sql_bm25_topk_expanded."""
+    return f"""q AS (SELECT DISTINCT qid, term, qweight::DOUBLE AS qweight FROM {_qterms_values()}),
 syn AS (
   SELECT a.term, b.term AS synonym
   FROM dict a JOIN dict b
@@ -176,11 +258,85 @@ capped AS (
            row_number() OVER (PARTITION BY qid ORDER BY term ASC) AS r
     FROM cand) c JOIN norig USING (qid)
   WHERE c.r <= norig.n_terms
+),
+expq AS (
+  SELECT qid, term, qweight, FALSE AS is_expansion FROM q
+  UNION ALL
+  SELECT qid, term, {expansion_weight}::DOUBLE AS qweight, TRUE AS is_expansion
+  FROM capped
+)"""
+
+
+def sql_query_expansion(prefix_len: int = 4, expansion_weight: float = 0.5) -> str:
+    """P6/P7 operator twin: prefix-synonym expansion capped at the
+    original distinct-term count per qid."""
+    return f"""WITH {TOK_CTE},
+{_expansion_ctes(prefix_len, expansion_weight)}
+SELECT qid, term, qweight, is_expansion FROM expq"""
+
+
+def sql_bm25_topk_expanded(
+    k: int = 10, prefix_len: int = 4, expansion_weight: float = 0.5
+) -> str:
+    """Expanded retrieval (Search.java:75): the expansion CTE feeds BM25,
+    each term's part weighted by its qweight (expansions at
+    {expansion_weight}, originals at their qtf/max_qtf weight)."""
+    return f"""WITH {TOK_CTE},
+{_expansion_ctes(prefix_len, expansion_weight)},
+scored AS (
+  SELECT e.qid, t.doc_id,
+         sum( e.qweight
+              * log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN expq e ON t.term = e.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY e.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
 )
-SELECT qid, term, qweight, FALSE AS is_expansion FROM q
-UNION ALL
-SELECT qid, term, {expansion_weight}::DOUBLE AS qweight, TRUE AS is_expansion
-FROM capped"""
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+# The reference's real input path (S2JsonEntryReader.java:54-159 +
+# Indexer.java:307-372 field concat), driven end-to-end over a checked-in
+# S2-shaped JSONL fixture. The oracle parses the SAME file with DuckDB's
+# independent JSON reader — both engines must agree on missing-field
+# defaults and the exact concatenation (incl. separator behavior around
+# empty fields). sf_dir-independent by design: the fixture exercises parse
+# edge cases the synthetic corpus can't.
+S2_FIXTURE = "/root/repo/tests/fixtures/s2_sample.jsonl"
+
+
+def sql_s2_extract() -> str:
+    return f"""SELECT id,
+       concat_ws(' ',
+         coalesce(title, ''),
+         coalesce(paperAbstract, ''),
+         coalesce(journalName, ''),
+         coalesce(year, 0)::VARCHAR,
+         coalesce(venue, ''),
+         coalesce(array_to_string(coalesce(entities, []), ' '), ''),
+         coalesce(array_to_string(coalesce(fieldsOfStudy, []), ' '), ''),
+         coalesce(array_to_string(coalesce(sources, []), ' '), ''),
+         coalesce(array_to_string(
+           [a.name for a in coalesce(authors, [])], ' '), '')
+       ) AS text
+FROM read_json('{S2_FIXTURE}',
+  format='newline_delimited',
+  columns={{id: 'VARCHAR', title: 'VARCHAR', paperAbstract: 'VARCHAR',
+           entities: 'VARCHAR[]', fieldsOfStudy: 'VARCHAR[]',
+           authors: 'STRUCT(name VARCHAR, ids VARCHAR[])[]',
+           outCitations: 'VARCHAR[]', journalName: 'VARCHAR',
+           sources: 'VARCHAR[]', year: 'INTEGER', venue: 'VARCHAR'}})"""
 
 
 def sql_eval_ap_ndcg(k: int = 20) -> str:
@@ -231,6 +387,24 @@ SELECT DISTINCT q.qid, c.doc_id, 1.0::DOUBLE AS score
 FROM counts c JOIN {_qterms_values()} ON c.term = q.term"""
 
 
+def sql_existential_topk(k: int = 10) -> str:
+    """Existential.java:123-126 top-k variant: all matches score 1.0, so
+    the deterministic order is doc_id asc (the Q7 tie refinement)."""
+    return f"""WITH {TOK_CTE},
+hits AS (
+  SELECT DISTINCT q.qid, c.doc_id, 1.0::DOUBLE AS score
+  FROM counts c JOIN {_qterms_values()} ON c.term = q.term
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM hits
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_doc_norms() -> str:
     return f"""WITH {TOK_CTE}
 SELECT t.doc_id,
@@ -263,3 +437,16 @@ SELECT dots.qid, dots.doc_id,
        round(CASE WHEN dn.norm > 0 AND qn.qnorm > 0
                   THEN dot / (dn.norm * qn.qnorm) ELSE 0.0 END, 6) AS score
 FROM dots JOIN dnorm dn USING (doc_id) JOIN qnorm qn USING (qid)"""
+
+
+def sql_vsm_topk(k: int = 10) -> str:
+    """VSM.java:276-436 top-k variant: same rounded-rank window as BM25."""
+    return f"""WITH scores AS ({sql_vsm_scores()}),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""

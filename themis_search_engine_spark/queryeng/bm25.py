@@ -47,6 +47,8 @@ def bm25_score_all(
     doc_stats: DataFrame,
     avgdl: float,
     term_list: list[str] | None = None,
+    *,
+    use_qweight: bool = False,
 ) -> DataFrame:
     """(qid, doc_id, score) for every candidate doc of every query —
     one distributed job for the whole query batch.
@@ -63,6 +65,10 @@ def bm25_score_all(
     If postings carry a denormalized ``length`` column (build_and_save
     writes one), the per-doc doc_stats join — the only wide shuffle in
     this plan — is skipped entirely.
+
+    ``use_qweight=True`` multiplies each term's BM25 part by the qterms
+    ``qweight`` column — the expanded-retrieval flow (Search.java:75),
+    where expansion terms contribute at reduced weight.
     """
     terms = (
         term_list
@@ -76,11 +82,14 @@ def bm25_score_all(
     joined = pruned.join(q, "term")
     if "length" not in postings_flat.columns:
         joined = joined.join(doc_stats.select("doc_id", "length"), "doc_id")
+    part = bm25_part_expr(avgdl=avgdl)
+    if use_qweight:
+        part = part * F.col("qweight")
     scored = (
         joined.select(
             "qid",
             "doc_id",
-            bm25_part_expr(avgdl=avgdl).alias("part"),
+            part.alias("part"),
         )
         .groupBy("qid", "doc_id")
         .agg(F.sum("part").alias("score"))

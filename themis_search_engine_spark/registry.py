@@ -134,6 +134,28 @@ def q_vsm_scores(spark, sf_dir):
     return scored.select("qid", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_vsm_topk(spark, sf_dir):
+    """Q5 top-k variant (VSM.java:276-436): same generic rounded-rank
+    window over the VSM scores."""
+    idx = get_index(spark, sf_dir)
+    stats = idx.doc_stats.join(
+        vsm_doc_norms(idx.postings_flat, idx.dictionary, idx.n_docs), "doc_id"
+    )
+    scored = vsm_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary, stats,
+        idx.n_docs,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+def q_existential_topk(spark, sf_dir):
+    """Q6 top-k variant (Existential.java:123-126): all hits score 1.0, so
+    rank order is the deterministic doc_id tiebreak."""
+    idx = get_index(spark, sf_dir)
+    hits = existential(_qt(spark, stem=False), idx.postings_flat)
+    return _rounded_rank_topk(hits.select("qid", "doc_id", "score"), 10)
+
+
 # --- compressed-postings paths ---------------------------------------------
 
 _CCACHE: dict[tuple, DataFrame] = {}
@@ -191,8 +213,9 @@ def q_bm25_topk_wand_batch(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
-# --- stemmed pipeline (rows-only driver check; oracle is pytest vs the
-# pure-Python scorer, since DuckDB has no stemmer in this sandbox) ----------
+# --- stemmed pipeline (SQL-oracled through the corpus-derived (term, stem)
+# mapping — oracle_sql.tok_cte_stemmed; porter.py itself is pinned by
+# hand-verified goldens in tests/test_porter.py) -----------------------------
 
 def q_dictionary_stemmed(spark, sf_dir):
     return get_index(spark, sf_dir, stem=True).dictionary.select("term", "df")
@@ -200,14 +223,11 @@ def q_dictionary_stemmed(spark, sf_dir):
 
 def q_bm25_topk_stemmed(spark, sf_dir):
     idx = get_index(spark, sf_dir, stem=True)
-    ranked = bm25_topk(
+    scored = bm25_score_all(
         _qt(spark, stem=True), idx.postings_flat, idx.dictionary,
-        idx.doc_stats, idx.avgdl, k=10,
+        idx.doc_stats, idx.avgdl,
     )
-    return ranked.select(
-        "qid", "doc_id", F.round("score", 6).alias("score"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+    return _rounded_rank_topk(scored, 10)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -222,6 +242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "existential": q_existential,
     "doc_norms": q_doc_norms,
     "vsm_scores": q_vsm_scores,
+    "vsm_topk": q_vsm_topk,
+    "existential_topk": q_existential_topk,
     "dictionary_stemmed": q_dictionary_stemmed,
     "bm25_topk_stemmed": q_bm25_topk_stemmed,
     "postings_roundtrip": q_postings_roundtrip,
@@ -241,8 +263,10 @@ ORACLE_SQL: dict[str, str] = {
     "existential": osql.sql_existential(),
     "doc_norms": osql.sql_doc_norms(),
     "vsm_scores": osql.sql_vsm_scores(),
-    # dictionary_stemmed / bm25_topk_stemmed: intentionally no SQL oracle
-    # (stemming not SQL-expressible here) → driver rows-only check.
+    "vsm_topk": osql.sql_vsm_topk(10),
+    "existential_topk": osql.sql_existential_topk(10),
+    "dictionary_stemmed": osql.sql_dictionary_stemmed(),
+    "bm25_topk_stemmed": osql.sql_bm25_topk_stemmed(10),
     "postings_roundtrip": osql.sql_tf_maxnorm(),
     "bm25_topk_wand": osql.sql_bm25_topk(10),
     "bm25_topk_wand_batch": osql.sql_bm25_topk(10),
@@ -284,6 +308,41 @@ def q_query_expansion(spark, sf_dir):
 
 QUERIES["query_expansion"] = q_query_expansion
 ORACLE_SQL["query_expansion"] = osql.sql_query_expansion(4, 0.5)
+
+
+def q_bm25_topk_expanded(spark, sf_dir):
+    """Expanded retrieval end-to-end (Search.java:75): P6/P7 expansion
+    output feeds BM25 top-k, expansion terms at reduced qweight."""
+    from .queryeng.expansion import expand_queries, prefix_synonyms
+
+    idx = get_index(spark, sf_dir)
+    expanded = expand_queries(
+        _qt(spark, stem=False), prefix_synonyms(idx.dictionary, 4),
+        expansion_weight=0.5,
+    )
+    scored = bm25_score_all(
+        expanded, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl, use_qweight=True,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25_topk_expanded"] = q_bm25_topk_expanded
+ORACLE_SQL["bm25_topk_expanded"] = osql.sql_bm25_topk_expanded(10, 4, 0.5)
+
+
+def q_s2_extract(spark, sf_dir):
+    """S2 source end-to-end: JSONL → schema-on-read parse with the
+    reference's missing-field defaults → P1 field concat. Runs over the
+    checked-in fixture (sf_dir-independent); DuckDB parses the same file
+    independently."""
+    from .sources import read_s2_jsonl, s2_doc_text
+
+    return s2_doc_text(read_s2_jsonl(spark, osql.S2_FIXTURE))
+
+
+QUERIES["s2_extract"] = q_s2_extract
+ORACLE_SQL["s2_extract"] = osql.sql_s2_extract()
 
 
 # training-data pipeline operators (dedup / ANN / text analysis / media)
