@@ -176,6 +176,7 @@ def main() -> None:
         wand_topk(
             qterms_df(spark, wq_q, stem=True), sidx.compressed,
             sidx.dictionary, sidx.avgdl, k=10, prune=False,
+            chunk_bits=sidx.chunk_bits,
             term_list=query_term_list(wq_q, stem=True),
         ).collect()
 
@@ -184,7 +185,7 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = wand_topk(
                 qt, sidx.compressed, sidx.dictionary, sidx.avgdl, k=10,
-                prune=False, term_list=tl,
+                prune=False, chunk_bits=sidx.chunk_bits, term_list=tl,
             ).collect()
             query_sec = min(query_sec, time.perf_counter() - t0)
         out.update(

@@ -100,6 +100,57 @@ def test_build_and_save_serving_equals_logical_build(spark, tmp_path):
     wand = sorted(
         (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
         for r in wand_topk(qt, sv2.compressed, sv2.dictionary, sv2.avgdl,
-                           k=5, prune=False).collect()
+                           k=5, prune=False,
+                           chunk_bits=sv2.chunk_bits).collect()
     )
     assert naive == wand and len(naive) > 0
+
+
+def test_serving_chunk_bits_persisted_and_reload_exact(spark, tmp_path):
+    """chunk_bits != default survives the layout round-trip: the reloaded
+    index carries it, and WAND served with idx.chunk_bits reproduces naive
+    BM25 exactly (a reader defaulting to 16 would decode wrong doc_ids)."""
+    import copy
+
+    from themis_search_engine_spark.corpus import load_documents
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+    from themis_search_engine_spark.queryeng.wand import wand_topk
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    built = build_and_save_serving(
+        docs, str(tmp_path / "sv8"), stem=False, chunk_bits=8, partitions=8
+    )
+    assert built.chunk_bits == 8
+    idx = load_serving_index(spark, str(tmp_path / "sv8"))
+    assert idx.chunk_bits == 8
+    assert idx.n_docs == docs.count()  # observe-based N == corpus size
+
+    qt = qterms_df(spark, {1: "spark shuffle join", 2: "window order"},
+                   stem=False)
+    naive = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in bm25_topk(qt, idx.postings_flat, idx.dictionary,
+                           idx.doc_stats, idx.avgdl, k=5).collect()
+    )
+    wand = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in wand_topk(qt, idx.compressed, idx.dictionary, idx.avgdl,
+                           k=5, prune=False,
+                           chunk_bits=idx.chunk_bits).collect()
+    )
+    assert naive == wand and len(naive) > 0
+
+    # __getattr__ guard: copying must raise nothing and missing attrs give
+    # AttributeError, not RecursionError
+    assert copy.copy(idx).chunk_bits == 8
+    try:
+        idx.no_such_attr
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass

@@ -42,3 +42,30 @@ def test_pagerank_matches_python(spark):
     # probability mass is conserved up to dangling leakage (no dangling
     # nodes in this synthetic graph → sums to 1)
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_deep_iterations_bounded_lineage(spark):
+    """20 iterations with periodic localCheckpoint: values still match the
+    pure-Python twin AND the final plan's join count stays bounded by the
+    checkpoint interval (lineage truncated), not by total iterations."""
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    edges_df = citation_edges(synthetic_citations(docs))
+    out = pagerank(edges_df, docs, damping=0.85, iterations=20,
+                   checkpoint_every=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # lineage was truncated to the checkpointed RDD...
+    assert "LogicalRDD" in plan
+    # ...and plan size reflects ≤ checkpoint_every trailing iterations,
+    # not all 20: the unbounded plan must be several times larger. (Join
+    # counts include the cached `trans` subtree each iteration re-prints,
+    # so compare, don't count absolutes.)
+    unbounded = pagerank(edges_df, docs, damping=0.85, iterations=20,
+                         checkpoint_every=10**9)
+    uplan = unbounded._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") * 3 <= uplan.count("Join")
+
+    pr = {r["doc_id"]: r["pagerank"] for r in out.collect()}
+    edges = [(r["src"], r["dst"], r["weight"]) for r in edges_df.collect()]
+    want = pagerank_py(edges, list(range(20)), 0.85, 20)
+    for v in pr:
+        assert pr[v] == pytest.approx(want[v], rel=1e-12)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..textproc import term_counts_arrow, term_counts_native
+from .compress import DEFAULT_CHUNK_BITS
 
 
 @dataclass
@@ -324,14 +325,23 @@ def build_and_save_serving(
     """
     import time as _time
 
-    from .compress import DEFAULT_CHUNK_BITS, compress_files
+    from pyspark.sql import Observation
+
+    from .compress import compress_files
 
     cb = DEFAULT_CHUNK_BITS if chunk_bits is None else chunk_bits
     t = timings if timings is not None else {}
     spark = docs.sparkSession
 
     t0 = _time.perf_counter()
-    counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
+    # N rides the tokenize pass as an observation on the (tiny, pre-explode)
+    # corpus scan — the serving build reads the corpus EXACTLY once; a
+    # docs.count() here would be a second full pass for one scalar.
+    obs = Observation("corpus_stats")
+    counts = term_counts_arrow(
+        docs.observe(obs, F.count(F.lit(1)).alias("n_docs")),
+        text_col, id_col, stem=stem,
+    )
     raw = (
         counts.withColumn(
             "chunk", (F.col("doc_id") / F.lit(1 << cb)).cast("int")
@@ -359,10 +369,13 @@ def build_and_save_serving(
         .agg(F.sum("length").alias("total"))
         .collect()[0]
     )
-    n_docs = docs.count()
+    n_docs = int(obs.get["n_docs"])
     avgdl = float(gs_row["total"] or 0.0) / n_docs if n_docs else 0.0
+    # chunk_bits is part of the index LAYOUT: doc_id bases decode as
+    # chunk << chunk_bits, so a reader defaulting to a different value
+    # scores silently wrong doc_ids. Persist it with the global stats.
     global_stats = spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs long, avgdl double"
+        [(n_docs, avgdl, cb)], "n_docs long, avgdl double, chunk_bits int"
     )
     global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
     t["doc_stats"] = _time.perf_counter() - t0
@@ -400,13 +413,23 @@ def build_and_save_serving(
 
 @dataclass
 class ServingIndex:
-    """InvertedIndex tables + the compressed chunk table WAND serves."""
+    """InvertedIndex tables + the compressed chunk table WAND serves.
+
+    ``chunk_bits`` is the persisted layout constant — pass it to
+    ``wand_topk`` / ``decode_chunk_row`` when serving a reloaded index.
+    """
 
     index: InvertedIndex
     compressed: DataFrame
     n_postings: int = -1
+    chunk_bits: int = DEFAULT_CHUNK_BITS
 
     def __getattr__(self, name):  # delegate table access to the index
+        # guard 'index' itself (and dunders): during copy/pickle the
+        # instance dict may not exist yet — unconditional delegation would
+        # recurse on the missing attribute instead of raising AttributeError
+        if name == "index" or name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self.index, name)
 
 
@@ -419,6 +442,11 @@ def load_serving_index(spark: SparkSession, path: str) -> ServingIndex:
     doc_stats = spark.read.parquet(f"{path}/doc_stats")
     global_stats = spark.read.parquet(f"{path}/global_stats")
     row = global_stats.collect()[0]
+    cb = (
+        int(row["chunk_bits"])
+        if "chunk_bits" in global_stats.columns
+        else DEFAULT_CHUNK_BITS  # pre-chunk_bits layouts
+    )
     idx = InvertedIndex(
         counts=raw,
         postings_flat=postings_flat,
@@ -429,7 +457,7 @@ def load_serving_index(spark: SparkSession, path: str) -> ServingIndex:
         avgdl=float(row["avgdl"]),
     )
     compressed = spark.read.parquet(f"{path}/postings_comp")
-    return ServingIndex(index=idx, compressed=compressed)
+    return ServingIndex(index=idx, compressed=compressed, chunk_bits=cb)
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:

@@ -55,7 +55,7 @@ def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     continuation bytes. Fully vectorized (one pass per byte position).
     Also returns the per-value byte lengths, so a caller that encoded many
     concatenated posting lists in ONE call can slice the buffer back apart
-    by cumulative offsets (see :func:`compress_sorted_partitions`)."""
+    by cumulative offsets (see :func:`compress_presorted`)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
@@ -270,9 +270,9 @@ def build_postings_compressed_sorted(
     (term, chunk) group — at ~10^5 groups/bench (and ~10^9 at web scale) the
     per-group overhead dominates the actual encoding (measured 90 s vs 13 s
     for the rest of the build). Here the shuffle is an explicit
-    repartition(term, chunk) + sortWithinPartitions, and a mapInPandas
+    repartition(term, chunk) + sortWithinPartitions, and a mapInArrow
     stream compresses whole Arrow batches of groups at once
-    (:func:`_compress_many`), carrying the possibly-split last group across
+    (:func:`_compress_batches`), carrying the possibly-split last group across
     batch boundaries. Memory is bounded by one (term, chunk) group
     (≤ 2^chunk_bits postings) plus one Arrow batch.
     """
@@ -351,69 +351,68 @@ def _compress_batches(batches, chunk_bits: int, avgdl: float):
             np.array([0], dtype=np.int64), chunk_bits, avgdl,
         )
 
-    if True:
-        for rb in batches:
-            n = rb.num_rows
-            if n == 0:
-                continue
-            term = rb.column("term")
-            cols = np_cols(rb)
-            codes = pc.dictionary_encode(term).indices.to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            newg = np.empty(n, dtype=bool)
-            newg[0] = True
-            np.logical_or(
-                codes[1:] != codes[:-1],
-                cols["chunk"][1:] != cols["chunk"][:-1],
-                out=newg[1:],
-            )
-            gstart = np.flatnonzero(newg)
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        term = rb.column("term")
+        cols = np_cols(rb)
+        codes = pc.dictionary_encode(term).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        np.logical_or(
+            codes[1:] != codes[:-1],
+            cols["chunk"][1:] != cols["chunk"][:-1],
+            out=newg[1:],
+        )
+        gstart = np.flatnonzero(newg)
 
-            first_term = term[0].as_py()
-            first_chunk = int(cols["chunk"][0])
-            if pend is not None:
-                if (pend["term"], pend["chunk_val"]) == (first_term, first_chunk):
-                    # batch continues the carried group: prepend its rows
-                    plen = len(pend["doc_id"])
-                    cols["chunk"] = np.concatenate(
-                        [pend["chunk_arr"], cols["chunk"]]
-                    )
-                    for k in ("doc_id", "cnt", "maxcnt", "length"):
-                        cols[k] = np.concatenate([pend[k], cols[k]])
-                    gstart = np.concatenate([[0], gstart[1:] + plen])
-                    n += plen
-                else:
-                    yield flush(pend)
-                pend = None
+        first_term = term[0].as_py()
+        first_chunk = int(cols["chunk"][0])
+        if pend is not None:
+            if (pend["term"], pend["chunk_val"]) == (first_term, first_chunk):
+                # batch continues the carried group: prepend its rows
+                plen = len(pend["doc_id"])
+                cols["chunk"] = np.concatenate(
+                    [pend["chunk_arr"], cols["chunk"]]
+                )
+                for k in ("doc_id", "cnt", "maxcnt", "length"):
+                    cols[k] = np.concatenate([pend[k], cols[k]])
+                gstart = np.concatenate([[0], gstart[1:] + plen])
+                n += plen
+            else:
+                yield flush(pend)
+            pend = None
 
-            # hold back the final group (may continue in the next batch)
-            last_start = int(gstart[-1])
-            pend = {
-                "term": term[rb.num_rows - 1].as_py(),
-                "chunk_val": int(cols["chunk"][n - 1]),
-                "chunk_arr": cols["chunk"][last_start:],
-                "doc_id": cols["doc_id"][last_start:],
-                "cnt": cols["cnt"][last_start:],
-                "maxcnt": cols["maxcnt"][last_start:],
-                "length": cols["length"][last_start:],
-            }
-            if last_start == 0:
-                continue  # whole batch is one (possibly continuing) group
-            head_gstart = gstart[:-1]
-            # one output term string per group, taken from the arrow array
-            # (indices are batch-relative: subtract any prepended rows)
-            take_idx = head_gstart - (n - rb.num_rows)
-            take_idx[0] = max(int(take_idx[0]), 0)
-            terms_out = pc.take(term, pa.array(take_idx, type=pa.int64()))
-            yield _encode_groups(
-                terms_out, cols["chunk"][:last_start],
-                cols["doc_id"][:last_start], cols["cnt"][:last_start],
-                cols["maxcnt"][:last_start], cols["length"][:last_start],
-                head_gstart, chunk_bits, avgdl,
-            )
-        if pend is not None and len(pend["doc_id"]):
-            yield flush(pend)
+        # hold back the final group (may continue in the next batch)
+        last_start = int(gstart[-1])
+        pend = {
+            "term": term[rb.num_rows - 1].as_py(),
+            "chunk_val": int(cols["chunk"][n - 1]),
+            "chunk_arr": cols["chunk"][last_start:],
+            "doc_id": cols["doc_id"][last_start:],
+            "cnt": cols["cnt"][last_start:],
+            "maxcnt": cols["maxcnt"][last_start:],
+            "length": cols["length"][last_start:],
+        }
+        if last_start == 0:
+            continue  # whole batch is one (possibly continuing) group
+        head_gstart = gstart[:-1]
+        # one output term string per group, taken from the arrow array
+        # (indices are batch-relative: subtract any prepended rows)
+        take_idx = head_gstart - (n - rb.num_rows)
+        take_idx[0] = max(int(take_idx[0]), 0)
+        terms_out = pc.take(term, pa.array(take_idx, type=pa.int64()))
+        yield _encode_groups(
+            terms_out, cols["chunk"][:last_start],
+            cols["doc_id"][:last_start], cols["cnt"][:last_start],
+            cols["maxcnt"][:last_start], cols["length"][:last_start],
+            head_gstart, chunk_bits, avgdl,
+        )
+    if pend is not None and len(pend["doc_id"]):
+        yield flush(pend)
 
 
 def compress_files(
@@ -445,6 +444,20 @@ def compress_files(
     rows, bytes in/out, seconds).
     """
     import os
+
+    # This phase lists files on the DRIVER and opens the same paths inside
+    # executor tasks — correct only when driver and executors share a
+    # filesystem (local[..] / local-cluster, or a mounted shared FS). On a
+    # real cluster with object storage, route paths through pyarrow.fs
+    # here; until then, fail loudly instead of reading missing/stale files.
+    master = spark.sparkContext.master
+    if "://" in raw_path or "://" in out_path or not master.startswith("local"):
+        raise NotImplementedError(
+            "compress_files requires driver-local storage shared with "
+            f"executors (master={master!r}, raw_path={raw_path!r}); for "
+            "cluster masters/object-store URIs use compress_presorted "
+            "(the mapInArrow path) or add a pyarrow.fs handler"
+        )
 
     files = sorted(
         f for f in os.listdir(raw_path)

@@ -70,10 +70,18 @@ def pagerank(
     *,
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(doc_id, pagerank) after ``iterations`` damped weighted steps.
 
     rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v} rank_t(u)·weight(u,v)/outweight(u)
+
+    Every ``checkpoint_every`` iterations the rank frame is
+    ``localCheckpoint``-ed: iterative self-joins otherwise grow the logical
+    plan linearly (analysis/optimization time goes superlinear and the
+    lineage eventually overflows), while a checkpoint truncates lineage to
+    the materialized ranks — at cluster scale use a reliable
+    ``checkpoint()`` directory instead so executor loss stays recoverable.
     """
     n = nodes.count()
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
@@ -87,7 +95,7 @@ def pagerank(
         F.col(nodes.columns[0]).alias("node"), F.lit(1.0 / n).alias("rank")
     )
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["node"])
             .select("dst", (F.col("rank") * F.col("p")).alias("c"))
@@ -104,6 +112,8 @@ def pagerank(
                  ).alias("rank"),
             )
         )
+        if it % checkpoint_every == 0 and it < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias("doc_id"),
                         F.col("rank").alias("pagerank"))
 
