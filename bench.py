@@ -109,13 +109,19 @@ def main() -> None:
     extra["queries_per_sec_wand"] = len(queries) / stages["wand_batch"]
     extra["wand_result_rows"] = len(rows_w)
 
-    # --- scaling workload: synthetic web pages -----------------------------
     # --- per-query latency over the compressed index (p50/p95) -------------
+    # single-task sequential WAND: ONE job per query (scan → groupBy(qid)
+    # → early-exit θ loop in the task) vs the phased plan's 4 barriers
+    from themis_search_engine_spark.queryeng.wand import wand_topk_single
+
     lat = []
     for qid in list(queries)[:12]:
         qt1 = qterms_df(spark, {qid: queries[qid]}, stem=True)
         t0 = time.perf_counter()
-        wand_topk(qt1, comp, idx.dictionary, idx.avgdl, k=10).collect()
+        wand_topk_single(
+            qt1, comp, idx.dictionary, idx.avgdl, k=10,
+            term_list=query_term_list({qid: queries[qid]}, stem=True),
+        ).collect()
         lat.append(time.perf_counter() - t0)
     lat.sort()
     extra["query_p50_sec"] = lat[len(lat) // 2]

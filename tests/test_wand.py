@@ -69,3 +69,92 @@ def test_wand_pruning_skips_chunks(spark):
         qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl, k=5
     ).collect()
     assert sorted(r["doc_id"] for r in res) == sorted(r["doc_id"] for r in naive)
+
+
+def test_wand_single_equals_naive(spark, bundle):
+    """Single-task sequential WAND (one job per batch, early-exit θ loop)
+    is rank- and score-identical to naive BM25 — incl. the negative-idf
+    query (4: head terms) and the single-rare-term query (3)."""
+    from themis_search_engine_spark.queryeng.wand import wand_topk_single
+
+    idx, comp = bundle
+    qt = qterms_df(spark, QUERIES, stem=True)
+    naive = _by_qid(
+        bm25_topk(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+            k=10,
+        ).collect()
+    )
+    single = _by_qid(
+        wand_topk_single(qt, comp, idx.dictionary, idx.avgdl, k=10).collect()
+    )
+    assert set(naive) == set(single)
+    for qid in naive:
+        n, s = naive[qid], single[qid]
+        assert [x[1] for x in n] == [x[1] for x in s], (qid, n, s)
+        for (_, _, s1), (_, _, s2) in zip(n, s):
+            assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_wand_single_many_chunks(spark):
+    """chunk_bits=6 → dozens of chunks per term: the θ early-exit must not
+    drop any true top-k member across chunk boundaries."""
+    from themis_search_engine_spark.queryeng.wand import wand_topk_single
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    idx = build_index(docs, stem=True).cache()
+    comp = build_postings_compressed(
+        idx.counts, idx.doc_stats, idx.avgdl, chunk_bits=6
+    ).cache()
+    qt = qterms_df(spark, QUERIES, stem=True)
+    naive = _by_qid(
+        bm25_topk(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+            k=7,
+        ).collect()
+    )
+    single = _by_qid(
+        wand_topk_single(
+            qt, comp, idx.dictionary, idx.avgdl, k=7, chunk_bits=6
+        ).collect()
+    )
+    assert set(naive) == set(single)
+    for qid in naive:
+        assert [x[1] for x in naive[qid]] == [x[1] for x in single[qid]]
+
+
+def test_wand_pruned_negative_idf_many_chunks(spark):
+    """Regression: with all-negative idf (head terms, df > N/2) a doc
+    matching FEWER terms outscores the sum of per-term bounds; the naive
+    Σ-bounds ub under-estimated and the pruned plan skipped the chunk
+    holding the true best doc. Both pruned plans must survive chunk_bits=6
+    on the negative-idf query."""
+    from themis_search_engine_spark.queryeng.wand import wand_topk_single
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    idx = build_index(docs, stem=True).cache()
+    comp = build_postings_compressed(
+        idx.counts, idx.doc_stats, idx.avgdl, chunk_bits=6
+    ).cache()
+    qt = qterms_df(spark, {1: "spark shuffle join"}, stem=True)
+    naive = sorted(
+        (r["rank"], r["doc_id"])
+        for r in bm25_topk(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+            k=7,
+        ).collect()
+    )
+    pruned = sorted(
+        (r["rank"], r["doc_id"])
+        for r in wand_topk(
+            qt, comp, idx.dictionary, idx.avgdl, k=7, chunk_bits=6,
+            prune=True,
+        ).collect()
+    )
+    single = sorted(
+        (r["rank"], r["doc_id"])
+        for r in wand_topk_single(
+            qt, comp, idx.dictionary, idx.avgdl, k=7, chunk_bits=6
+        ).collect()
+    )
+    assert naive == pruned == single

@@ -5,10 +5,15 @@ The reference scores every candidate then fully sorts (OkapiBM25.java:
 identical semantics ("score everything, sort, take k"). Sequential WAND
 doesn't map onto a cluster, so this is the distributed adaptation:
 
- phase 0  chunk upper bounds: for each (qid, chunk), ub = Σ_terms
-          max(idf·core_max, idf·core_min) — pure Column arithmetic over the
-          chunk METADATA only (no posting bytes touched). Handles negative
-          idf (df > N/2) correctly via the min bound.
+ phase 0  chunk upper bounds from chunk METADATA only (no posting bytes
+          touched). Per term, bound_t = max(idf·core_max, idf·core_min)
+          (the min is the tight one for negative idf). Per chunk the doc
+          bound must respect OR semantics — a doc matches any SUBSET of
+          the query terms, so ub = Σ_t max(bound_t, 0) when any bound is
+          positive, else max_t bound_t (with all-negative bounds, matching
+          MORE terms only lowers the score, so the best single term bounds
+          every candidate; a plain Σ_t bound_t would UNDER-estimate and
+          skip the true top-k).
  phase 1  score the top-P chunks per qid by ub exactly → threshold θ =
           k-th best score found (lower bound of the final k-th score).
  phase 2  score only chunks with ub ≥ θ (the WAND skip: chunks whose best
@@ -63,30 +68,38 @@ _SCORED_SCHEMA = StructType(
 )
 
 
+def _score_chunk_rows(
+    pdf: pd.DataFrame, chunk_size: int, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-score ONE (qid, chunk)'s term rows → (offsets, scores).
+    Deterministic accumulation order (by term); O(postings) numpy
+    scatter-add into a dense per-offset array."""
+    scores = np.zeros(chunk_size, dtype=np.float64)
+    matched = np.zeros(chunk_size, dtype=bool)
+    for _, row in pdf.sort_values("term").iterrows():
+        deltas = vb_decode(row["doc_bytes"]).astype(np.int64)
+        offs = np.cumsum(deltas)  # doc_id - base (first delta is offset)
+        cnt = vb_decode(row["cnt_bytes"]).astype(np.float64)
+        mc = vb_decode(row["mc_bytes"]).astype(np.float64)
+        dl = vb_decode(row["dl_bytes"]).astype(np.float64)
+        tf = cnt / mc
+        idf = float(row["idf"])
+        part = idf * tf * (K1 + 1.0) / (
+            tf + K1 * (1.0 - B + B * dl / avgdl)
+        )
+        scores[offs] += part
+        matched[offs] = True
+    offs = np.nonzero(matched)[0]
+    return offs, scores[offs]
+
+
 def _chunk_scorer(k: int, avgdl: float, chunk_bits: int):
     chunk_size = 1 << chunk_bits
 
     def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
         base = int(pdf["chunk"].iloc[0]) << chunk_bits
-        scores = np.zeros(chunk_size, dtype=np.float64)
-        matched = np.zeros(chunk_size, dtype=bool)
-        # deterministic accumulation order: by term
-        for _, row in pdf.sort_values("term").iterrows():
-            deltas = vb_decode(row["doc_bytes"]).astype(np.int64)
-            offs = np.cumsum(deltas)  # doc_id - base (first delta is offset)
-            cnt = vb_decode(row["cnt_bytes"]).astype(np.float64)
-            mc = vb_decode(row["mc_bytes"]).astype(np.float64)
-            dl = vb_decode(row["dl_bytes"]).astype(np.float64)
-            tf = cnt / mc
-            idf = float(row["idf"])
-            part = idf * tf * (K1 + 1.0) / (
-                tf + K1 * (1.0 - B + B * dl / avgdl)
-            )
-            scores[offs] += part
-            matched[offs] = True
-        offs = np.nonzero(matched)[0]
-        sc = scores[offs]
+        offs, sc = _score_chunk_rows(pdf, chunk_size, avgdl)
         if len(offs) > k:
             # chunk-local top-k by (score desc, doc_id asc)
             order = np.lexsort((offs, -sc))[:k]
@@ -147,14 +160,23 @@ def wand_topk(
 
     joined = joined.localCheckpoint(eager=False)  # reused by both phases
 
-    # phase 0: chunk upper bounds from metadata only
-    ub = joined.groupBy("qid", "chunk").agg(
-        F.sum(
-            F.greatest(
-                F.col("idf") * F.col("core_max"),
-                F.col("idf") * F.col("core_min"),
-            )
-        ).alias("ub")
+    # phase 0: chunk upper bounds from metadata only (see module docstring
+    # for the subset-of-terms bound; Σ of raw bounds is unsound under
+    # negative idf)
+    bound_t = F.greatest(
+        F.col("idf") * F.col("core_max"), F.col("idf") * F.col("core_min")
+    )
+    ub = (
+        joined.groupBy("qid", "chunk")
+        .agg(
+            F.sum(F.greatest(bound_t, F.lit(0.0))).alias("pos_sum"),
+            F.max(bound_t).alias("best_single"),
+        )
+        .select(
+            "qid", "chunk",
+            F.when(F.col("pos_sum") > 0, F.col("pos_sum"))
+            .otherwise(F.col("best_single")).alias("ub"),
+        )
     )
     wub = Window.partitionBy("qid").orderBy(F.desc("ub"), F.asc("chunk"))
     ub_ranked = ub.withColumn("ubrank", F.row_number().over(wub))
@@ -193,4 +215,104 @@ def wand_topk(
         probe_scored.unionByName(rest_scored)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+_RANKED_SCHEMA = StructType(
+    [
+        StructField("qid", IntegerType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+        StructField("rank", IntegerType(), False),
+    ]
+)
+
+
+def _query_wand_runner(k: int, avgdl: float, chunk_bits: int):
+    chunk_size = 1 << chunk_bits
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        idf = pdf["idf"].to_numpy(dtype=np.float64)
+        # per-term bound, then the OR-semantics chunk bound (module
+        # docstring): Σ max(bound, 0) if any positive, else best single
+        contrib = np.maximum(
+            idf * pdf["core_max"].to_numpy(dtype=np.float64),
+            idf * pdf["core_min"].to_numpy(dtype=np.float64),
+        )
+        grp = pd.Series(contrib).groupby(pdf["chunk"].to_numpy())
+        pos_sum = pd.Series(np.maximum(contrib, 0.0)).groupby(
+            pdf["chunk"].to_numpy()
+        ).sum()
+        best_single = grp.max()
+        ub = pos_sum.where(pos_sum > 0, best_single).sort_index()
+        # descending ub, chunk asc tiebreak — the sequential WAND order
+        order = sorted(ub.index, key=lambda c: (-ub[c], c))
+        by_chunk = dict(tuple(pdf.groupby("chunk", sort=False)))
+
+        top_ids = np.empty(0, dtype=np.int64)
+        top_sc = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        for chunk in order:
+            if len(top_ids) == k and ub[chunk] < theta:
+                break  # no later chunk can reach the top-k (ub descending)
+            offs, sc = _score_chunk_rows(by_chunk[chunk], chunk_size, avgdl)
+            ids = offs + (int(chunk) << chunk_bits)
+            all_ids = np.concatenate([top_ids, ids])
+            all_sc = np.concatenate([top_sc, sc])
+            sel = np.lexsort((all_ids, -all_sc))[:k]
+            top_ids, top_sc = all_ids[sel], all_sc[sel]
+            if len(top_ids) == k:
+                theta = top_sc[-1]
+        return pd.DataFrame(
+            {
+                "qid": qid,
+                "doc_id": top_ids,
+                "score": top_sc,
+                "rank": np.arange(1, len(top_ids) + 1, dtype=np.int32),
+            }
+        )
+
+    return run
+
+
+def wand_topk_single(
+    qterms: DataFrame,
+    compressed: DataFrame,
+    dictionary: DataFrame,
+    avgdl: float,
+    k: int = 10,
+    *,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    term_list: list[str] | None = None,
+) -> DataFrame:
+    """The LATENCY plan: true sequential block-max WAND per query, ONE
+    Spark job (scan → groupBy(qid) shuffle → one task per query).
+
+    Each query's matched chunk rows gather in one task; the task walks
+    chunks in descending upper-bound order, keeps a running top-k and
+    threshold θ, and STOPS at the first chunk whose ub < θ — exactly the
+    classic WAND loop, impossible in the phased distributed plan without
+    paying 3 driver barriers per batch (wand_topk prune=True). Use for
+    interactive/small batches; parallelism is ACROSS queries, so a single
+    head-term query over a 10^12-doc corpus serializes in one task — at
+    that scale use wand_topk (pruned for latency, prune=False for batch).
+
+    Results are rank-identical to the naive path (score desc, doc_id asc,
+    raw-score grain)."""
+    from .bm25 import MAX_PRUNE_LITERALS
+
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
+    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+        compressed = compressed.where(F.col("term").isin(list(terms)))
+    q = F.broadcast(qterms.select("qid", "term").join(
+        dictionary.select("term", "idf"), "term"
+    ))
+    joined = compressed.join(q, "term")
+    return joined.groupBy("qid").applyInPandas(
+        _query_wand_runner(k, avgdl, chunk_bits), _RANKED_SCHEMA
     )

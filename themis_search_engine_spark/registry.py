@@ -213,6 +213,19 @@ def q_bm25_topk_wand_batch(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+def q_bm25_topk_wand_single(spark, sf_dir):
+    """Single-task sequential block-max WAND (the latency plan: one job,
+    early-exit θ loop per query) against the same naive top-k oracle."""
+    from .queryeng.wand import wand_topk_single
+
+    idx = get_index(spark, sf_dir)
+    comp = get_compressed(spark, sf_dir)
+    wide = wand_topk_single(
+        _qt(spark, stem=False), comp, idx.dictionary, idx.avgdl, k=30
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 # --- stemmed pipeline (SQL-oracled through the corpus-derived (term, stem)
 # mapping — oracle_sql.tok_cte_stemmed; porter.py itself is pinned by
 # hand-verified goldens in tests/test_porter.py) -----------------------------
@@ -249,6 +262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings_roundtrip": q_postings_roundtrip,
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_wand_batch": q_bm25_topk_wand_batch,
+    "bm25_topk_wand_single": q_bm25_topk_wand_single,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -270,6 +284,7 @@ ORACLE_SQL: dict[str, str] = {
     "postings_roundtrip": osql.sql_tf_maxnorm(),
     "bm25_topk_wand": osql.sql_bm25_topk(10),
     "bm25_topk_wand_batch": osql.sql_bm25_topk(10),
+    "bm25_topk_wand_single": osql.sql_bm25_topk(10),
 }
 
 
