@@ -169,6 +169,10 @@ def main() -> None:
             sc_rec = json.load(fh)
         extra["scaling_build_efficiency"] = sc_rec["build_efficiency"]
         extra["scaling_query_efficiency"] = sc_rec["query_efficiency"]
+        for name, rec in sc_rec.get("pairs", {}).items():
+            tag = name.replace("->", "_")
+            extra[f"scaling_build_eff_{tag}"] = rec["build_efficiency"]
+            extra[f"scaling_query_eff_{tag}"] = rec["query_efficiency"]
     except (OSError, KeyError, ValueError):
         pass
 

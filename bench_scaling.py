@@ -2,8 +2,7 @@
 """Two-parallelism scaling bench → throughput efficiency (north rule >= 0.8).
 
 Runs scripts/scaling_workload.py in FRESH processes (fresh JVM each) at N
-and 4N cores (default 4 and 16) on the same materialized corpus, and
-reports
+and 4N cores on the same materialized corpus, and reports
 
   efficiency = (throughput_4N / throughput_N) / 4
 
@@ -16,10 +15,14 @@ criterion is about. Writes BENCH_SCALING.json and prints one JSON line.
 This is the sandbox evidencing of the north rule's "N to 4N executors"
 criterion (BASELINE.md: no real cluster available).
 
-On this 32-vCPU box the default pair is 4→16: the 16 lanes are physical
-cores; 8→32 crosses the SMT boundary, which caps even ideal scaling at
-~0.8 (measured with raw multiprocessing) and would measure the silicon,
-not the engine. Both pairs satisfy the north rule's "N and 4N".
+TWO pairs run by default (SPARK_GRAFT_SCALE_PAIRS="2:8,4:16"):
+- 2→8: both levels fully below this box's turbo/SMT cliff — the CLEAN
+  pair where the absolute >= 0.8 target is meaningful on shared silicon;
+- 4→16: the widest physical-core pair (16 lanes are physical; 8→32 would
+  cross the SMT boundary and measure the silicon, not the engine). Read
+  against the same-run hw_calibration ceilings.
+The primary record (top-level keys, kept schema-compatible with round 1)
+is the widest pair; all pairs appear under "pairs".
 """
 
 from __future__ import annotations
@@ -106,12 +109,8 @@ def hw_calibration(lo: int, hi: int) -> dict:
     return out
 
 
-def main() -> None:
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", 4))
-    hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 16))
-    pages_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), "themis_scale_pages"
-    )
+def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
+    """Best-of-ATTEMPTS scaling record for one (lo, hi) core pair."""
     best: dict[int, dict | None] = {lo: None, hi: None}
     ratio = hi / lo
     attempts_used = 0
@@ -125,14 +124,12 @@ def main() -> None:
                  / best[lo]["queries_per_sec"]) / ratio
         if b_eff >= TARGET and q_eff >= TARGET:
             break
-    shutil.rmtree(pages_dir, ignore_errors=True)
 
     r_lo, r_hi = best[lo], best[hi]
     build_eff = (r_hi["build_docs_per_sec"] / r_lo["build_docs_per_sec"]) / ratio
     query_eff = (r_hi["queries_per_sec"] / r_lo["queries_per_sec"]) / ratio
     calib = hw_calibration(lo, hi)
-    out = {
-        "metric": "scaling_efficiency",
+    return {
         "lo_cpus": lo,
         "hi_cpus": hi,
         "n_docs": r_lo["n_docs"],
@@ -164,6 +161,27 @@ def main() -> None:
         "query_pass": query_eff >= TARGET,
         "levels": [r_lo, r_hi],
     }
+
+
+def main() -> None:
+    pairs_env = os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2:8,4:16")
+    pairs = [
+        (int(a), int(b))
+        for a, b in (p.split(":") for p in pairs_env.split(","))
+    ]
+    pages_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "themis_scale_pages"
+    )
+    records: dict[str, dict] = {}
+    try:
+        for lo, hi in pairs:
+            records[f"{lo}->{hi}"] = run_pair(lo, hi, pages_dir)
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+
+    # primary (top-level, round-1-schema-compatible) = the widest pair
+    primary = records[max(records, key=lambda k: records[k]["hi_cpus"])]
+    out = {"metric": "scaling_efficiency", **primary, "pairs": records}
     with open(os.path.join(HERE, "BENCH_SCALING.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
