@@ -110,3 +110,70 @@ def test_srp_signature_deterministic(spark):
     b = dict(srp_signature(embs, 16, 64).collect())
     assert a == b
     assert all(0 <= v < (1 << 16) for v in a.values())
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A transitive chain 1-2-3-4-5 collapses to one cluster labeled by its
+    min id; disconnected pair and singletons stay separate. Chains are the
+    case pairwise dedup under-deletes on — the clustering op exists for
+    exactly this."""
+    from themis_search_engine_spark.pipeline_ops import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    got = dict(
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, nodes).collect()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   6: 6, 7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    """Pointer-jumping compression: a 64-node path needs ~log2(64)+1 rounds,
+    not 64 — max_iterations=8 must suffice (plain HashMin would need 63)."""
+    from themis_search_engine_spark.pipeline_ops import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = connected_components(pairs, nodes, max_iterations=8)
+    assert {r.cluster_id for r in got.collect()} == {0}
+
+
+def test_connected_components_matches_lsh_pair_closure(spark, tiny_docs_df):
+    """Cluster labels = transitive closure of the LSH near-dup pairs."""
+    from themis_search_engine_spark.pipeline_ops import connected_components
+
+    pairs = minhash_lsh_pairs(tiny_docs_df, n=2, k=16, bands=8, tau=0.1)
+    nodes = tiny_docs_df.select("doc_id")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs.select("doc_a", "doc_b"), nodes
+        ).collect()
+    }
+    # python-side union-find oracle
+    parent = {r.doc_id: r.doc_id for r in nodes.collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.select("doc_a", "doc_b").collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # union-find roots are not guaranteed min-of-component; normalize
+    comp = {}
+    for x, r in want.items():
+        comp.setdefault(r, []).append(x)
+    want = {x: min(members) for r, members in comp.items() for x in members}
+    assert got == want

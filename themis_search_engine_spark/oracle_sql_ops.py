@@ -516,3 +516,52 @@ def sql_media_meta() -> str:
         + ('0x' || substr(md5(text), 9, 2))::BIGINT) AS height,
        16::BIGINT AS n_bytes
 FROM documents"""
+
+
+def sql_dedup_clusters(
+    n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.8
+) -> str:
+    """Connected components over the MinHash-LSH near-dup pairs: min
+    reachable doc_id per node via a recursive CTE (UNION dedups states, so
+    the recursion terminates at |component|² states per component — fine at
+    oracle scale; the Spark side is the O(log d) HashMin+compression op)."""
+    return f"""WITH RECURSIVE pairs AS (
+{sql_minhash_lsh_pairs(n, k, bands, tau)}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"""
+
+
+def sql_corpus_clean(
+    quality_tau: float = 0.5,
+    lang: str = "en",
+    n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.8,
+) -> str:
+    """The end-to-end cleaning pass: language filter ∩ quality filter ∩
+    one-canonical-doc-per-near-dup-cluster. Composes the lang_id,
+    quality_score and dedup_clusters oracles as nested subqueries."""
+    return f"""WITH lang AS (
+{sql_lang_id()}
+),
+qual AS (
+{sql_quality_score()}
+),
+clus AS (
+{sql_dedup_clusters(n, k, bands, tau)}
+)
+SELECT d.doc_id, lang.pred_lang, qual.quality
+FROM documents d
+JOIN lang USING (doc_id)
+JOIN qual USING (doc_id)
+JOIN clus USING (doc_id)
+WHERE lang.pred_lang = '{lang}'
+  AND qual.quality >= {quality_tau}
+  AND clus.cluster_id = d.doc_id"""

@@ -12,6 +12,7 @@ multimodal decode plumbing (Arrow-batched mapInPandas).
 """
 
 from .dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,

@@ -339,3 +339,94 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components of the near-dup graph;
+    cluster_id = MIN doc_id in the component (singletons map to themselves).
+
+    This is the step that turns pairwise near-dup evidence (from
+    :func:`minhash_lsh_pairs` / :func:`simhash_pairs` / exact hashes) into
+    dedup GROUPS, so a cleaning pass can keep exactly one canonical doc per
+    cluster — pairs alone under-delete on transitive chains (A~B, B~C but
+    A!~C must still collapse to one survivor).
+
+    Algorithm: HashMin label propagation with per-round pointer-jumping
+    compression. Labels start at identity; each round takes
+    ``label'(v) = min(label(v), min over neighbors u of label(u))`` and then
+    compresses ``label''(v) = label'(label'(v))``. Labels are monotonically
+    non-increasing and always name a node of v's own component, so the
+    fixpoint is the component minimum; compression roughly squares the
+    distance min-labels travel per round, giving O(log d) rounds for
+    diameter d instead of O(d) (the same two-op round as the alternating
+    large-star/small-star construction of Kiveris et al., CC-MR).
+
+    Scale: every step is a doc_id-keyed groupBy/join (shuffles are linear in
+    |edges| + |nodes|); nothing is broadcast or collected except the per-round
+    convergence scalar. The label table is localCheckpoint()ed each round —
+    constant-size lineage at any iteration count (the PageRank lesson,
+    linkgraph.py:90). Edge tables from LSH dedup are ~O(N) by construction.
+
+    ``nodes`` must contain every id appearing in ``pairs`` (docs absent from
+    any pair come out as singletons); the compression self-join relies on it.
+    """
+    ids = nodes.columns[0]
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # materialize once; reused every round
+
+    labels = nodes.select(
+        F.col(ids).alias("doc_id"), F.col(ids).alias("cluster_id")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        relabeled = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jumping: label(label(v)). Valid because every label is a
+        # node id with its own (smaller-or-equal) label.
+        a, b = relabeled.alias("a"), relabeled.alias("b")
+        compressed = (
+            a.join(b, F.col("a.cluster_id") == F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.cluster_id").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(diameter > ~2^iterations is not a near-dup graph)"
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from . import oracle_sql_ops as osqlo
 from .corpus import load_documents, load_embeddings
 from .pipeline_ops import (
+    connected_components,
     cosine_pairs,
     cosine_topk,
     exact_dedup,
@@ -65,6 +66,38 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         _docs(spark, sf_dir), n=2, k=16, bands=8, tau=0.8
     )
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _lsh_clusters(docs: DataFrame) -> DataFrame:
+    pairs = minhash_lsh_pairs(docs, n=2, k=16, bands=8, tau=0.8)
+    return connected_components(
+        pairs.select("doc_a", "doc_b"), docs.select("doc_id")
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return _lsh_clusters(_docs(spark, sf_dir))
+
+
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end cleaning pass: lang=='en' ∩ quality>=0.5 ∩ cluster
+    canonical (one survivor per near-dup component — subsumes exact dedup,
+    since byte-identical texts share all MinHash bands)."""
+    docs = _docs(spark, sf_dir)
+    qual = quality_score(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    clus = _lsh_clusters(docs)
+    return (
+        docs.join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(clus, "doc_id")
+        .where(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "pred_lang", "quality")
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -188,6 +221,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_clean": q_corpus_clean,
     "simhash": q_simhash,
     "dedup_simhash": q_dedup_simhash,
     "token_stats": q_token_stats,
@@ -210,6 +245,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "dedup_jaccard": osqlo.sql_jaccard_pairs(2, 0.8),
     "minhash_signatures": osqlo.sql_minhash_signatures(2, 16),
     "dedup_minhash_lsh": osqlo.sql_minhash_lsh_pairs(2, 16, 8, 0.8),
+    "dedup_clusters": osqlo.sql_dedup_clusters(2, 16, 8, 0.8),
+    "corpus_clean": osqlo.sql_corpus_clean(0.5, "en", 2, 16, 8, 0.8),
     "simhash": osqlo.sql_simhash(),
     "dedup_simhash": osqlo.sql_simhash_pairs(3, 4),
     "token_stats": osqlo.sql_token_stats(),
