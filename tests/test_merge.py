@@ -1,0 +1,161 @@
+"""Delta merge ≡ full rebuild: merging a delta corpus into a base serving
+index must be indistinguishable (stats, dictionary, scores, ranks) from
+rebuilding over the union — the reference has no incremental path
+(Indexer.java rebuilds), so the rebuild IS the semantics oracle."""
+
+import pytest
+
+from themis_search_engine_spark.corpus import load_documents
+from themis_search_engine_spark.indexing.build import (
+    build_and_save_serving,
+    load_serving_index,
+)
+from themis_search_engine_spark.indexing.merge import (
+    merge_serving_delta,
+    serving_bound_scales,
+)
+from themis_search_engine_spark.oracle_sql import QUERYSET
+from themis_search_engine_spark.queryeng import qterms_df
+from themis_search_engine_spark.queryeng.wand import wand_topk, wand_topk_single
+
+SF_DIR = "/root/testdata/sf0.001"
+CB = 4  # tiny chunks so even/odd splits create base+delta fragments
+
+
+def _ranked(df):
+    return sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect()
+    )
+
+
+def _dict_rows(idx):
+    return sorted(
+        (r["term"], r["df"], round(r["idf"], 12))
+        for r in idx.dictionary.collect()
+    )
+
+
+def _stats_rows(idx):
+    return sorted(
+        (r["doc_id"], r["length"], r["maxcnt"]) for r in idx.doc_stats.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF_DIR).select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def full_idx(spark, docs, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("full") / "idx")
+    return build_and_save_serving(docs, p, stem=False, chunk_bits=CB,
+                                  partitions=8)
+
+
+def test_merge_equals_full_rebuild(spark, docs, full_idx, tmp_path):
+    base = docs.where("doc_id % 2 = 0")
+    delta = docs.where("doc_id % 2 = 1")
+    p = str(tmp_path / "idx")
+    build_and_save_serving(base, p, stem=False, chunk_bits=CB, partitions=8)
+    merged = merge_serving_delta(spark, p, delta, stem=False, partitions=8)
+
+    assert merged.n_docs == full_idx.n_docs
+    assert merged.avgdl == full_idx.avgdl  # exact: long total_len arithmetic
+    assert merged.chunk_bits == full_idx.chunk_bits == CB
+    assert _dict_rows(merged) == _dict_rows(full_idx)
+    assert _stats_rows(merged) == _stats_rows(full_idx)
+
+    # the interleaved split must actually exercise fragments: same
+    # (term, chunk) present in both the base and the delta segment
+    frags = (
+        merged.compressed.groupBy("term", "chunk").count()
+        .where("count > 1").count()
+    )
+    assert frags > 0
+
+    qt = qterms_df(spark, QUERYSET, stem=False)
+    scales = serving_bound_scales(spark, p)
+    got = wand_topk(qt, merged.compressed, merged.dictionary, merged.avgdl,
+                    k=10, chunk_bits=CB, bound_scales=scales)
+    want = wand_topk(qt, full_idx.compressed, full_idx.dictionary,
+                     full_idx.avgdl, k=10, chunk_bits=CB)
+    assert _ranked(got) == _ranked(want)
+
+    # reload from disk: persisted layout carries everything needed
+    re = load_serving_index(spark, p)
+    assert re.n_docs == merged.n_docs and re.avgdl == merged.avgdl
+    got2 = wand_topk(qt, re.compressed, re.dictionary, re.avgdl, k=10,
+                     chunk_bits=re.chunk_bits, bound_scales=scales)
+    assert _ranked(got2) == _ranked(want)
+
+
+def test_two_generation_merge(spark, docs, full_idx, tmp_path):
+    p = str(tmp_path / "idx")
+    build_and_save_serving(docs.where("doc_id % 3 = 0"), p, stem=False,
+                           chunk_bits=CB, partitions=8)
+    merge_serving_delta(spark, p, docs.where("doc_id % 3 = 1"),
+                        stem=False, partitions=8)
+    merged = merge_serving_delta(spark, p, docs.where("doc_id % 3 = 2"),
+                                 stem=False, partitions=8)
+
+    assert merged.n_docs == full_idx.n_docs
+    assert merged.avgdl == full_idx.avgdl
+    assert _dict_rows(merged) == _dict_rows(full_idx)
+
+    import json
+    import os
+    log = json.load(open(os.path.join(p, "merge_log.json")))
+    assert [e["gen"] for e in log] == [1, 2]
+    assert log[1]["n_docs_after"] == full_idx.n_docs
+    assert all(e["postings_added"] > 0 for e in log)
+
+    qt = qterms_df(spark, QUERYSET, stem=False)
+    got = wand_topk_single(
+        qt, merged.compressed, merged.dictionary, merged.avgdl, k=10,
+        chunk_bits=CB, bound_scales=serving_bound_scales(spark, p),
+    )
+    want = wand_topk_single(qt, full_idx.compressed, full_idx.dictionary,
+                            full_idx.avgdl, k=10, chunk_bits=CB)
+    assert _ranked(got) == _ranked(want)
+
+
+def test_merge_rejects_duplicate_doc_ids(spark, docs, tmp_path):
+    p = str(tmp_path / "idx")
+    build_and_save_serving(docs.where("doc_id % 2 = 0"), p, stem=False,
+                           chunk_bits=CB, partitions=8)
+    with pytest.raises(ValueError, match="already exists"):
+        merge_serving_delta(spark, p, docs.where("doc_id % 4 = 0"),
+                            stem=False, partitions=8)
+
+
+def test_avgdl_shift_pruning_stays_sound(spark, tmp_path):
+    """Delta docs 20× longer than base: merged avgdl far above the base
+    segment's encode-time avgdl, so unscaled base core_max would UNDER-
+    state true chunk bounds (bm25_core rises with avgdl) and pruned WAND
+    could skip true top-k chunks. With bound_scales, pruned == unpruned."""
+    base_rows = [
+        (i, f"alpha beta gamma doc{i}") for i in range(0, 24, 2)
+    ]
+    delta_rows = [
+        (i, "alpha " + " ".join(f"filler{j} beta" for j in range(40)))
+        for i in range(1, 25, 2)
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    p = str(tmp_path / "idx")
+    build_and_save_serving(base, p, stem=False, chunk_bits=2, partitions=4)
+    merged = merge_serving_delta(spark, p, delta, stem=False, partitions=4)
+
+    hi, lo = serving_bound_scales(spark, p)
+    assert hi > 1.0  # the scenario actually stresses the stale bounds
+    assert lo == 1.0
+
+    qt = qterms_df(spark, {1: "alpha beta", 2: "gamma"}, stem=False)
+    pruned = wand_topk(qt, merged.compressed, merged.dictionary,
+                       merged.avgdl, k=3, chunk_bits=2, probe_chunks=1,
+                       bound_scales=(hi, lo))
+    exact = wand_topk(qt, merged.compressed, merged.dictionary,
+                      merged.avgdl, k=3, chunk_bits=2, prune=False)
+    assert _ranked(pruned) == _ranked(exact)

@@ -122,12 +122,21 @@ def wand_topk(
     probe_chunks: int = 2,
     prune: bool = True,
     term_list: list[str] | None = None,
+    bound_scales: tuple[float, float] = (1.0, 1.0),
 ) -> DataFrame:
     """(qid, doc_id, score, rank) — top-k per query over compressed chunks.
 
     ``term_list``: the batch's distinct (already-stemmed) terms, if the
     caller knows them driver-side (qterms_df callers always do) — saves the
     collect job that would otherwise derive them.
+
+    ``bound_scales`` = (hi, lo) with hi >= 1 >= lo: pruning-soundness
+    factors for multi-segment indexes whose chunks were encoded under an
+    older avgdl (indexing/merge.py module docstring derives them from the
+    BM25 core's monotonicity in avgdl). They scale only the core_min/
+    core_max pruning METADATA — exact scoring always decodes dl_bytes and
+    uses the current ``avgdl``, so scores are unaffected; hi/lo merely
+    keep stale upper bounds sound (at the cost of slightly looser skips).
     """
     from .bm25 import MAX_PRUNE_LITERALS
 
@@ -162,9 +171,13 @@ def wand_topk(
 
     # phase 0: chunk upper bounds from metadata only (see module docstring
     # for the subset-of-terms bound; Σ of raw bounds is unsound under
-    # negative idf)
+    # negative idf). For idf > 0 the binding term is core_max·hi; for
+    # idf < 0 it is core_min·lo — greatest() picks the right one in both
+    # sign cases because hi >= lo.
+    hi, lo = bound_scales
     bound_t = F.greatest(
-        F.col("idf") * F.col("core_max"), F.col("idf") * F.col("core_min")
+        F.col("idf") * (F.col("core_max") * F.lit(float(hi))),
+        F.col("idf") * (F.col("core_min") * F.lit(float(lo))),
     )
     ub = (
         joined.groupBy("qid", "chunk")
@@ -228,17 +241,22 @@ _RANKED_SCHEMA = StructType(
 )
 
 
-def _query_wand_runner(k: int, avgdl: float, chunk_bits: int):
+def _query_wand_runner(
+    k: int, avgdl: float, chunk_bits: int,
+    bound_scales: tuple[float, float] = (1.0, 1.0),
+):
     chunk_size = 1 << chunk_bits
+    hi, lo = float(bound_scales[0]), float(bound_scales[1])
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
         idf = pdf["idf"].to_numpy(dtype=np.float64)
         # per-term bound, then the OR-semantics chunk bound (module
-        # docstring): Σ max(bound, 0) if any positive, else best single
+        # docstring): Σ max(bound, 0) if any positive, else best single.
+        # hi/lo keep stale multi-segment metadata sound (wand_topk doc).
         contrib = np.maximum(
-            idf * pdf["core_max"].to_numpy(dtype=np.float64),
-            idf * pdf["core_min"].to_numpy(dtype=np.float64),
+            idf * (pdf["core_max"].to_numpy(dtype=np.float64) * hi),
+            idf * (pdf["core_min"].to_numpy(dtype=np.float64) * lo),
         )
         grp = pd.Series(contrib).groupby(pdf["chunk"].to_numpy())
         pos_sum = pd.Series(np.maximum(contrib, 0.0)).groupby(
@@ -285,6 +303,7 @@ def wand_topk_single(
     *,
     chunk_bits: int = DEFAULT_CHUNK_BITS,
     term_list: list[str] | None = None,
+    bound_scales: tuple[float, float] = (1.0, 1.0),
 ) -> DataFrame:
     """The LATENCY plan: true sequential block-max WAND per query, ONE
     Spark job (scan → groupBy(qid) shuffle → one task per query).
@@ -314,5 +333,5 @@ def wand_topk_single(
     ))
     joined = compressed.join(q, "term")
     return joined.groupBy("qid").applyInPandas(
-        _query_wand_runner(k, avgdl, chunk_bits), _RANKED_SCHEMA
+        _query_wand_runner(k, avgdl, chunk_bits, bound_scales), _RANKED_SCHEMA
     )

@@ -226,6 +226,42 @@ def q_bm25_topk_wand_single(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+_MCACHE: dict[str, tuple] = {}
+
+
+def q_delta_merge_topk(spark, sf_dir):
+    """Incremental segment merge end-to-end (indexing/merge.py): a serving
+    index built over the even-doc_id half, delta-merged with the odd half,
+    must produce BM25 top-k rank-identical to the full-corpus oracle (same
+    naive SQL twin as bm25_topk_wand). Exercises fragment accumulation in
+    the WAND scorer and the stale-bound scales of multi-segment pruning."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving
+    from .indexing.merge import merge_serving_delta, serving_bound_scales
+    from .queryeng.wand import wand_topk
+
+    if sf_dir not in _MCACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        p = tempfile.mkdtemp(prefix="themis_delta_merge_") + "/idx"
+        # chunk_bits=8 so the interleaved halves land in the SAME chunks →
+        # every consulted (term, chunk) group really is fragmented
+        build_and_save_serving(
+            docs.where("doc_id % 2 = 0"), p, stem=False, chunk_bits=8,
+            partitions=16,
+        )
+        idx = merge_serving_delta(
+            spark, p, docs.where("doc_id % 2 = 1"), stem=False, partitions=16
+        )
+        _MCACHE[sf_dir] = (idx, serving_bound_scales(spark, p))
+    idx, scales = _MCACHE[sf_dir]
+    wide = wand_topk(
+        _qt(spark, stem=False), idx.compressed, idx.dictionary, idx.avgdl,
+        k=30, chunk_bits=idx.chunk_bits, bound_scales=scales,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 # --- stemmed pipeline (SQL-oracled through the corpus-derived (term, stem)
 # mapping — oracle_sql.tok_cte_stemmed; porter.py itself is pinned by
 # hand-verified goldens in tests/test_porter.py) -----------------------------
@@ -263,6 +299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_wand_batch": q_bm25_topk_wand_batch,
     "bm25_topk_wand_single": q_bm25_topk_wand_single,
+    "delta_merge_topk": q_delta_merge_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -285,6 +322,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_wand": osql.sql_bm25_topk(10),
     "bm25_topk_wand_batch": osql.sql_bm25_topk(10),
     "bm25_topk_wand_single": osql.sql_bm25_topk(10),
+    "delta_merge_topk": osql.sql_bm25_topk(10),
 }
 
 
