@@ -11,6 +11,7 @@ from themis_search_engine_spark.indexing.build import (
     load_serving_index,
 )
 from themis_search_engine_spark.indexing.merge import (
+    compact_serving_index,
     merge_serving_delta,
     serving_bound_scales,
 )
@@ -119,6 +120,51 @@ def test_two_generation_merge(spark, docs, full_idx, tmp_path):
     want = wand_topk_single(qt, full_idx.compressed, full_idx.dictionary,
                             full_idx.avgdl, k=10, chunk_bits=CB)
     assert _ranked(got) == _ranked(want)
+
+
+def test_compact_restores_single_segment(spark, docs, full_idx, tmp_path):
+    """After two delta merges, compaction must (a) collapse every
+    (term, chunk) group back to ONE fragment row, (b) reset the pruning
+    envelope so bound scales are exactly (1.0, 1.0), and (c) leave stats,
+    dictionary and ranks indistinguishable from a fresh full build."""
+    p = str(tmp_path / "idx")
+    build_and_save_serving(docs.where("doc_id % 3 = 0"), p, stem=False,
+                           chunk_bits=CB, partitions=8)
+    merge_serving_delta(spark, p, docs.where("doc_id % 3 = 1"),
+                        stem=False, partitions=8)
+    merge_serving_delta(spark, p, docs.where("doc_id % 3 = 2"),
+                        stem=False, partitions=8)
+    assert (
+        load_serving_index(spark, p).compressed
+        .groupBy("term", "chunk").count().where("count > 1").count() > 0
+    )
+
+    idx = compact_serving_index(spark, p, partitions=8)
+
+    max_frags = (
+        idx.compressed.groupBy("term", "chunk").count()
+        .agg({"count": "max"}).collect()[0][0]
+    )
+    assert max_frags == 1
+    assert serving_bound_scales(spark, p) == (1.0, 1.0)
+    assert idx.n_docs == full_idx.n_docs
+    assert idx.avgdl == full_idx.avgdl
+    assert idx.chunk_bits == CB
+    assert _dict_rows(idx) == _dict_rows(full_idx)
+    assert _stats_rows(idx) == _stats_rows(full_idx)
+
+    qt = qterms_df(spark, QUERYSET, stem=False)
+    got = wand_topk(qt, idx.compressed, idx.dictionary, idx.avgdl, k=10,
+                    chunk_bits=CB)
+    want = wand_topk(qt, full_idx.compressed, full_idx.dictionary,
+                     full_idx.avgdl, k=10, chunk_bits=CB)
+    assert _ranked(got) == _ranked(want)
+
+    import json
+    import os
+    log = json.load(open(os.path.join(p, "merge_log.json")))
+    assert log[-1]["type"] == "compact"
+    assert log[-1]["postings"] > 0 and log[-1]["chunk_rows"] > 0
 
 
 def test_merge_rejects_duplicate_doc_ids(spark, docs, tmp_path):

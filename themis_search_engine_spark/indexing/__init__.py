@@ -7,3 +7,8 @@ from .build import (  # noqa: F401
     load_index,
     load_serving_index,
 )
+from .merge import (  # noqa: F401
+    compact_serving_index,
+    merge_serving_delta,
+    serving_bound_scales,
+)

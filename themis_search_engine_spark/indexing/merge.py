@@ -135,6 +135,122 @@ def _move_segment_files(tmp_dir: str, dst_dir: str, prefix: str) -> list[str]:
     return moved
 
 
+def compact_serving_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    partitions: int = 64,
+    timings: dict | None = None,
+) -> ServingIndex:
+    """Rewrite all segments of the index at ``path`` into one (the
+    Lucene-style major merge that completes the segment lifecycle
+    :func:`merge_serving_delta` starts).
+
+    Why it exists: every delta merge (a) fragments (term, chunk) groups
+    across segment files — each fragment is one extra scatter-add row for
+    the WAND chunk scorer and one extra row in the chunk-metadata scan —
+    and (b) widens the [min_enc_avgdl, max_enc_avgdl] envelope, loosening
+    the pruning-bound scales (:func:`serving_bound_scales`), so pruned
+    single-query WAND inspects more chunks than a fresh build would.
+    Compaction restores single-segment tightness without touching the
+    corpus: one (term, chunk) row per group, all block-max metadata
+    re-encoded at the CURRENT avgdl, bound scales back to exactly
+    (1.0, 1.0).
+
+    Cost model: O(total postings) through the same two scale-proven
+    stages as the base build — the sorted (term, chunk) shuffle over the
+    persisted raw postings table and the file-parallel compression pass —
+    but NO tokenization (the dominant build cost) and no corpus read. On
+    a 100 TB deployment this is the scheduled background major-merge,
+    amortized across many deltas; doc_stats, N, avgdl and ranks are
+    unchanged by construction (proven merge≡rebuild-tight in
+    tests/test_merge.py::test_compact_restores_single_segment).
+
+    Commit ordering mirrors the merge path: both replacement tables are
+    fully written before the first swap, and global_stats (the authority
+    for the pruning envelope) is overwritten last before the log append.
+    """
+    t = timings if timings is not None else {}
+    base = _base_totals(spark, path)
+    cb = base["chunk_bits"]
+    gen = _next_gen(path)
+    raw_tmp = f"{path}/_compact{gen}_raw"
+    comp_tmp = f"{path}/_compact{gen}_comp"
+    shutil.rmtree(raw_tmp, ignore_errors=True)
+    shutil.rmtree(comp_tmp, ignore_errors=True)
+
+    # 1. coalesce every segment's raw postings into fresh whole-group
+    #    sorted files (same shuffle discipline as the base build).
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(f"{path}/postings_raw")
+        .repartition(partitions, "term", "chunk")
+        .sortWithinPartitions("term", "chunk", "doc_id")
+        .write.mode("overwrite")
+        .parquet(raw_tmp)
+    )
+    t["compact_shuffle"] = time.perf_counter() - t0
+
+    # 2. re-encode at the CURRENT avgdl: every chunk's pruning metadata
+    #    becomes exact for the merged corpus, so the envelope collapses.
+    t0 = time.perf_counter()
+    cmetrics = compress_files(spark, raw_tmp, comp_tmp, base["avgdl"],
+                              chunk_bits=cb)
+    t["compact_compress"] = time.perf_counter() - t0
+
+    # 3. swap both tables, then refresh dictionary + global_stats
+    t0 = time.perf_counter()
+    for table, tmp in (("postings_raw", raw_tmp), ("postings_comp", comp_tmp)):
+        live = f"{path}/{table}"
+        old = f"{path}/_pre_compact{gen}_{table}"
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    n_docs = base["n_docs"]
+    comp = spark.read.parquet(f"{path}/postings_comp")
+    dictionary = (
+        comp.groupBy("term")
+        .agg(F.sum("df_chunk").alias("df"))
+        .withColumn(
+            "idf",
+            F.log2(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    spark.createDataFrame(
+        [(n_docs, base["avgdl"], cb, base["total_len"], base["avgdl"],
+          base["avgdl"])],
+        "n_docs long, avgdl double, chunk_bits int, total_len long, "
+        "min_enc_avgdl double, max_enc_avgdl double",
+    ).write.mode("overwrite").parquet(f"{path}/global_stats")
+    t["compact_finalize"] = time.perf_counter() - t0
+
+    log_path = f"{path}/merge_log.json"
+    entries = []
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            entries = json.load(fh)
+    entries.append(
+        {
+            "gen": gen,
+            "type": "compact",
+            "postings": sum(m["postings"] for m in cmetrics),
+            "chunk_rows": sum(m["chunks"] for m in cmetrics),
+            "enc_avgdl": base["avgdl"],
+            "n_docs_after": n_docs,
+            "bytes_out": sum(m["bytes_out"] for m in cmetrics),
+            "seconds": {k: round(v, 3) for k, v in t.items()},
+        }
+    )
+    with open(log_path, "w") as fh:
+        json.dump(entries, fh, indent=1)
+
+    return load_serving_index(spark, path)
+
+
 def merge_serving_delta(
     spark: SparkSession,
     path: str,
