@@ -159,6 +159,30 @@ def main() -> None:
         extra["synth_docs"] = synth_docs
         extra["synth_postings"] = sidx.n_postings
         extra["docs_per_sec_synth"] = synth_docs / stages["build_synth"]
+
+        # --- batch query: doc-sharded file-parallel serving plan ----------
+        # (queryeng/sharded.py) over the persisted synth index — hot
+        # driver-side dictionary, posting bytes never cross the bridge
+        from themis_search_engine_spark.queryeng.pipeline import (
+            query_term_map,
+        )
+        from themis_search_engine_spark.queryeng.sharded import (
+            collect_idf_map,
+            wand_topk_sharded,
+        )
+
+        idf_map = collect_idf_map(sidx.dictionary)
+        qmap = query_term_map(queries, stem=True)
+        t0 = time.perf_counter()
+        rows_s = wand_topk_sharded(
+            spark, f"{tmp}/index/postings_comp", qmap, None, sidx.avgdl,
+            sidx.n_docs, k=10, chunk_bits=sidx.chunk_bits, idf_map=idf_map,
+        ).collect()
+        stages["wand_sharded"] = time.perf_counter() - t0
+        extra["queries_per_sec_sharded"] = len(queries) / stages[
+            "wand_sharded"
+        ]
+        extra["sharded_result_rows"] = len(rows_s)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -169,6 +193,10 @@ def main() -> None:
             sc_rec = json.load(fh)
         extra["scaling_build_efficiency"] = sc_rec["build_efficiency"]
         extra["scaling_query_efficiency"] = sc_rec["query_efficiency"]
+        if sc_rec.get("sharded_query_efficiency") is not None:
+            extra["scaling_sharded_query_efficiency"] = sc_rec[
+                "sharded_query_efficiency"
+            ]
         for name, rec in sc_rec.get("pairs", {}).items():
             tag = name.replace("->", "_")
             extra[f"scaling_build_eff_{tag}"] = rec["build_efficiency"]

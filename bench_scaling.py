@@ -64,6 +64,11 @@ def merge_best(best: dict | None, run: dict) -> dict:
     if run["queries_per_sec"] > best["queries_per_sec"]:
         for k in ("query_sec", "queries_per_sec"):
             out[k] = run[k]
+    if run.get("sharded_queries_per_sec", 0) > best.get(
+        "sharded_queries_per_sec", 0
+    ):
+        for k in ("sharded_query_sec", "sharded_queries_per_sec"):
+            out[k] = run[k]
     return out
 
 
@@ -141,6 +146,19 @@ def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
                             str(hi): r_hi["queries_per_sec"]},
         "build_efficiency": round(build_eff, 3),
         "query_efficiency": round(query_eff, 3),
+        # second serving plan (doc-sharded file-parallel, queryeng/
+        # sharded.py): reported alongside the bridge plan — absolute q/s
+        # is the headline (≈2.5-3x the bridge plan), efficiency is
+        # Amdahl-limited on this tiny corpus (19 chunks, per-batch fixed
+        # costs are a larger share of a 3x-smaller runtime)
+        "sharded_queries_per_sec": {
+            str(lo): r_lo.get("sharded_queries_per_sec"),
+            str(hi): r_hi.get("sharded_queries_per_sec"),
+        },
+        "sharded_query_efficiency": round(
+            (r_hi["sharded_queries_per_sec"]
+             / r_lo["sharded_queries_per_sec"]) / ratio, 3
+        ) if r_lo.get("sharded_queries_per_sec") else None,
         # engine efficiency normalized by what THIS box itself scales at
         # for raw multiprocessing kernels measured in the same run (see
         # hw_calibration): a single box shares turbo headroom and DRAM

@@ -199,6 +199,40 @@ def main() -> None:
             n_queries=len(queries),
             result_rows=len(rows),
         )
+
+        # second query plan, same session/index: doc-sharded file-parallel
+        # serving (queryeng/sharded.py) — pyarrow reads + numpy scoring,
+        # hot driver-side dictionary (the reference's in-memory dictionary
+        # shape), no posting bytes over the JVM↔Python bridge
+        from themis_search_engine_spark.queryeng.pipeline import (
+            query_term_map,
+        )
+        from themis_search_engine_spark.queryeng.sharded import (
+            collect_idf_map,
+            wand_topk_sharded,
+        )
+
+        idf_map = collect_idf_map(sidx.dictionary)
+        qmap = query_term_map(queries, stem=True)
+        wand_topk_sharded(
+            spark, f"{tmp}/index/postings_comp",
+            query_term_map(wq_q, stem=True), None, sidx.avgdl,
+            sidx.n_docs, k=10, chunk_bits=sidx.chunk_bits, idf_map=idf_map,
+        ).collect()
+        sh_sec = 1e18
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            sh_rows = wand_topk_sharded(
+                spark, f"{tmp}/index/postings_comp", qmap, None,
+                sidx.avgdl, sidx.n_docs, k=10, chunk_bits=sidx.chunk_bits,
+                idf_map=idf_map,
+            ).collect()
+            sh_sec = min(sh_sec, time.perf_counter() - t0)
+        out.update(
+            sharded_query_sec=round(sh_sec, 3),
+            sharded_queries_per_sec=round(len(queries) / sh_sec, 1),
+            sharded_result_rows=len(sh_rows),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

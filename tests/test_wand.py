@@ -33,6 +33,58 @@ def _by_qid(rows):
     return {q: sorted(v) for q, v in out.items()}
 
 
+def test_sharded_equals_bridge_plan(spark, tmp_path):
+    """Doc-sharded file-parallel serving (queryeng/sharded.py) must be
+    rank- and score-identical to the applyInPandas batch plan over the
+    SAME persisted index — single-segment AND delta-merged (fragmented)
+    layouts, across shard widths."""
+    from themis_search_engine_spark.indexing import (
+        build_and_save_serving,
+        merge_serving_delta,
+    )
+    from themis_search_engine_spark.queryeng.pipeline import query_term_map
+    from themis_search_engine_spark.queryeng.sharded import wand_topk_sharded
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "idx")
+    build_and_save_serving(docs.where("doc_id % 2 = 0"), p, stem=True,
+                           chunk_bits=5, partitions=8)
+    idx = merge_serving_delta(spark, p, docs.where("doc_id % 2 = 1"),
+                              stem=True, partitions=8)
+
+    qt = qterms_df(spark, QUERIES, stem=True)
+    want = _by_qid(
+        wand_topk(qt, idx.compressed, idx.dictionary, idx.avgdl, k=10,
+                  chunk_bits=idx.chunk_bits, prune=False).collect()
+    )
+    from themis_search_engine_spark.queryeng.sharded import collect_idf_map
+
+    qmap = query_term_map(QUERIES, stem=True)
+    idf_map = collect_idf_map(idx.dictionary)
+    # (n_shards, merge path, idf source) combinations: driver merge vs
+    # window merge, per-batch dictionary scan vs hot idf_map
+    cases = [
+        dict(n_shards=1, driver_merge_limit=2_000_000, idf_map=None),
+        dict(n_shards=3, driver_merge_limit=0, idf_map=idf_map),
+        dict(n_shards=3, driver_merge_limit=2_000_000, idf_map=idf_map),
+    ]
+    for kw in cases:
+        got = _by_qid(
+            wand_topk_sharded(
+                spark, f"{p}/postings_comp", qmap, idx.dictionary,
+                idx.avgdl, idx.n_docs, k=10, chunk_bits=idx.chunk_bits,
+                **kw,
+            ).collect()
+        )
+        assert set(got) == set(want), kw
+        for qid in want:
+            assert [x[1] for x in want[qid]] == [x[1] for x in got[qid]]
+            for (_, _, s1), (_, _, s2) in zip(want[qid], got[qid]):
+                assert s1 == pytest.approx(s2, rel=1e-9)
+
+
 @pytest.mark.parametrize("prune", [False, True])
 def test_wand_equals_naive(spark, bundle, prune):
     idx, comp = bundle

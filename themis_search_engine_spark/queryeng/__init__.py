@@ -1,2 +1,7 @@
 from .bm25 import bm25_score_all, bm25_topk  # noqa: F401
-from .pipeline import parse_queries, qterms_df, query_term_list  # noqa: F401
+from .pipeline import (  # noqa: F401
+    parse_queries,
+    qterms_df,
+    query_term_list,
+    query_term_map,
+)

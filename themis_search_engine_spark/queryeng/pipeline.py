@@ -47,6 +47,17 @@ def query_term_list(
     return sorted({t for _, t, _, _ in parse_queries(queries, stem=stem)})
 
 
+def query_term_map(
+    queries: dict[int, str] | list[str], *, stem: bool = True
+) -> dict[int, list[str]]:
+    """qid → distinct processed terms, driver-side — the input shape of
+    the sharded serving plan (queryeng/sharded.wand_topk_sharded)."""
+    out: dict[int, list[str]] = {}
+    for qid, term, _, _ in parse_queries(queries, stem=stem):
+        out.setdefault(qid, []).append(term)
+    return out
+
+
 def qterms_df(
     spark: SparkSession, queries: dict[int, str] | list[str], *, stem: bool = True
 ) -> DataFrame:

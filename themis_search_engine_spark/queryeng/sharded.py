@@ -1,0 +1,312 @@
+"""Doc-sharded batch BM25 serving: one Spark task per set of doc-range
+CHUNKS of the persisted compressed index, posting bytes never crossing
+the JVM↔Python row bridge.
+
+Why this plan exists (measured, BASELINE.md): the applyInPandas batch plan
+(queryeng/wand.py, prune=False) ships every matched compressed chunk row
+through Spark's JVM→Python grouped-map bridge — ~120 MB/s aggregate on
+this box and barely scaling with cores — and, because the qterms join
+duplicates chunk rows per query, a head-term chunk row is re-shipped and
+re-decoded once PER QUERY that matches it. At a 1000-query saturation
+batch both costs dominate the query stage: on the 1.2M-doc scaling
+workload this plan serves 134 q/s at 8 cores vs the bridge plan's 56 —
+2.4× — with identical results. It is the same cure `compress_files`
+applied to the build: Spark stays the scheduler/retry layer
+(``sc.parallelize(shards).flatMap``) while each task reads the index
+files directly with the pyarrow C++ reader and scores in numpy.
+
+Physical design (the classic document-partitioned serving tier — each
+shard answers the whole batch over its doc range, only top-k rows travel):
+
+  shard   = a SET of doc-range chunks (chunk = doc_id >> chunk_bits),
+            round-robin assigned, so every (qid, chunk) accumulator is
+            COMPLETE within one task — per-shard top-k is exact, unlike
+            per-FILE top-k (the (term, chunk) layout spreads one chunk's
+            terms across files).
+  read    = pq.read_table(dir, filters=[term IN batch_vocab, chunk IN
+            shard]): the build sorted every file by (term, chunk), so
+            parquet row-group stats prune BOTH predicates before any
+            byte is decompressed.
+  decode  = each chunk row ONCE per batch (vs once per matching query in
+            the bridge plan): varbyte → (offsets, bm25 core), then every
+            query containing the term scatter-adds idf·core into a dense
+            per-chunk accumulator that is REUSED across (qid, chunk)
+            pairs — peak memory is two chunk_size arrays plus one chunk's
+            decoded rows, independent of batch size.
+  emit    = per-shard top-k per query (chunk-local top-k folded across
+            the shard's chunks), ≤ shards × queries × k tiny rows; the
+            global top-k is a single window over that.
+
+Decode batching was measured both ways and per-ROW decode wins at the
+default chunk_bits=16: rows average >1k postings, so vb_decode's numpy
+fixed cost is already amortized, while concatenating a whole chunk's
+bytes into one call blows the decode working set past cache (113 q/s
+batched vs 134 per-row at 8 cores; whole-table concatenation is 20×
+worse still). Keep rows big (chunk_bits) rather than batching decode.
+
+Accumulation per (qid, chunk) runs in ascending-term order — the same
+order as wand.py's _score_chunk_rows — so scores are IEEE-identical to
+the bridge plan (asserted in tests/test_wand.py), and fragment rows from
+delta-merged segments (indexing/merge.py) accumulate per fragment exactly
+like the scatter-add scorer.
+
+At cluster scale the same tasks read object storage through pyarrow.fs;
+in this sandbox the driver lists nothing (the dataset reader does), but
+driver and executors must still share a filesystem — guarded like
+compress_files.
+
+Reference parity: semantics are the reference's "score every candidate,
+sort, take k" (OkapiBM25.java:291-308) — this module only changes the
+physical distribution, proven rank-identical in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..indexing.compress import DEFAULT_CHUNK_BITS
+
+_OUT_SCHEMA = "qid int, doc_id long, score double"
+
+
+def _score_shard(
+    comp_path: str,
+    chunks: list[int],
+    vocab: tuple,
+    by_term: dict,
+    idf: dict,
+    k: int,
+    avgdl: float,
+    chunk_bits: int,
+):
+    """Score this shard's chunk set against the whole query batch; return
+    [(qid, doc_id, score)] — the shard's exact top-k per query."""
+    import pyarrow.parquet as pq
+
+    from ..indexing.compress import vb_decode
+    from .wand import B, K1
+
+    tbl = pq.read_table(
+        comp_path,
+        columns=["term", "chunk", "doc_bytes", "cnt_bytes", "mc_bytes",
+                 "dl_bytes"],
+        filters=[
+            ("term", "in", list(vocab)),
+            ("chunk", "in", chunks),
+        ],
+    )
+    if tbl.num_rows == 0:
+        return None
+    # chunk-major processing order; ascending term within a chunk keeps
+    # float accumulation order identical to wand._score_chunk_rows
+    tbl = tbl.sort_by([("chunk", "ascending"), ("term", "ascending")])
+    chunk_col = tbl["chunk"].to_numpy(zero_copy_only=False)
+    term_col = tbl["term"].to_pylist()
+    cols = {
+        c: tbl[c].to_pylist()
+        for c in ("doc_bytes", "cnt_bytes", "mc_bytes", "dl_bytes")
+    }
+    del tbl
+
+    chunk_size = 1 << chunk_bits
+    acc = np.zeros(chunk_size, dtype=np.float64)
+    seen = np.zeros(chunk_size, dtype=bool)
+    top: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    bounds = np.flatnonzero(np.diff(chunk_col)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(chunk_col)]])
+    for s, e in zip(starts, ends):
+        chunk = int(chunk_col[s])
+        base = chunk << chunk_bits
+        # decode this chunk's rows ONCE; a (term, chunk) group may span
+        # several fragment rows after delta merges — keep them all, in
+        # row order, exactly as the scatter-add scorer sees them
+        rows_by_term: dict[str, list] = {}
+        for i in range(s, e):
+            deltas = vb_decode(cols["doc_bytes"][i]).astype(np.int64)
+            offs = np.cumsum(deltas)
+            cnt = vb_decode(cols["cnt_bytes"][i]).astype(np.float64)
+            mc = vb_decode(cols["mc_bytes"][i]).astype(np.float64)
+            dl = vb_decode(cols["dl_bytes"][i]).astype(np.float64)
+            tf = cnt / mc
+            core = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            rows_by_term.setdefault(term_col[i], []).append((offs, core))
+        qids_here = sorted(
+            {q for t in rows_by_term for q in by_term[t]}
+        )
+        terms_sorted = sorted(rows_by_term)
+        for qid in qids_here:
+            acc.fill(0.0)
+            seen.fill(False)
+            for t in terms_sorted:
+                if qid not in by_term[t]:
+                    continue
+                w = idf[t]
+                for offs, core in rows_by_term[t]:
+                    acc[offs] += w * core
+                    seen[offs] = True
+            offs = np.flatnonzero(seen)
+            sc = acc[offs]
+            ids = offs + base
+            if qid in top:
+                pids, psc = top[qid]
+                ids = np.concatenate([pids, ids])
+                sc = np.concatenate([psc, sc])
+            sel = np.lexsort((ids, -sc))[:k]
+            top[qid] = (ids[sel], sc[sel])
+
+    if not top:
+        return None
+    # pack the shard's whole result as three flat buffers — collecting a
+    # handful of byte blobs is ~10x cheaper than shards×queries×k pickled
+    # tuples (measured at 640k rows)
+    qa = np.concatenate(
+        [np.full(len(v[0]), q, dtype=np.int64) for q, v in top.items()]
+    )
+    da = np.concatenate([v[0] for v in top.values()])
+    sa = np.concatenate([v[1] for v in top.values()])
+    return qa.tobytes(), da.tobytes(), sa.astype(np.float64).tobytes()
+
+
+def collect_idf_map(dictionary: DataFrame) -> dict[str, float]:
+    """Materialize the dictionary driver-side for repeated sharded
+    serving — the direct analogue of the reference loading its dictionary
+    into memory at Search startup (Indexer.java load path): one scan per
+    serving session instead of one filtered-scan JOB per batch."""
+    return {
+        r["term"]: float(r["idf"])
+        for r in dictionary.select("term", "idf").collect()
+    }
+
+
+def wand_topk_sharded(
+    spark: SparkSession,
+    comp_path: str,
+    queries: dict[int, list[str]],
+    dictionary: DataFrame | None,
+    avgdl: float,
+    n_docs: int,
+    k: int = 10,
+    *,
+    chunk_bits: int = DEFAULT_CHUNK_BITS,
+    n_shards: int | None = None,
+    idf_map: dict[str, float] | None = None,
+    driver_merge_limit: int = 2_000_000,
+) -> DataFrame:
+    """(qid, doc_id, score, rank) — exact batch BM25 top-k served from the
+    persisted compressed index at ``comp_path`` by doc-range shards.
+
+    ``queries``: qid → already-normalized (and stemmed, if the index is)
+    term list — the driver-side shape every qterms_df caller starts from
+    (queryeng.pipeline.query_term_map). Terms absent from the dictionary
+    contribute nothing (exactly as the join-based plans drop them).
+
+    ``idf_map``: pre-collected dictionary (:func:`collect_idf_map`) for
+    hot serving — skips the per-batch filtered dictionary scan job.
+
+    The global merge of per-shard top-k lists runs on the DRIVER when the
+    worst-case row count (shards × queries × k) is at most
+    ``driver_merge_limit`` — a numpy merge of tiny lists beats a Spark
+    window job (shuffle + stage) at that size; above it (thousand-shard
+    clusters × huge batches) the same merge runs as a window.
+    """
+    master = spark.sparkContext.master
+    if "://" in comp_path or not master.startswith("local"):
+        raise NotImplementedError(
+            "wand_topk_sharded requires driver-local storage shared with "
+            f"executors (master={master!r}); route through pyarrow.fs for "
+            "object storage, or use wand_topk on a cluster"
+        )
+
+    vocab = sorted({t for ts in queries.values() for t in ts})
+    if idf_map is not None:
+        idf = {t: idf_map[t] for t in vocab if t in idf_map}
+    else:
+        idf = {
+            r["term"]: float(r["idf"])
+            for r in dictionary.where(F.col("term").isin(vocab))
+            .select("term", "idf").collect()
+        }
+    by_term_s: dict[str, set] = {}
+    for qid, ts in queries.items():
+        for t in ts:
+            if t in idf:
+                by_term_s.setdefault(t, set()).add(qid)
+    by_term = {t: frozenset(qs) for t, qs in by_term_s.items()}
+    kept_vocab = tuple(sorted(by_term))
+    if not kept_vocab:
+        return spark.createDataFrame([], _OUT_SCHEMA + ", rank int")
+
+    n_chunks = (max(n_docs - 1, 0) >> chunk_bits) + 1
+    sc_ctx = spark.sparkContext
+    if n_shards is None:
+        # ~2 shards per core levels stragglers without multiplying the
+        # per-task fixed cost (dataset open + footer reads); the real
+        # balance knob is the LAYOUT — size chunk_bits so n_chunks is
+        # many multiples of cluster parallelism (at 10^12 docs any
+        # chunk_bits gives millions of chunks; the constraint only binds
+        # on tiny corpora)
+        n_shards = min(n_chunks, sc_ctx.defaultParallelism * 2)
+    n_shards = max(1, min(n_shards, n_chunks))
+    # round-robin chunk→shard keeps the partial tail chunk from skewing
+    # one shard
+    shards = [list(range(i, n_chunks, n_shards)) for i in range(n_shards)]
+
+    _k, _avgdl, _cb = k, avgdl, chunk_bits
+    _bt, _idf, _path = by_term, idf, comp_path
+
+    def run(chunks):
+        return _score_shard(
+            _path, chunks, kept_vocab, _bt, _idf, _k, _avgdl, _cb
+        )
+
+    packed = sc_ctx.parallelize(shards, len(shards)).map(run)
+
+    if n_shards * len(queries) * k <= driver_merge_limit:
+        # tiny result set: one collect job, numpy global top-k, no shuffle
+        blobs = [b for b in packed.collect() if b is not None]
+        if not blobs:
+            return spark.createDataFrame([], _OUT_SCHEMA + ", rank int")
+        qa = np.concatenate(
+            [np.frombuffer(b[0], dtype=np.int64) for b in blobs]
+        )
+        da = np.concatenate(
+            [np.frombuffer(b[1], dtype=np.int64) for b in blobs]
+        )
+        sa = np.concatenate(
+            [np.frombuffer(b[2], dtype=np.float64) for b in blobs]
+        )
+        # one lexsort by (qid, score desc, doc_id asc), then a vectorized
+        # rank-within-group — no per-qid Python loop
+        order = np.lexsort((da, -sa, qa))
+        qs, ds, ss = qa[order], da[order], sa[order]
+        grp = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        sizes = np.diff(np.r_[grp, len(qs)])
+        pos = np.arange(len(qs)) - np.repeat(grp, sizes)
+        keep = pos < k
+        out = [
+            (int(q), int(d), float(s), int(r) + 1)
+            for q, d, s, r in zip(qs[keep], ds[keep], ss[keep], pos[keep])
+        ]
+        return spark.createDataFrame(out, _OUT_SCHEMA + ", rank int")
+
+    def unpack(blob):
+        if blob is None:
+            return []
+        qa = np.frombuffer(blob[0], dtype=np.int64)
+        da = np.frombuffer(blob[1], dtype=np.int64)
+        sa = np.frombuffer(blob[2], dtype=np.float64)
+        return [
+            (int(q), int(d), float(s)) for q, d, s in zip(qa, da, sa)
+        ]
+
+    scored = spark.createDataFrame(packed.flatMap(unpack), _OUT_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -262,6 +262,36 @@ def q_delta_merge_topk(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+_SCACHE: dict[str, tuple] = {}
+
+
+def q_bm25_topk_wand_sharded(spark, sf_dir):
+    """Doc-sharded file-parallel serving (queryeng/sharded.py): one task
+    per chunk set of a PERSISTED serving index, pyarrow reads + numpy
+    scoring, only per-shard top-k rows leaving Python — against the same
+    naive top-k oracle as every other WAND plan."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving
+    from .queryeng.pipeline import query_term_map
+    from .queryeng.sharded import wand_topk_sharded
+
+    if sf_dir not in _SCACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        p = tempfile.mkdtemp(prefix="themis_sharded_") + "/idx"
+        idx = build_and_save_serving(
+            docs, p, stem=False, chunk_bits=8, partitions=16
+        )
+        _SCACHE[sf_dir] = (idx, p)
+    idx, p = _SCACHE[sf_dir]
+    wide = wand_topk_sharded(
+        spark, f"{p}/postings_comp", query_term_map(osql.QUERYSET, stem=False),
+        idx.dictionary, idx.avgdl, idx.n_docs, k=30,
+        chunk_bits=idx.chunk_bits, n_shards=3,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 # --- stemmed pipeline (SQL-oracled through the corpus-derived (term, stem)
 # mapping — oracle_sql.tok_cte_stemmed; porter.py itself is pinned by
 # hand-verified goldens in tests/test_porter.py) -----------------------------
@@ -299,6 +329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_wand_batch": q_bm25_topk_wand_batch,
     "bm25_topk_wand_single": q_bm25_topk_wand_single,
+    "bm25_topk_wand_sharded": q_bm25_topk_wand_sharded,
     "delta_merge_topk": q_delta_merge_topk,
 }
 
@@ -322,6 +353,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_wand": osql.sql_bm25_topk(10),
     "bm25_topk_wand_batch": osql.sql_bm25_topk(10),
     "bm25_topk_wand_single": osql.sql_bm25_topk(10),
+    "bm25_topk_wand_sharded": osql.sql_bm25_topk(10),
     "delta_merge_topk": osql.sql_bm25_topk(10),
 }
 
