@@ -161,8 +161,12 @@ def main() -> None:
         extra["docs_per_sec_synth"] = synth_docs / stages["build_synth"]
 
         # --- batch query: doc-sharded file-parallel serving plan ----------
-        # (queryeng/sharded.py) over the persisted synth index — hot
-        # driver-side dictionary, posting bytes never cross the bridge
+        # (queryeng/sharded.py). Same corpus + query set as bm25_batch /
+        # wand_batch so q/s and result rows are directly comparable: a
+        # persisted serving index over the documents table (build cost
+        # excluded from the stage — the other plans also query prebuilt
+        # state), hot driver-side dictionary, posting bytes never cross
+        # the bridge.
         from themis_search_engine_spark.queryeng.pipeline import (
             query_term_map,
         )
@@ -171,12 +175,13 @@ def main() -> None:
             wand_topk_sharded,
         )
 
-        idf_map = collect_idf_map(sidx.dictionary)
+        didx = build_and_save_serving(docs, f"{tmp}/docindex", stem=True)
+        idf_map = collect_idf_map(didx.dictionary)
         qmap = query_term_map(queries, stem=True)
         t0 = time.perf_counter()
         rows_s = wand_topk_sharded(
-            spark, f"{tmp}/index/postings_comp", qmap, None, sidx.avgdl,
-            sidx.n_docs, k=10, chunk_bits=sidx.chunk_bits, idf_map=idf_map,
+            spark, f"{tmp}/docindex/postings_comp", qmap, None, didx.avgdl,
+            didx.n_docs, k=10, chunk_bits=didx.chunk_bits, idf_map=idf_map,
         ).collect()
         stages["wand_sharded"] = time.perf_counter() - t0
         extra["queries_per_sec_sharded"] = len(queries) / stages[
