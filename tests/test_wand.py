@@ -85,6 +85,45 @@ def test_sharded_equals_bridge_plan(spark, tmp_path):
                 assert s1 == pytest.approx(s2, rel=1e-9)
 
 
+def test_sharded_edge_cases(spark, tmp_path):
+    """All-stopword batch → empty typed result; unknown terms drop like
+    the join-based plans; k larger than the candidate set returns all
+    candidates; non-local paths refuse loudly."""
+    from themis_search_engine_spark.indexing import build_and_save_serving
+    from themis_search_engine_spark.queryeng.sharded import wand_topk_sharded
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    idx = build_and_save_serving(docs, p, stem=False, chunk_bits=2,
+                                 partitions=2)
+    comp = f"{p}/postings_comp"
+
+    empty = wand_topk_sharded(
+        spark, comp, {1: []}, idx.dictionary, idx.avgdl, idx.n_docs, k=5,
+        chunk_bits=2,
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "qid", "doc_id", "score", "rank",
+    ]
+
+    got = wand_topk_sharded(
+        spark, comp, {7: ["alpha", "zzz_not_a_term"]}, idx.dictionary,
+        idx.avgdl, idx.n_docs, k=100, chunk_bits=2,
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(range(6))  # k > candidates
+    assert all(r["qid"] == 7 for r in got)
+
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        wand_topk_sharded(
+            spark, "s3://bucket/postings", {1: ["alpha"]}, idx.dictionary,
+            idx.avgdl, idx.n_docs, k=5, chunk_bits=2,
+        )
+
+
 @pytest.mark.parametrize("prune", [False, True])
 def test_wand_equals_naive(spark, bundle, prune):
     idx, comp = bundle

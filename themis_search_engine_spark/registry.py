@@ -262,6 +262,47 @@ def q_delta_merge_topk(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+_CCACHE: dict[str, tuple] = {}
+
+
+def q_compacted_topk(spark, sf_dir):
+    """Full segment lifecycle end-to-end (indexing/merge.py): build over
+    the even-doc_id half, delta-merge the odd half, then COMPACT — the
+    compacted single-segment index must produce BM25 top-k rank-identical
+    to the full-corpus oracle, with the pruning envelope reset to
+    (1.0, 1.0)."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving
+    from .indexing.merge import (
+        compact_serving_index,
+        merge_serving_delta,
+        serving_bound_scales,
+    )
+    from .queryeng.wand import wand_topk
+
+    if sf_dir not in _CCACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        p = tempfile.mkdtemp(prefix="themis_compact_") + "/idx"
+        build_and_save_serving(
+            docs.where("doc_id % 2 = 0"), p, stem=False, chunk_bits=8,
+            partitions=16,
+        )
+        merge_serving_delta(
+            spark, p, docs.where("doc_id % 2 = 1"), stem=False,
+            partitions=16,
+        )
+        idx = compact_serving_index(spark, p, partitions=16)
+        assert serving_bound_scales(spark, p) == (1.0, 1.0)
+        _CCACHE[sf_dir] = (idx,)
+    (idx,) = _CCACHE[sf_dir]
+    wide = wand_topk(
+        _qt(spark, stem=False), idx.compressed, idx.dictionary, idx.avgdl,
+        k=30, chunk_bits=idx.chunk_bits,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 _SCACHE: dict[str, tuple] = {}
 
 
@@ -331,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_wand_single": q_bm25_topk_wand_single,
     "bm25_topk_wand_sharded": q_bm25_topk_wand_sharded,
     "delta_merge_topk": q_delta_merge_topk,
+    "compacted_topk": q_compacted_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -355,6 +397,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_wand_single": osql.sql_bm25_topk(10),
     "bm25_topk_wand_sharded": osql.sql_bm25_topk(10),
     "delta_merge_topk": osql.sql_bm25_topk(10),
+    "compacted_topk": osql.sql_bm25_topk(10),
 }
 
 
