@@ -167,6 +167,42 @@ def test_compact_restores_single_segment(spark, docs, full_idx, tmp_path):
     assert log[-1]["postings"] > 0 and log[-1]["chunk_rows"] > 0
 
 
+def test_describe_index_tracks_lifecycle(spark, docs, tmp_path):
+    """describe_index reports fragmentation and envelope looseness rising
+    through merges and collapsing after compaction."""
+    from themis_search_engine_spark.indexing.merge import describe_index
+
+    p = str(tmp_path / "idx")
+    build_and_save_serving(docs.where("doc_id % 2 = 0"), p, stem=False,
+                           chunk_bits=CB, partitions=8)
+    d0 = describe_index(spark, p)
+    assert d0["segments"] == 1
+    assert d0["max_fragments_per_group"] == 1
+    assert d0["bound_scales"] == (1.0, 1.0)
+
+    merge_serving_delta(spark, p, docs.where("doc_id % 2 = 1"),
+                        stem=False, partitions=8)
+    d1 = describe_index(spark, p)
+    assert d1["segments"] == 2
+    assert d1["max_fragments_per_group"] > 1
+    assert d1["fragmentation"] > 1.0
+    assert d1["envelope_looseness"] >= 1.0
+    assert d1["n_docs"] > d0["n_docs"]
+    assert d1["postings"] > d0["postings"]
+
+    compact_serving_index(spark, p, partitions=8)
+    d2 = describe_index(spark, p)
+    assert d2["segments"] == 1
+    assert d2["max_fragments_per_group"] == 1
+    assert d2["fragmentation"] == 1.0
+    assert d2["bound_scales"] == (1.0, 1.0)
+    assert d2["postings"] == d1["postings"]
+    # absolute bytes/posting is corpus-scale-dependent (4.0 at 83M
+    # postings; parquet+varbyte overhead dominates this tiny fixture) —
+    # only sanity-check it's present and positive
+    assert d2["bytes_per_posting"] > 0
+
+
 def test_merge_rejects_duplicate_doc_ids(spark, docs, tmp_path):
     p = str(tmp_path / "idx")
     build_and_save_serving(docs.where("doc_id % 2 = 0"), p, stem=False,

@@ -135,6 +135,63 @@ def _move_segment_files(tmp_dir: str, dst_dir: str, prefix: str) -> list[str]:
     return moved
 
 
+def describe_index(spark: SparkSession, path: str) -> dict:
+    """Operational snapshot of a serving index — the numbers an operator
+    needs to schedule :func:`compact_serving_index`: segment generations,
+    fragmentation (extra rows per (term, chunk) group beyond 1), the
+    pruning-envelope looseness, and size/compression stats. One scan of
+    the chunk METADATA columns (term, chunk, df_chunk) plus the tiny
+    global_stats/merge_log reads — no posting bytes touched."""
+    base = _base_totals(spark, path)
+    comp = spark.read.parquet(f"{path}/postings_comp")
+    agg = comp.groupBy("term", "chunk").count()
+    frag = agg.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.sum("count").alias("rows"),
+        F.max("count").alias("max_fragments"),
+    ).collect()[0]
+    post = comp.agg(F.sum("df_chunk").alias("p")).collect()[0]
+    log_path = f"{path}/merge_log.json"
+    log = []
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            log = json.load(fh)
+    hi = max(1.0, base["avgdl"] / base["min_enc_avgdl"]) \
+        if base["min_enc_avgdl"] else 1.0
+    lo = min(1.0, base["avgdl"] / base["max_enc_avgdl"]) \
+        if base["max_enc_avgdl"] else 1.0
+    bytes_comp = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{path}/postings_comp")
+        for f in fs if f.endswith(".parquet")
+    )
+    n_postings = int(post["p"] or 0)
+    return {
+        "n_docs": base["n_docs"],
+        "avgdl": base["avgdl"],
+        "chunk_bits": base["chunk_bits"],
+        # a compact entry collapses everything before it to one segment
+        "segments": 1 + len(
+            log[max(
+                (i + 1 for i, e in enumerate(log)
+                 if e.get("type") == "compact"), default=0,
+            ):]
+        ),
+        "merge_generations": len(log),
+        "chunk_groups": int(frag["groups"]),
+        "chunk_rows": int(frag["rows"]),
+        "max_fragments_per_group": int(frag["max_fragments"]),
+        "fragmentation": round(
+            int(frag["rows"]) / max(int(frag["groups"]), 1), 3
+        ),
+        "postings": n_postings,
+        "bytes_compressed": bytes_comp,
+        "bytes_per_posting": round(bytes_comp / max(n_postings, 1), 2),
+        "bound_scales": (hi, lo),
+        "envelope_looseness": round(hi / max(lo, 1e-12), 6),
+    }
+
+
 def compact_serving_index(
     spark: SparkSession,
     path: str,
