@@ -177,6 +177,12 @@ def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
         "target": TARGET,
         "build_pass": build_eff >= TARGET,
         "query_pass": query_eff >= TARGET,
+        "sharded_query_pass": (
+            (r_hi["sharded_queries_per_sec"]
+             / r_lo["sharded_queries_per_sec"]) / ratio >= TARGET
+            if r_lo.get("sharded_queries_per_sec") else None
+        ),
+        "n_queries": r_lo.get("n_queries"),
         "levels": [r_lo, r_hi],
     }
 
