@@ -12,15 +12,16 @@ Measured stages are the north rule's two:
   (term, chunk) shuffle → raw postings → shuffle-free delta+varbyte
   compression with block-max metadata → dictionary/doc_stats/global_stats.
   The full serving index, persisted.
-- query = 1000-query batch BM25 top-10 over the COMPRESSED chunks via the
-  WAND scorer's batch plan (prune=False: one scoring pass, no
-  probe/θ barriers — see queryeng/wand.py planner note), against the
-  persisted index. 1000 queries is the SATURATION batch: throughput
-  scaling is a saturated-throughput criterion, and a 250-query batch
-  finishes in ~4 s at 8 cores, so fixed per-JOB cost (scheduler, barrier
-  setup, 2.5k-row collect) dilutes the high-core level — measured 2→8
-  q/s efficiency is 0.777 at batch 250 vs 0.863 at batch 1000, while the
-  2-core level moves only 7% (the overhead is per job, not per query).
+- query = 4000-query batch BM25 top-10 over the COMPRESSED chunks, via
+  BOTH serving plans against the persisted index: the WAND batch plan
+  (prune=False: one scoring pass, no probe/θ barriers — see
+  queryeng/wand.py planner note) and the doc-sharded file-parallel plan
+  (queryeng/sharded.py). 4000 queries is the SATURATION batch: throughput
+  scaling is a saturated-throughput criterion, and small batches finish
+  in seconds at 8 cores, so fixed per-JOB cost (scheduler, barrier
+  setup, result collect) dilutes the high-core level — measured 2→8
+  bridge q/s efficiency on identical code: 0.777 at batch 250, 0.703 at
+  1000, 0.915 at 4000 (the overhead is per job, not per query).
 
 Prints ONE JSON line:
   {"cpus": N, "n_docs": D, "build_sec": s, "build_docs_per_sec": r,
@@ -78,7 +79,7 @@ from themis_search_engine_spark.session import get_spark  # noqa: E402
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_200_000))
-    n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 1000))
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 4000))
     # input partitioning fixed across trials so every level reads the same
     # file layout; split sizing (maxPartitionBytes below) controls task count
     in_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", 128))

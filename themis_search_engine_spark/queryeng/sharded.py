@@ -18,15 +18,17 @@ files directly with the pyarrow C++ reader and scores in numpy.
 Physical design (the classic document-partitioned serving tier — each
 shard answers the whole batch over its doc range, only top-k rows travel):
 
-  shard   = a SET of doc-range chunks (chunk = doc_id >> chunk_bits),
-            round-robin assigned, so every (qid, chunk) accumulator is
-            COMPLETE within one task — per-shard top-k is exact, unlike
-            per-FILE top-k (the (term, chunk) layout spreads one chunk's
-            terms across files).
-  read    = pq.read_table(dir, filters=[term IN batch_vocab, chunk IN
-            shard]): the build sorted every file by (term, chunk), so
-            parquet row-group stats prune BOTH predicates before any
-            byte is decompressed.
+  shard   = a contiguous RANGE of doc-range chunks (chunk = doc_id >>
+            chunk_bits), near-equal split, so every (qid, chunk)
+            accumulator is COMPLETE within one task — per-shard top-k is
+            exact, unlike per-FILE top-k (the (term, chunk) layout
+            spreads one chunk's terms across files). A range stays two
+            filter predicates at any index size; an IN-list would be
+            millions of literals per task at 10^12 docs.
+  read    = pq.read_table(dir, filters=[term IN batch_vocab,
+            lo <= chunk < hi]): the build sorted every file by
+            (term, chunk), so parquet row-group stats prune BOTH
+            predicates before any byte is decompressed.
   decode  = each chunk row ONCE per batch (vs once per matching query in
             the bridge plan): varbyte → (offsets, bm25 core), then every
             query containing the term scatter-adds idf·core into a dense
@@ -74,7 +76,7 @@ _OUT_SCHEMA = "qid int, doc_id long, score double"
 
 def _score_shard(
     comp_path: str,
-    chunks: list[int],
+    chunks: tuple[int, int],
     vocab: tuple,
     by_term: dict,
     idf: dict,
@@ -82,20 +84,23 @@ def _score_shard(
     avgdl: float,
     chunk_bits: int,
 ):
-    """Score this shard's chunk set against the whole query batch; return
-    [(qid, doc_id, score)] — the shard's exact top-k per query."""
+    """Score this shard's chunk range [lo, hi) against the whole query
+    batch; return the shard's exact top-k per query, packed as three flat
+    numpy buffers (or None if nothing matched)."""
     import pyarrow.parquet as pq
 
     from ..indexing.compress import vb_decode
     from .wand import B, K1
 
+    lo, hi = chunks
     tbl = pq.read_table(
         comp_path,
         columns=["term", "chunk", "doc_bytes", "cnt_bytes", "mc_bytes",
                  "dl_bytes"],
         filters=[
             ("term", "in", list(vocab)),
-            ("chunk", "in", chunks),
+            ("chunk", ">=", lo),
+            ("chunk", "<", hi),
         ],
     )
     if tbl.num_rows == 0:
@@ -252,9 +257,16 @@ def wand_topk_sharded(
         # on tiny corpora)
         n_shards = min(n_chunks, sc_ctx.defaultParallelism * 2)
     n_shards = max(1, min(n_shards, n_chunks))
-    # round-robin chunk→shard keeps the partial tail chunk from skewing
-    # one shard
-    shards = [list(range(i, n_chunks, n_shards)) for i in range(n_shards)]
+    # near-equal CONTIGUOUS ranges (imbalance <= 1 chunk, same as any
+    # assignment) — a range is two parquet filter predicates at ANY chunk
+    # count, where an IN-list would be ~n_chunks/n_shards literals per
+    # task on a 10^12-doc index (millions of chunks)
+    base_sz, rem = divmod(n_chunks, n_shards)
+    shards, lo = [], 0
+    for i in range(n_shards):
+        hi_ = lo + base_sz + (1 if i < rem else 0)
+        shards.append((lo, hi_))
+        lo = hi_
 
     _k, _avgdl, _cb = k, avgdl, chunk_bits
     _bt, _idf, _path = by_term, idf, comp_path
