@@ -565,3 +565,54 @@ JOIN clus USING (doc_id)
 WHERE lang.pred_lang = '{lang}'
   AND qual.quality >= {quality_tau}
   AND clus.cluster_id = d.doc_id"""
+
+
+def sql_hybrid_topk(k: int = 10, every_m: int = 50, k_rrf: int = 60) -> str:
+    """Hybrid retrieval twin: BM25 top-k (oracle_sql._bm25_scored_cte over
+    the documents table, QUERYSET qids) reciprocal-rank-fused with cosine
+    top-k over embeddings (query vector for qid q = vec_id 50*q). Both
+    sides rank on 6-dp-rounded scores with doc_id tiebreaks, so the fused
+    ranking is engine-deterministic."""
+    from .oracle_sql import _bm25_scored_cte
+
+    return f"""{_bm25_scored_cte()},
+t_ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS trank
+  FROM scored
+),
+t_top AS (SELECT * FROM t_ranked WHERE trank <= {k}),
+vq AS (
+  SELECT (vec_id / {every_m})::INT AS qid, embedding
+  FROM embeddings
+  WHERE vec_id % {every_m} = 0 AND vec_id / {every_m} BETWEEN 1 AND 6
+),
+v_scored AS (
+  SELECT b.qid, a.vec_id AS doc_id,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM embeddings a, vq b
+),
+v_ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cosine, 6) DESC, doc_id ASC) AS vrank
+  FROM v_scored
+),
+v_top AS (SELECT * FROM v_ranked WHERE vrank <= {k}),
+fused AS (
+  SELECT COALESCE(t.qid, v.qid) AS qid,
+         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         round(COALESCE(1.0::DOUBLE / ({k_rrf} + t.trank), 0)
+               + COALESCE(1.0::DOUBLE / ({k_rrf} + v.vrank), 0), 6) AS rrf
+  FROM t_top t FULL JOIN v_top v
+    ON t.qid = v.qid AND t.doc_id = v.doc_id
+),
+franked AS (
+  SELECT qid, doc_id, rrf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, rrf, rank::INT AS rank
+FROM franked WHERE rank <= {k}"""

@@ -25,6 +25,7 @@ from .simsearch import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    rrf_fuse,
     srp_lsh_pairs,
     srp_signature,
 )

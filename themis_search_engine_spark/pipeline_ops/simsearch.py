@@ -307,3 +307,46 @@ def srp_lsh_pairs(
     return cosine_pairs(
         embs, tau, vec_col=vec_col, id_col=id_col, candidates=cand
     )
+
+
+def rrf_fuse(
+    text_ranked: DataFrame,
+    vec_ranked: DataFrame,
+    k: int = 10,
+    *,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and a
+    vector (cosine ANN) ranking — the standard way a training-data /
+    search stack combines the index this engine builds with the
+    embedding lanes above. rrf(d) = Σ_side 1/(k_rrf + rank_side(d)), a
+    missing side contributing 0 (Cormack & Clarke's RRF, k_rrf=60).
+
+    Inputs are (qid, doc_id, rank) frames — any of the engine's top-k
+    outputs qualify. Fusing on RANKS (not scores) makes the fusion
+    scale-free, and because both inputs already rank on ROUNDED scores
+    with doc_id tiebreaks, the fused ranking is engine-deterministic.
+    Both inputs are tiny (≤ |Q|·k rows), so the join and window are
+    trivially broadcastable at any corpus scale.
+    """
+    t = text_ranked.select(
+        "qid", "doc_id", F.col("rank").alias("_trank")
+    )
+    v = vec_ranked.select("qid", "doc_id", F.col("rank").alias("_vrank"))
+    fused = t.join(v, ["qid", "doc_id"], "full_outer").select(
+        "qid", "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("_trank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(k_rrf) + F.col("_vrank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -148,6 +148,32 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval end-to-end: BM25 top-k over the documents table
+    fused with cosine ANN top-k over the embeddings table by reciprocal-
+    rank fusion (pipeline_ops.simsearch.rrf_fuse). Text qid q pairs with
+    query vector vec_id = 50*q; qid 4 is all-stopwords, so its fused list
+    is vector-only (exercises the missing-side coalesce)."""
+    from .pipeline_ops.simsearch import rrf_fuse
+    from .registry import q_bm25_topk
+
+    text = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    embs = _embs(spark, sf_dir)
+    qv = embs.where(
+        (F.col("vec_id") % 50 == 0)
+        & (F.col("vec_id") / 50).between(1, 6)
+    ).select(
+        (F.col("vec_id") / 50).cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = cosine_topk(embs, qv, k=10).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(text, vec, k=10)
+
+
 def q_emb_cosine_pairs(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     return cosine_pairs(embs, tau=0.4).select(
@@ -230,6 +256,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hybrid_topk": q_hybrid_topk,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_lsh_pairs": q_emb_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -254,6 +281,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "quality_score": osqlo.sql_quality_score(),
     "fingerprints": osqlo.sql_fingerprints(3, 4),
     "ann_cosine_topk": osqlo.sql_cosine_topk(5, 50),
+    "hybrid_topk": osqlo.sql_hybrid_topk(10),
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
     "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
