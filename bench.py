@@ -188,6 +188,24 @@ def main() -> None:
             "wand_sharded"
         ]
         extra["sharded_result_rows"] = len(rows_s)
+
+        # --- interactive latency: in-process WAND, zero Spark jobs --------
+        from themis_search_engine_spark.queryeng.wand import wand_topk_local
+
+        lat_l = []
+        for qid in list(queries)[:12]:
+            q1 = query_term_map({qid: queries[qid]}, stem=True)
+            t0 = time.perf_counter()
+            wand_topk_local(
+                f"{tmp}/docindex/postings_comp", q1, idf_map, didx.avgdl,
+                k=10, chunk_bits=didx.chunk_bits,
+            )
+            lat_l.append(time.perf_counter() - t0)
+        lat_l.sort()
+        extra["query_p50_local_sec"] = lat_l[len(lat_l) // 2]
+        extra["query_p95_local_sec"] = lat_l[
+            min(len(lat_l) - 1, int(len(lat_l) * 0.95))
+        ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -85,6 +85,66 @@ def test_sharded_equals_bridge_plan(spark, tmp_path):
                 assert s1 == pytest.approx(s2, rel=1e-9)
 
 
+def test_local_equals_single_task_plan(spark, tmp_path):
+    """The in-process interactive path (wand_topk_local, zero Spark jobs)
+    must match the distributed single-task WAND plan row for row on the
+    same persisted index — including on a delta-merged (multi-segment)
+    layout with bound scales."""
+    from themis_search_engine_spark.indexing import (
+        build_and_save_serving,
+        merge_serving_delta,
+        serving_bound_scales,
+    )
+    from themis_search_engine_spark.queryeng.pipeline import query_term_map
+    from themis_search_engine_spark.queryeng.sharded import collect_idf_map
+    from themis_search_engine_spark.queryeng.wand import (
+        wand_topk_local,
+        wand_topk_single,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "idx")
+    build_and_save_serving(docs.where("doc_id % 2 = 0"), p, stem=True,
+                           chunk_bits=5, partitions=8)
+    idx = merge_serving_delta(spark, p, docs.where("doc_id % 2 = 1"),
+                              stem=True, partitions=8)
+    scales = serving_bound_scales(spark, p)
+
+    want = _by_qid(
+        wand_topk_single(
+            qterms_df(spark, QUERIES, stem=True), idx.compressed,
+            idx.dictionary, idx.avgdl, k=10, chunk_bits=idx.chunk_bits,
+            bound_scales=scales,
+        ).collect()
+    )
+    local = wand_topk_local(
+        f"{p}/postings_comp", query_term_map(QUERIES, stem=True),
+        collect_idf_map(idx.dictionary), idx.avgdl, k=10,
+        chunk_bits=idx.chunk_bits, bound_scales=scales,
+    )
+    got = {}
+    for r in local.itertuples():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    got = {q: sorted(v) for q, v in got.items()}
+    assert set(got) == set(want)
+    for qid in want:
+        assert [x[1] for x in want[qid]] == [x[1] for x in got[qid]]
+        for (_, _, s1), (_, _, s2) in zip(want[qid], got[qid]):
+            assert s1 == pytest.approx(s2, rel=1e-9)
+
+    # all-unknown-term batch: typed empty frame
+    none = wand_topk_local(
+        f"{p}/postings_comp", {9: ["zzzznope"]},
+        collect_idf_map(idx.dictionary), idx.avgdl, k=5,
+        chunk_bits=idx.chunk_bits,
+    )
+    assert len(none) == 0 and list(none.columns) == [
+        "qid", "doc_id", "score", "rank",
+    ]
+
+
 def test_sharded_edge_cases(spark, tmp_path):
     """All-stopword batch → empty typed result; unknown terms drop like
     the join-based plans; k larger than the candidate set returns all

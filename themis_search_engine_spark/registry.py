@@ -333,6 +333,29 @@ def q_bm25_topk_wand_sharded(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+def q_bm25_topk_wand_local(spark, sf_dir):
+    """In-process interactive WAND (queryeng/wand.wand_topk_local — zero
+    Spark jobs per query, pyarrow term-pruned read + the single-task
+    plan's exact kernel) against the same naive top-k oracle. The pandas
+    result is lifted into a DataFrame only for the driver compare."""
+    from .queryeng.pipeline import query_term_map
+    from .queryeng.sharded import collect_idf_map
+    from .queryeng.wand import wand_topk_local
+
+    if sf_dir not in _SCACHE:
+        q_bm25_topk_wand_sharded(spark, sf_dir)  # builds + caches the index
+    idx, p = _SCACHE[sf_dir]
+    local = wand_topk_local(
+        f"{p}/postings_comp", query_term_map(osql.QUERYSET, stem=False),
+        collect_idf_map(idx.dictionary), idx.avgdl, k=30,
+        chunk_bits=idx.chunk_bits,
+    )
+    wide = spark.createDataFrame(
+        local, "qid int, doc_id long, score double, rank int"
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 # --- stemmed pipeline (SQL-oracled through the corpus-derived (term, stem)
 # mapping — oracle_sql.tok_cte_stemmed; porter.py itself is pinned by
 # hand-verified goldens in tests/test_porter.py) -----------------------------
@@ -371,6 +394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_wand_batch": q_bm25_topk_wand_batch,
     "bm25_topk_wand_single": q_bm25_topk_wand_single,
     "bm25_topk_wand_sharded": q_bm25_topk_wand_sharded,
+    "bm25_topk_wand_local": q_bm25_topk_wand_local,
     "delta_merge_topk": q_delta_merge_topk,
     "compacted_topk": q_compacted_topk,
 }
@@ -396,6 +420,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_wand_batch": osql.sql_bm25_topk(10),
     "bm25_topk_wand_single": osql.sql_bm25_topk(10),
     "bm25_topk_wand_sharded": osql.sql_bm25_topk(10),
+    "bm25_topk_wand_local": osql.sql_bm25_topk(10),
     "delta_merge_topk": osql.sql_bm25_topk(10),
     "compacted_topk": osql.sql_bm25_topk(10),
 }
