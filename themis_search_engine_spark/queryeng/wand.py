@@ -361,7 +361,13 @@ def wand_topk_local(
     scheduling alone; this path measures in tens of milliseconds, and at
     10^12 docs it still reads only the query's terms' row groups —
     pointed at object storage it is the classic search-tier serving
-    read. Use wand_topk / wand_topk_sharded for batch throughput.
+    read. Honest bound: the process materializes ALL of the query terms'
+    chunk rows, so a head-term query over a 10^12-doc corpus pulls that
+    term's full compressed postings into one process — at that scale
+    interactive serving fronts the doc-sharded layout with one local
+    server per shard (each running exactly this function over its chunk
+    range) rather than one process over the whole index. Use wand_topk /
+    wand_topk_sharded for batch throughput.
 
     ``idf_map``: hot dictionary (queryeng.sharded.collect_idf_map).
     Returns a pandas frame (qid, doc_id, score, rank) — no SparkSession
