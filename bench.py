@@ -181,7 +181,7 @@ def main() -> None:
         t0 = time.perf_counter()
         rows_s = wand_topk_sharded(
             spark, f"{tmp}/docindex/postings_comp", qmap, None, didx.avgdl,
-            didx.n_docs, k=10, chunk_bits=didx.chunk_bits, idf_map=idf_map,
+            didx.max_doc_id, k=10, chunk_bits=didx.chunk_bits, idf_map=idf_map,
         ).collect()
         stages["wand_sharded"] = time.perf_counter() - t0
         extra["queries_per_sec_sharded"] = len(queries) / stages[

@@ -133,6 +133,11 @@ def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
     r_lo, r_hi = best[lo], best[hi]
     build_eff = (r_hi["build_docs_per_sec"] / r_lo["build_docs_per_sec"]) / ratio
     query_eff = (r_hi["queries_per_sec"] / r_lo["queries_per_sec"]) / ratio
+    sh_lo = r_lo.get("sharded_queries_per_sec")
+    sh_hi = r_hi.get("sharded_queries_per_sec")
+    sharded_eff = (
+        round((sh_hi / sh_lo) / ratio, 3) if sh_lo and sh_hi else None
+    )
     calib = hw_calibration(lo, hi)
     return {
         "lo_cpus": lo,
@@ -151,14 +156,8 @@ def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
         # is the headline (≈2.5-3x the bridge plan), efficiency is
         # Amdahl-limited on this tiny corpus (19 chunks, per-batch fixed
         # costs are a larger share of a 3x-smaller runtime)
-        "sharded_queries_per_sec": {
-            str(lo): r_lo.get("sharded_queries_per_sec"),
-            str(hi): r_hi.get("sharded_queries_per_sec"),
-        },
-        "sharded_query_efficiency": round(
-            (r_hi["sharded_queries_per_sec"]
-             / r_lo["sharded_queries_per_sec"]) / ratio, 3
-        ) if r_lo.get("sharded_queries_per_sec") else None,
+        "sharded_queries_per_sec": {str(lo): sh_lo, str(hi): sh_hi},
+        "sharded_query_efficiency": sharded_eff,
         # engine efficiency normalized by what THIS box itself scales at
         # for raw multiprocessing kernels measured in the same run (see
         # hw_calibration): a single box shares turbo headroom and DRAM
@@ -178,9 +177,7 @@ def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
         "build_pass": build_eff >= TARGET,
         "query_pass": query_eff >= TARGET,
         "sharded_query_pass": (
-            (r_hi["sharded_queries_per_sec"]
-             / r_lo["sharded_queries_per_sec"]) / ratio >= TARGET
-            if r_lo.get("sharded_queries_per_sec") else None
+            sharded_eff >= TARGET if sharded_eff is not None else None
         ),
         "n_queries": r_lo.get("n_queries"),
         "levels": [r_lo, r_hi],

@@ -218,14 +218,14 @@ def main() -> None:
         wand_topk_sharded(
             spark, f"{tmp}/index/postings_comp",
             query_term_map(wq_q, stem=True), None, sidx.avgdl,
-            sidx.n_docs, k=10, chunk_bits=sidx.chunk_bits, idf_map=idf_map,
+            sidx.max_doc_id, k=10, chunk_bits=sidx.chunk_bits, idf_map=idf_map,
         ).collect()
         sh_sec = 1e18
         for _rep in range(2):
             t0 = time.perf_counter()
             sh_rows = wand_topk_sharded(
                 spark, f"{tmp}/index/postings_comp", qmap, None,
-                sidx.avgdl, sidx.n_docs, k=10, chunk_bits=sidx.chunk_bits,
+                sidx.avgdl, sidx.max_doc_id, k=10, chunk_bits=sidx.chunk_bits,
                 idf_map=idf_map,
             ).collect()
             sh_sec = min(sh_sec, time.perf_counter() - t0)

@@ -160,7 +160,6 @@ def main(argv: list[str] | None = None) -> None:
         report = {
             "cmd": "query", "index": args.index, "n_queries": len(queries),
             "result_rows": len(rows),
-            "seconds": round(time.perf_counter() - t0, 3),
             "top1": {
                 str(qid): next(
                     ((r["doc_id"], round(r["score"], 6)) for r in rows

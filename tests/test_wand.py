@@ -74,7 +74,7 @@ def test_sharded_equals_bridge_plan(spark, tmp_path):
         got = _by_qid(
             wand_topk_sharded(
                 spark, f"{p}/postings_comp", qmap, idx.dictionary,
-                idx.avgdl, idx.n_docs, k=10, chunk_bits=idx.chunk_bits,
+                idx.avgdl, idx.max_doc_id, k=10, chunk_bits=idx.chunk_bits,
                 **kw,
             ).collect()
         )
@@ -145,6 +145,32 @@ def test_local_equals_single_task_plan(spark, tmp_path):
     ]
 
 
+def test_sharded_covers_sparse_doc_ids(spark, tmp_path):
+    """Regression: shard coverage must come from the persisted id CEILING
+    (max_doc_id), not the doc count — an index over a filtered corpus
+    (doc_ids sparse in [0, max_id]) must still return docs from the high
+    chunks. With chunk_bits=2 and ids {0, 4, 8, ..., 60}, a count-derived
+    chunk space would cover only chunks 0-3 and silently drop 3/4 of the
+    corpus."""
+    from themis_search_engine_spark.indexing import build_and_save_serving
+    from themis_search_engine_spark.queryeng.sharded import wand_topk_sharded
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(0, 64, 4)],  # 16 docs
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    idx = build_and_save_serving(docs, p, stem=False, chunk_bits=2,
+                                 partitions=2)
+    assert idx.n_docs == 16 and idx.max_doc_id == 60
+
+    got = wand_topk_sharded(
+        spark, f"{p}/postings_comp", {1: ["alpha"]}, idx.dictionary,
+        idx.avgdl, idx.max_doc_id, k=100, chunk_bits=2, n_shards=4,
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(range(0, 64, 4))
+
+
 def test_sharded_edge_cases(spark, tmp_path):
     """All-stopword batch → empty typed result; unknown terms drop like
     the join-based plans; k larger than the candidate set returns all
@@ -162,7 +188,7 @@ def test_sharded_edge_cases(spark, tmp_path):
     comp = f"{p}/postings_comp"
 
     empty = wand_topk_sharded(
-        spark, comp, {1: []}, idx.dictionary, idx.avgdl, idx.n_docs, k=5,
+        spark, comp, {1: []}, idx.dictionary, idx.avgdl, idx.max_doc_id, k=5,
         chunk_bits=2,
     )
     assert empty.count() == 0
@@ -172,7 +198,7 @@ def test_sharded_edge_cases(spark, tmp_path):
 
     got = wand_topk_sharded(
         spark, comp, {7: ["alpha", "zzz_not_a_term"]}, idx.dictionary,
-        idx.avgdl, idx.n_docs, k=100, chunk_bits=2,
+        idx.avgdl, idx.max_doc_id, k=100, chunk_bits=2,
     ).collect()
     assert {r["doc_id"] for r in got} == set(range(6))  # k > candidates
     assert all(r["qid"] == 7 for r in got)
@@ -180,7 +206,7 @@ def test_sharded_edge_cases(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="driver-local"):
         wand_topk_sharded(
             spark, "s3://bucket/postings", {1: ["alpha"]}, idx.dictionary,
-            idx.avgdl, idx.n_docs, k=5, chunk_bits=2,
+            idx.avgdl, idx.max_doc_id, k=5, chunk_bits=2,
         )
 
 

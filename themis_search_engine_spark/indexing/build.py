@@ -366,7 +366,10 @@ def build_and_save_serving(
     # corpus count and avgdl = Σ length / N, not avg over stats rows.
     gs_row = (
         spark.read.parquet(f"{path}/doc_stats")
-        .agg(F.sum("length").alias("total"))
+        .agg(
+            F.sum("length").alias("total"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
         .collect()[0]
     )
     n_docs = int(obs.get["n_docs"])
@@ -374,8 +377,15 @@ def build_and_save_serving(
     # chunk_bits is part of the index LAYOUT: doc_id bases decode as
     # chunk << chunk_bits, so a reader defaulting to a different value
     # scores silently wrong doc_ids. Persist it with the global stats.
+    # max_doc_id bounds the CHUNK SPACE: doc_ids need not be dense in
+    # [0, n_docs) (filtered corpora, sparse id assigners), so shard
+    # planners must size coverage from the real id ceiling, not the
+    # count — deriving it from n_docs silently drops every chunk above
+    # n_docs >> chunk_bits.
+    max_doc_id = int(gs_row["max_doc_id"] or 0)
     global_stats = spark.createDataFrame(
-        [(n_docs, avgdl, cb)], "n_docs long, avgdl double, chunk_bits int"
+        [(n_docs, avgdl, cb, max_doc_id)],
+        "n_docs long, avgdl double, chunk_bits int, max_doc_id long",
     )
     global_stats.write.mode("overwrite").parquet(f"{path}/global_stats")
     t["doc_stats"] = _time.perf_counter() - t0
@@ -423,6 +433,9 @@ class ServingIndex:
     compressed: DataFrame
     n_postings: int = -1
     chunk_bits: int = DEFAULT_CHUNK_BITS
+    # highest doc_id holding any posting — bounds the chunk space for
+    # shard planning (doc_ids need not be dense in [0, n_docs))
+    max_doc_id: int = 0
 
     def __getattr__(self, name):  # delegate table access to the index
         # guard 'index' itself (and dunders): during copy/pickle the
@@ -457,7 +470,15 @@ def load_serving_index(spark: SparkSession, path: str) -> ServingIndex:
         avgdl=float(row["avgdl"]),
     )
     compressed = spark.read.parquet(f"{path}/postings_comp")
-    return ServingIndex(index=idx, compressed=compressed, chunk_bits=cb)
+    if "max_doc_id" in global_stats.columns:
+        mdi = int(row["max_doc_id"])
+    else:  # pre-max_doc_id layouts: one doc_stats scan at load time
+        mdi = int(
+            doc_stats.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
+        )
+    return ServingIndex(
+        index=idx, compressed=compressed, chunk_bits=cb, max_doc_id=mdi
+    )
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:

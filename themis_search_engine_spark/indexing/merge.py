@@ -86,15 +86,22 @@ def _base_totals(spark: SparkSession, path: str) -> dict:
         "chunk_bits": int(row["chunk_bits"]) if "chunk_bits" in cols
         else DEFAULT_CHUNK_BITS,
     }
-    if "total_len" in cols:
+    if "total_len" in cols and "max_doc_id" in cols:
         out["total_len"] = int(row["total_len"])
-    else:
+        out["max_doc_id"] = int(row["max_doc_id"])
+    else:  # pre-merge / pre-max_doc_id layouts: one doc_stats scan
         t = (
             spark.read.parquet(f"{path}/doc_stats")
-            .agg(F.sum("length").alias("t"))
-            .collect()[0]["t"]
+            .agg(F.sum("length").alias("t"), F.max("doc_id").alias("m"))
+            .collect()[0]
         )
-        out["total_len"] = int(t or 0)
+        out["total_len"] = (
+            int(row["total_len"]) if "total_len" in cols else int(t["t"] or 0)
+        )
+        out["max_doc_id"] = (
+            int(row["max_doc_id"]) if "max_doc_id" in cols
+            else int(t["m"] or 0)
+        )
     out["min_enc_avgdl"] = (
         float(row["min_enc_avgdl"]) if "min_enc_avgdl" in cols else out["avgdl"]
     )
@@ -108,18 +115,38 @@ def serving_bound_scales(spark: SparkSession, path: str) -> tuple[float, float]:
     """(hi, lo) pruning-soundness scales for the index at ``path``: the
     most conservative correction across all segments' encode-time avgdl
     (1.0, 1.0 for a single-segment index). Pass to wand_topk(bound_scales=)."""
-    base = _base_totals(spark, path)
-    hi = max(1.0, base["avgdl"] / base["min_enc_avgdl"]) if base["min_enc_avgdl"] else 1.0
-    lo = min(1.0, base["avgdl"] / base["max_enc_avgdl"]) if base["max_enc_avgdl"] else 1.0
-    return hi, lo
+    return _scales_from(_base_totals(spark, path))
 
 
-def _next_gen(path: str) -> int:
+def _read_log(path: str) -> list:
     log = f"{path}/merge_log.json"
     if os.path.exists(log):
         with open(log) as fh:
-            return len(json.load(fh)) + 1
-    return 1
+            return json.load(fh)
+    return []
+
+
+def _append_log(path: str, entry: dict) -> None:
+    entries = _read_log(path)
+    entries.append(entry)
+    with open(f"{path}/merge_log.json", "w") as fh:
+        json.dump(entries, fh, indent=1)
+
+
+def _next_gen(path: str) -> int:
+    return len(_read_log(path)) + 1
+
+
+def _scales_from(base: dict) -> tuple[float, float]:
+    hi = (
+        max(1.0, base["avgdl"] / base["min_enc_avgdl"])
+        if base["min_enc_avgdl"] else 1.0
+    )
+    lo = (
+        min(1.0, base["avgdl"] / base["max_enc_avgdl"])
+        if base["max_enc_avgdl"] else 1.0
+    )
+    return hi, lo
 
 
 def _move_segment_files(tmp_dir: str, dst_dir: str, prefix: str) -> list[str]:
@@ -151,15 +178,8 @@ def describe_index(spark: SparkSession, path: str) -> dict:
         F.max("count").alias("max_fragments"),
     ).collect()[0]
     post = comp.agg(F.sum("df_chunk").alias("p")).collect()[0]
-    log_path = f"{path}/merge_log.json"
-    log = []
-    if os.path.exists(log_path):
-        with open(log_path) as fh:
-            log = json.load(fh)
-    hi = max(1.0, base["avgdl"] / base["min_enc_avgdl"]) \
-        if base["min_enc_avgdl"] else 1.0
-    lo = min(1.0, base["avgdl"] / base["max_enc_avgdl"]) \
-        if base["max_enc_avgdl"] else 1.0
+    log = _read_log(path)
+    hi, lo = _scales_from(base)
     bytes_comp = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(f"{path}/postings_comp")
@@ -170,6 +190,7 @@ def describe_index(spark: SparkSession, path: str) -> dict:
         "n_docs": base["n_docs"],
         "avgdl": base["avgdl"],
         "chunk_bits": base["chunk_bits"],
+        "max_doc_id": base["max_doc_id"],
         # a compact entry collapses everything before it to one segment
         "segments": 1 + len(
             log[max(
@@ -255,13 +276,22 @@ def compact_serving_index(
                               chunk_bits=cb)
     t["compact_compress"] = time.perf_counter() - t0
 
-    # 3. swap both tables, then refresh dictionary + global_stats
+    # 3. swap both tables, then refresh dictionary + global_stats. The
+    #    two renames per table are NOT one atomic commit (a crash between
+    #    them leaves that table absent) — so the pre-compact copies are
+    #    kept on disk until BOTH tables are swapped, making every crash
+    #    window recoverable by renaming _pre_compact{gen}_* back. On a
+    #    production lakehouse this whole step is one Iceberg snapshot
+    #    commit (atomic metadata swap) instead of directory renames.
     t0 = time.perf_counter()
+    swapped = []
     for table, tmp in (("postings_raw", raw_tmp), ("postings_comp", comp_tmp)):
         live = f"{path}/{table}"
         old = f"{path}/_pre_compact{gen}_{table}"
         os.rename(live, old)
         os.rename(tmp, live)
+        swapped.append(old)
+    for old in swapped:
         shutil.rmtree(old, ignore_errors=True)
 
     n_docs = base["n_docs"]
@@ -279,31 +309,22 @@ def compact_serving_index(
     dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
     spark.createDataFrame(
         [(n_docs, base["avgdl"], cb, base["total_len"], base["avgdl"],
-          base["avgdl"])],
+          base["avgdl"], base["max_doc_id"])],
         "n_docs long, avgdl double, chunk_bits int, total_len long, "
-        "min_enc_avgdl double, max_enc_avgdl double",
+        "min_enc_avgdl double, max_enc_avgdl double, max_doc_id long",
     ).write.mode("overwrite").parquet(f"{path}/global_stats")
     t["compact_finalize"] = time.perf_counter() - t0
 
-    log_path = f"{path}/merge_log.json"
-    entries = []
-    if os.path.exists(log_path):
-        with open(log_path) as fh:
-            entries = json.load(fh)
-    entries.append(
-        {
-            "gen": gen,
-            "type": "compact",
-            "postings": sum(m["postings"] for m in cmetrics),
-            "chunk_rows": sum(m["chunks"] for m in cmetrics),
-            "enc_avgdl": base["avgdl"],
-            "n_docs_after": n_docs,
-            "bytes_out": sum(m["bytes_out"] for m in cmetrics),
-            "seconds": {k: round(v, 3) for k, v in t.items()},
-        }
-    )
-    with open(log_path, "w") as fh:
-        json.dump(entries, fh, indent=1)
+    _append_log(path, {
+        "gen": gen,
+        "type": "compact",
+        "postings": sum(m["postings"] for m in cmetrics),
+        "chunk_rows": sum(m["chunks"] for m in cmetrics),
+        "enc_avgdl": base["avgdl"],
+        "n_docs_after": n_docs,
+        "bytes_out": sum(m["bytes_out"] for m in cmetrics),
+        "seconds": {k: round(v, 3) for k, v in t.items()},
+    })
 
     return load_serving_index(spark, path)
 
@@ -386,10 +407,13 @@ def merge_serving_delta(
                 f"delta doc_id {clash[0]['doc_id']} already exists in the "
                 f"base index at {path}; delta doc_ids must be fresh"
             )
-    drow = per_doc.agg(F.sum("length").alias("t")).collect()[0]
+    drow = per_doc.agg(
+        F.sum("length").alias("t"), F.max("doc_id").alias("m")
+    ).collect()[0]
     delta_total = int(drow["t"] or 0)
     n_docs = base["n_docs"] + n_delta
     total_len = base["total_len"] + delta_total
+    max_doc_id = max(base["max_doc_id"], int(drow["m"] or 0))
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     per_doc.write.mode("append").parquet(f"{path}/doc_stats")
     t["delta_doc_stats"] = time.perf_counter() - t0
@@ -430,31 +454,22 @@ def merge_serving_delta(
     min_enc = min(base["min_enc_avgdl"], avgdl)
     max_enc = max(base["max_enc_avgdl"], avgdl)
     spark.createDataFrame(
-        [(n_docs, avgdl, cb, total_len, min_enc, max_enc)],
+        [(n_docs, avgdl, cb, total_len, min_enc, max_enc, max_doc_id)],
         "n_docs long, avgdl double, chunk_bits int, total_len long, "
-        "min_enc_avgdl double, max_enc_avgdl double",
+        "min_enc_avgdl double, max_enc_avgdl double, max_doc_id long",
     ).write.mode("overwrite").parquet(f"{path}/global_stats")
     t["delta_finalize"] = time.perf_counter() - t0
 
     # 6. merge log: per-merge lineage + metrics (north-rule evidence)
-    log_path = f"{path}/merge_log.json"
-    entries = []
-    if os.path.exists(log_path):
-        with open(log_path) as fh:
-            entries = json.load(fh)
-    entries.append(
-        {
-            "gen": gen,
-            "docs_added": n_delta,
-            "postings_added": int(delta_postings),
-            "enc_avgdl": avgdl,
-            "n_docs_after": n_docs,
-            "files": [m["file"] for m in cmetrics],
-            "bytes_out": sum(m["bytes_out"] for m in cmetrics),
-            "seconds": {k: round(v, 3) for k, v in t.items()},
-        }
-    )
-    with open(log_path, "w") as fh:
-        json.dump(entries, fh, indent=1)
+    _append_log(path, {
+        "gen": gen,
+        "docs_added": n_delta,
+        "postings_added": int(delta_postings),
+        "enc_avgdl": avgdl,
+        "n_docs_after": n_docs,
+        "files": [m["file"] for m in cmetrics],
+        "bytes_out": sum(m["bytes_out"] for m in cmetrics),
+        "seconds": {k: round(v, 3) for k, v in t.items()},
+    })
 
     return load_serving_index(spark, path)

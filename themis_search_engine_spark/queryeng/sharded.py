@@ -47,10 +47,12 @@ batched vs 134 per-row at 8 cores; whole-table concatenation is 20×
 worse still). Keep rows big (chunk_bits) rather than batching decode.
 
 Accumulation per (qid, chunk) runs in ascending-term order — the same
-order as wand.py's _score_chunk_rows — so scores are IEEE-identical to
-the bridge plan (asserted in tests/test_wand.py), and fragment rows from
-delta-merged segments (indexing/merge.py) accumulate per fragment exactly
-like the scatter-add scorer.
+order as wand.py's _score_chunk_rows — so scores match the bridge plan
+to float-sum dust (~1e-15: the idf·core multiply associates differently;
+ranks are identical at the rounded grain, asserted in tests/
+test_wand.py), and fragment rows from delta-merged segments
+(indexing/merge.py) accumulate per fragment exactly like the
+scatter-add scorer.
 
 At cluster scale the same tasks read object storage through pyarrow.fs;
 in this sandbox the driver lists nothing (the dataset reader does), but
@@ -109,12 +111,6 @@ def _score_shard(
     # float accumulation order identical to wand._score_chunk_rows
     tbl = tbl.sort_by([("chunk", "ascending"), ("term", "ascending")])
     chunk_col = tbl["chunk"].to_numpy(zero_copy_only=False)
-    term_col = tbl["term"].to_pylist()
-    cols = {
-        c: tbl[c].to_pylist()
-        for c in ("doc_bytes", "cnt_bytes", "mc_bytes", "dl_bytes")
-    }
-    del tbl
 
     chunk_size = 1 << chunk_bits
     acc = np.zeros(chunk_size, dtype=np.float64)
@@ -127,19 +123,27 @@ def _score_shard(
     for s, e in zip(starts, ends):
         chunk = int(chunk_col[s])
         base = chunk << chunk_bits
-        # decode this chunk's rows ONCE; a (term, chunk) group may span
-        # several fragment rows after delta merges — keep them all, in
-        # row order, exactly as the scatter-add scorer sees them
+        # materialize ONE chunk group's rows out of Arrow at a time (the
+        # shard's whole match set stays compressed/Arrow-side), and
+        # decode each row ONCE; a (term, chunk) group may span several
+        # fragment rows after delta merges — keep them all, in row
+        # order, exactly as the scatter-add scorer sees them
+        sl = tbl.slice(s, e - s)
+        term_l = sl["term"].to_pylist()
+        byte_cols = [
+            sl[c].to_pylist()
+            for c in ("doc_bytes", "cnt_bytes", "mc_bytes", "dl_bytes")
+        ]
         rows_by_term: dict[str, list] = {}
-        for i in range(s, e):
-            deltas = vb_decode(cols["doc_bytes"][i]).astype(np.int64)
+        for j in range(e - s):
+            deltas = vb_decode(byte_cols[0][j]).astype(np.int64)
             offs = np.cumsum(deltas)
-            cnt = vb_decode(cols["cnt_bytes"][i]).astype(np.float64)
-            mc = vb_decode(cols["mc_bytes"][i]).astype(np.float64)
-            dl = vb_decode(cols["dl_bytes"][i]).astype(np.float64)
+            cnt = vb_decode(byte_cols[1][j]).astype(np.float64)
+            mc = vb_decode(byte_cols[2][j]).astype(np.float64)
+            dl = vb_decode(byte_cols[3][j]).astype(np.float64)
             tf = cnt / mc
             core = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-            rows_by_term.setdefault(term_col[i], []).append((offs, core))
+            rows_by_term.setdefault(term_l[j], []).append((offs, core))
         qids_here = sorted(
             {q for t in rows_by_term for q in by_term[t]}
         )
@@ -194,7 +198,7 @@ def wand_topk_sharded(
     queries: dict[int, list[str]],
     dictionary: DataFrame | None,
     avgdl: float,
-    n_docs: int,
+    max_doc_id: int,
     k: int = 10,
     *,
     chunk_bits: int = DEFAULT_CHUNK_BITS,
@@ -209,6 +213,13 @@ def wand_topk_sharded(
     term list — the driver-side shape every qterms_df caller starts from
     (queryeng.pipeline.query_term_map). Terms absent from the dictionary
     contribute nothing (exactly as the join-based plans drop them).
+
+    ``max_doc_id``: the index's highest posting doc_id — the persisted
+    layout constant (ServingIndex.max_doc_id / global_stats). Shard
+    coverage is sized from this id CEILING, never from a doc count:
+    doc_ids need not be dense, and sizing from a count silently drops
+    every chunk above count >> chunk_bits (e.g. an index built over a
+    filtered corpus).
 
     ``idf_map``: pre-collected dictionary (:func:`collect_idf_map`) for
     hot serving — skips the per-batch filtered dictionary scan job.
@@ -246,7 +257,7 @@ def wand_topk_sharded(
     if not kept_vocab:
         return spark.createDataFrame([], _OUT_SCHEMA + ", rank int")
 
-    n_chunks = (max(n_docs - 1, 0) >> chunk_bits) + 1
+    n_chunks = (max(int(max_doc_id), 0) >> chunk_bits) + 1
     sc_ctx = spark.sparkContext
     if n_shards is None:
         # ~2 shards per core levels stragglers without multiplying the

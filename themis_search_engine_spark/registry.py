@@ -306,16 +306,12 @@ def q_compacted_topk(spark, sf_dir):
 _SCACHE: dict[str, tuple] = {}
 
 
-def q_bm25_topk_wand_sharded(spark, sf_dir):
-    """Doc-sharded file-parallel serving (queryeng/sharded.py): one task
-    per chunk set of a PERSISTED serving index, pyarrow reads + numpy
-    scoring, only per-shard top-k rows leaving Python — against the same
-    naive top-k oracle as every other WAND plan."""
+def _serving_bundle(spark, sf_dir):
+    """Persisted full-corpus serving index, built once per sf_dir —
+    shared by the sharded and in-process serving queries."""
     import tempfile
 
     from .indexing.build import build_and_save_serving
-    from .queryeng.pipeline import query_term_map
-    from .queryeng.sharded import wand_topk_sharded
 
     if sf_dir not in _SCACHE:
         docs = load_documents(spark, sf_dir).select("doc_id", "text")
@@ -324,10 +320,21 @@ def q_bm25_topk_wand_sharded(spark, sf_dir):
             docs, p, stem=False, chunk_bits=8, partitions=16
         )
         _SCACHE[sf_dir] = (idx, p)
-    idx, p = _SCACHE[sf_dir]
+    return _SCACHE[sf_dir]
+
+
+def q_bm25_topk_wand_sharded(spark, sf_dir):
+    """Doc-sharded file-parallel serving (queryeng/sharded.py): one task
+    per chunk set of a PERSISTED serving index, pyarrow reads + numpy
+    scoring, only per-shard top-k rows leaving Python — against the same
+    naive top-k oracle as every other WAND plan."""
+    from .queryeng.pipeline import query_term_map
+    from .queryeng.sharded import wand_topk_sharded
+
+    idx, p = _serving_bundle(spark, sf_dir)
     wide = wand_topk_sharded(
         spark, f"{p}/postings_comp", query_term_map(osql.QUERYSET, stem=False),
-        idx.dictionary, idx.avgdl, idx.n_docs, k=30,
+        idx.dictionary, idx.avgdl, idx.max_doc_id, k=30,
         chunk_bits=idx.chunk_bits, n_shards=3,
     )
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
@@ -342,9 +349,7 @@ def q_bm25_topk_wand_local(spark, sf_dir):
     from .queryeng.sharded import collect_idf_map
     from .queryeng.wand import wand_topk_local
 
-    if sf_dir not in _SCACHE:
-        q_bm25_topk_wand_sharded(spark, sf_dir)  # builds + caches the index
-    idx, p = _SCACHE[sf_dir]
+    idx, p = _serving_bundle(spark, sf_dir)
     local = wand_topk_local(
         f"{p}/postings_comp", query_term_map(osql.QUERYSET, stem=False),
         collect_idf_map(idx.dictionary), idx.avgdl, k=30,
