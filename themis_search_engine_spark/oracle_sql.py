@@ -233,18 +233,23 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
-def _expansion_ctes(prefix_len: int, expansion_weight: float) -> str:
+def _expansion_ctes(
+    prefix_len: int, expansion_weight: float, syn_body: str | None = None
+) -> str:
     """CTE chain ending in expq(qid, term, qweight, is_expansion) — the
-    prefix-synonym expansion capped at the original distinct-term count
-    per qid. Shared by sql_query_expansion and sql_bm25_topk_expanded."""
-    return f"""q AS (SELECT DISTINCT qid, term, qweight::DOUBLE AS qweight FROM {_qterms_values()}),
-syn AS (
+    synonym-source expansion capped at the original distinct-term count
+    per qid. ``syn_body`` overrides the default prefix-synonym source
+    (must yield columns (term, synonym)). Shared by sql_query_expansion,
+    sql_query_expansion_emb and sql_bm25_topk_expanded."""
+    syn = syn_body or f"""
   SELECT a.term, b.term AS synonym
   FROM dict a JOIN dict b
     ON substr(a.term, 1, {prefix_len}) = substr(b.term, 1, {prefix_len})
   WHERE length(a.term) >= {prefix_len} AND length(b.term) >= {prefix_len}
     AND a.term <> b.term
-),
+"""
+    return f"""q AS (SELECT DISTINCT qid, term, qweight::DOUBLE AS qweight FROM {_qterms_values()}),
+syn AS ({syn}),
 norig AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY qid),
 cand AS (
   SELECT DISTINCT q.qid, s.synonym AS term
@@ -272,6 +277,52 @@ def sql_query_expansion(prefix_len: int = 4, expansion_weight: float = 0.5) -> s
     original distinct-term count per qid."""
     return f"""WITH {TOK_CTE},
 {_expansion_ctes(prefix_len, expansion_weight)}
+SELECT qid, term, qweight, is_expansion FROM expq"""
+
+
+def _emb_syn_ctes(top_n: int) -> str:
+    """CTE chain ending in a (term, synonym) relation: term vectors =
+    per-dimension mean of containing docs' embeddings, synonyms = top-n
+    cosine neighbors (rounded-cosine rank, synonym-asc ties) — the DuckDB
+    twin of queryeng.expansion.embedding_synonyms."""
+    return f"""dims AS (
+  SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS pos
+),
+tdocs AS (SELECT DISTINCT term, doc_id FROM counts),
+tv AS (
+  SELECT t.term, dims.pos, avg(e.embedding[dims.pos]::DOUBLE) AS v
+  FROM tdocs t
+  JOIN embeddings e ON t.doc_id = e.vec_id
+  CROSS JOIN dims
+  GROUP BY t.term, dims.pos
+),
+nrm AS (SELECT term, sqrt(sum(v * v)) AS n FROM tv GROUP BY term),
+tcos AS (
+  SELECT a.term, b.term AS synonym,
+         sum(a.v * b.v) / (na.n * nb.n) AS cosine
+  FROM tv a
+  JOIN tv b ON a.pos = b.pos AND a.term <> b.term
+  JOIN nrm na ON na.term = a.term
+  JOIN nrm nb ON nb.term = b.term
+  GROUP BY a.term, b.term, na.n, nb.n
+),
+tnn AS (
+  SELECT term, synonym,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY round(cosine, 6) DESC, synonym ASC) AS r
+  FROM tcos
+)"""
+
+
+def sql_query_expansion_emb(
+    top_n: int = 2, expansion_weight: float = 0.5
+) -> str:
+    """P7 twin with the REAL embedding resource: synonyms from derived
+    term vectors (embedding-NN), capped expansion as in P6."""
+    return f"""WITH {TOK_CTE},
+{_emb_syn_ctes(top_n)},
+{_expansion_ctes(0, expansion_weight,
+                 syn_body=f"SELECT term, synonym FROM tnn WHERE r <= {top_n}")}
 SELECT qid, term, qweight, is_expansion FROM expq"""
 
 

@@ -69,3 +69,71 @@ def expand_queries(
     return orig.withColumn("is_expansion", F.lit(False)).unionByName(
         capped.withColumn("is_expansion", F.lit(True))
     )
+
+
+def embedding_synonyms(
+    term_docs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    top_n: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(term, synonym) — P7 (Glove.java:20-55) with a REAL embedding
+    resource instead of the prefix stand-in: each term's vector is the
+    mean of its containing documents' embedding vectors (a standard
+    co-occurrence term embedding), and a term's synonyms are its top-n
+    cosine nearest neighbors in that space.
+
+    ``term_docs``: any frame with (term, doc_id) — the index's counts
+    table qualifies. Deterministic: neighbors rank on 6-dp-rounded
+    cosine with synonym-asc tiebreaks (the same engine-independence
+    grain every oracled ranking uses).
+
+    Scale path: the expensive step is term-vector ALL-PAIRS cosine —
+    vocabulary-sized, not corpus-sized (|V|² ≪ |docs|²), and at web
+    vocabulary sizes the SRP banding already built for embedding
+    near-dup (pipeline_ops.simsearch.srp_lsh_pairs) generates the
+    candidate pairs instead of the cross join, exactly as it does for
+    document vectors.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_e")
+    )
+    tv = (
+        term_docs.select("term", "doc_id").distinct()
+        .join(e, "doc_id")
+        .select("term", F.posexplode("_e").alias("pos", "val"))
+        .groupBy("term", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("v"))
+    )
+    nrm = tv.groupBy("term").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
+    )
+    a = tv.select("term", "pos", F.col("v").alias("va"))
+    b = tv.select(F.col("term").alias("synonym"), "pos",
+                  F.col("v").alias("vb"))
+    cos = (
+        a.join(b, "pos")
+        .where(F.col("term") != F.col("synonym"))
+        .groupBy("term", "synonym")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+        .join(nrm.select("term", F.col("n").alias("na")), "term")
+        .join(
+            nrm.select(F.col("term").alias("synonym"),
+                       F.col("n").alias("nb")),
+            "synonym",
+        )
+        .select(
+            "term", "synonym",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("synonym")
+    )
+    return (
+        cos.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_n)
+        .select("term", "synonym")
+    )

@@ -468,6 +468,25 @@ QUERIES["query_expansion"] = q_query_expansion
 ORACLE_SQL["query_expansion"] = osql.sql_query_expansion(4, 0.5)
 
 
+def q_query_expansion_emb(spark, sf_dir):
+    """P7 with a REAL embedding resource (Glove.java:20-55 shape): term
+    vectors derived as the mean of containing docs' embeddings, synonyms
+    = top-2 cosine neighbors, fed through the same capped expansion
+    operator as the prefix source."""
+    from .corpus import load_embeddings
+    from .queryeng.expansion import embedding_synonyms, expand_queries
+
+    idx = get_index(spark, sf_dir)
+    syn = embedding_synonyms(
+        idx.counts, load_embeddings(spark, sf_dir), top_n=2
+    )
+    return expand_queries(_qt(spark, stem=False), syn)
+
+
+QUERIES["query_expansion_emb"] = q_query_expansion_emb
+ORACLE_SQL["query_expansion_emb"] = osql.sql_query_expansion_emb(2, 0.5)
+
+
 def q_bm25_topk_expanded(spark, sf_dir):
     """Expanded retrieval end-to-end (Search.java:75): P6/P7 expansion
     output feeds BM25 top-k, expansion terms at reduced qweight."""
