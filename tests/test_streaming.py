@@ -49,6 +49,70 @@ def test_stream_ingest_equals_batch_build(spark, tmp_path):
     assert idx_s.avgdl == pytest.approx(idx_b.avgdl)
 
 
+def test_stream_serving_index_equals_batch_build(spark, tmp_path):
+    """Continuous serving maintenance: micro-batches streamed through
+    serve_pages_stream (bootstrap build + delta merges) must yield a
+    LIVE index indistinguishable from one batch serving build — stats,
+    dictionary and WAND ranks — with stream batch ids stamped in the
+    merge log for replay idempotence."""
+    import json
+
+    from themis_search_engine_spark.indexing import (
+        build_and_save_serving,
+        load_serving_index,
+        serving_bound_scales,
+    )
+    from themis_search_engine_spark.queryeng import qterms_df
+    from themis_search_engine_spark.queryeng.wand import wand_topk
+    from themis_search_engine_spark.streaming import serve_pages_stream
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    in_dir = str(tmp_path / "landing")
+    docs.repartition(3).write.parquet(in_dir)
+
+    live = str(tmp_path / "live_idx")
+    q = serve_pages_stream(
+        spark, in_dir, live, stem=False, partitions=8,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    log = json.load(open(f"{live}/merge_log.json"))
+    assert log[0]["type"] == "stream_bootstrap"
+    marked = [e["stream_batch_id"] for e in log if "stream_batch_id" in e]
+    assert len(marked) == len(set(marked)) >= 3  # every batch stamped once
+
+    idx_s = load_serving_index(spark, live)
+    ref = str(tmp_path / "ref_idx")
+    idx_b = build_and_save_serving(docs, ref, stem=False, partitions=8)
+    assert idx_s.n_docs == idx_b.n_docs
+    assert idx_s.avgdl == idx_b.avgdl  # exact long-total_len arithmetic
+    assert idx_s.max_doc_id == idx_b.max_doc_id
+    assert sorted(
+        (r["term"], r["df"]) for r in idx_s.dictionary.collect()
+    ) == sorted((r["term"], r["df"]) for r in idx_b.dictionary.collect())
+
+    qt = qterms_df(spark, {1: "spark shuffle join", 2: "window group"},
+                   stem=False)
+    got = sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(
+            qt, idx_s.compressed, idx_s.dictionary, idx_s.avgdl, k=10,
+            chunk_bits=idx_s.chunk_bits,
+            bound_scales=serving_bound_scales(spark, live),
+        ).collect()
+    )
+    want = sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(
+            qt, idx_b.compressed, idx_b.dictionary, idx_b.avgdl, k=10,
+            chunk_bits=idx_b.chunk_bits,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_windowed_ingest_rate(spark, tmp_path):
     from themis_search_engine_spark.corpus import synth_pages
 

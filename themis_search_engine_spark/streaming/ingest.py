@@ -152,3 +152,97 @@ def windowed_ingest_rate(
             "n_docs",
         )
     )
+
+
+def serve_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    stem: bool = True,
+    partitions: int = 16,
+    chunk_bits: int | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous SERVING-index maintenance: each micro-batch of new pages
+    becomes one delta segment of the LIVE queryable index — readStream →
+    foreachBatch(merge_serving_delta). The first batch bootstraps the
+    index with a full serving build; every later batch is an O(delta)
+    merge (indexing/merge.py: base posting files never re-read), so the
+    index stays continuously queryable by every serving plan (bridge /
+    sharded / in-process) while the crawl streams in; schedule
+    compact_serving_index when describe_index shows fragmentation worth
+    reclaiming.
+
+    Exactly-once: merge generations record their stream batch_id in the
+    index's merge_log, and a replayed batch (Structured Streaming redoes
+    a failed foreachBatch under the same batch_id) is SKIPPED when its id
+    is already logged. A crash inside an unlogged half-merge surfaces on
+    replay as the merge's duplicate-doc_id ValueError — loud, not silent
+    corruption; on a production lakehouse the merge is one Iceberg
+    snapshot commit and the window disappears.
+    """
+    pages = (
+        spark.readStream.schema(
+            PAGES_SCHEMA if key_col == "url"
+            else f"{key_col} long, {text_col} string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    from ..indexing.build import build_and_save_serving
+    from ..indexing.merge import _read_log, merge_serving_delta
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if not os.path.exists(f"{index_path}/global_stats"):
+            build_and_save_serving(
+                docs, index_path, stem=stem, partitions=partitions,
+                chunk_bits=chunk_bits,
+            )
+            _mark_stream_gen(index_path, batch_id, bootstrap=True)
+            return
+        if any(
+            e.get("stream_batch_id") == batch_id
+            for e in _read_log(index_path)
+        ):
+            return  # replayed batch already merged — idempotent skip
+        merge_serving_delta(
+            spark, index_path, docs, stem=stem, partitions=partitions,
+        )
+        _mark_stream_gen(index_path, batch_id)
+
+    writer = (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{index_path}/_stream_checkpoint")
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _mark_stream_gen(
+    index_path: str, batch_id: int, *, bootstrap: bool = False
+) -> None:
+    """Stamp the stream batch_id onto the latest merge_log entry (or a
+    bootstrap entry) — the replay-skip marker for serve_pages_stream."""
+    from ..indexing.merge import _append_log, _read_log
+
+    entries = _read_log(index_path)
+    if bootstrap or not entries:
+        _append_log(index_path, {
+            "gen": len(entries) + 1,
+            "type": "stream_bootstrap" if bootstrap else "stream_mark",
+            "stream_batch_id": batch_id,
+        })
+        return
+    entries[-1]["stream_batch_id"] = batch_id
+    with open(f"{index_path}/merge_log.json", "w") as fh:
+        json.dump(entries, fh, indent=1)
