@@ -326,15 +326,10 @@ def sql_query_expansion_emb(
 SELECT qid, term, qweight, is_expansion FROM expq"""
 
 
-def sql_bm25_topk_expanded(
-    k: int = 10, prefix_len: int = 4, expansion_weight: float = 0.5
-) -> str:
-    """Expanded retrieval (Search.java:75): the expansion CTE feeds BM25,
-    each term's part weighted by its qweight (expansions at
-    {expansion_weight}, originals at their qtf/max_qtf weight)."""
-    return f"""WITH {TOK_CTE},
-{_expansion_ctes(prefix_len, expansion_weight)},
-scored AS (
+def _expanded_scored_tail(k: int) -> str:
+    """expq → qweight-weighted BM25 → rounded-rank top-k (shared by the
+    prefix- and embedding-synonym expanded-retrieval twins)."""
+    return f"""scored AS (
   SELECT e.qid, t.doc_id,
          sum( e.qweight
               * log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
@@ -355,6 +350,29 @@ ranked AS (
 )
 SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_bm25_topk_expanded(
+    k: int = 10, prefix_len: int = 4, expansion_weight: float = 0.5
+) -> str:
+    """Expanded retrieval (Search.java:75): the expansion CTE feeds BM25,
+    each term's part weighted by its qweight (expansions at
+    {expansion_weight}, originals at their qtf/max_qtf weight)."""
+    return f"""WITH {TOK_CTE},
+{_expansion_ctes(prefix_len, expansion_weight)},
+{_expanded_scored_tail(k)}"""
+
+
+def sql_bm25_topk_expanded_emb(
+    k: int = 10, top_n: int = 2, expansion_weight: float = 0.5
+) -> str:
+    """Expanded retrieval with the embedding-NN synonym source — the
+    Search.java:75 flow over the P7 resource."""
+    return f"""WITH {TOK_CTE},
+{_emb_syn_ctes(top_n)},
+{_expansion_ctes(0, expansion_weight,
+                 syn_body=f"SELECT term, synonym FROM tnn WHERE r <= {top_n}")},
+{_expanded_scored_tail(k)}"""
 
 
 # The reference's real input path (S2JsonEntryReader.java:54-159 +

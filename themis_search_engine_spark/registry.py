@@ -508,6 +508,32 @@ QUERIES["bm25_topk_expanded"] = q_bm25_topk_expanded
 ORACLE_SQL["bm25_topk_expanded"] = osql.sql_bm25_topk_expanded(10, 4, 0.5)
 
 
+def q_bm25_topk_expanded_emb(spark, sf_dir):
+    """Expanded retrieval with the embedding-NN synonym source (P7 →
+    Search.java:75 flow)."""
+    from .corpus import load_embeddings
+    from .queryeng.expansion import embedding_synonyms, expand_queries
+
+    idx = get_index(spark, sf_dir)
+    expanded = expand_queries(
+        _qt(spark, stem=False),
+        embedding_synonyms(idx.counts, load_embeddings(spark, sf_dir),
+                           top_n=2),
+        expansion_weight=0.5,
+    )
+    scored = bm25_score_all(
+        expanded, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl, use_qweight=True,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25_topk_expanded_emb"] = q_bm25_topk_expanded_emb
+ORACLE_SQL["bm25_topk_expanded_emb"] = osql.sql_bm25_topk_expanded_emb(
+    10, 2, 0.5
+)
+
+
 def q_s2_extract(spark, sf_dir):
     """S2 source end-to-end: JSONL → schema-on-read parse with the
     reference's missing-field defaults → P1 field concat. Runs over the
