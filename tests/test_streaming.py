@@ -79,9 +79,12 @@ def test_stream_serving_index_equals_batch_build(spark, tmp_path):
     assert not q.isActive
 
     log = json.load(open(f"{live}/merge_log.json"))
-    assert log[0]["type"] == "stream_bootstrap"
+    assert log[0]["type"] == "stream_bootstrap_pending"
+    assert log[1]["type"] == "stream_bootstrap"
     marked = [e["stream_batch_id"] for e in log if "stream_batch_id" in e]
     assert len(marked) == len(set(marked)) >= 3  # every batch stamped once
+    runs = {e["stream_run"] for e in log if "stream_run" in e}
+    assert len(runs) == 1  # one checkpoint -> one run id
 
     idx_s = load_serving_index(spark, live)
     ref = str(tmp_path / "ref_idx")
@@ -111,6 +114,75 @@ def test_stream_serving_index_equals_batch_build(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_serving_restart_adopt_and_crash_replay(spark, tmp_path):
+    """Lifecycle edges of serve_pages_stream's exactly-once machinery:
+    (a) a restarted stream with the same checkpoint merges ONLY new
+    files; (b) a pre-existing batch-built index is adopted, not rebuilt;
+    (c) an unresolved bootstrap-pending marker (crash between build and
+    completion marker) replays into a clean rebuild; (d) urls are
+    rejected as ids."""
+    import json
+
+    from themis_search_engine_spark.indexing import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.streaming import serve_pages_stream
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+
+    # (a) restart with same checkpoint: only the newly landed file merges
+    live = str(tmp_path / "a_idx")
+    in_a = str(tmp_path / "a_landing")
+    docs.where("doc_id < 300").repartition(1).write.parquet(in_a)
+    serve_pages_stream(spark, in_a, live, stem=False,
+                       partitions=4).awaitTermination(120)
+    assert load_serving_index(spark, live).n_docs == 300
+    docs.where("doc_id >= 300").repartition(1).write.mode("append").parquet(
+        in_a
+    )
+    serve_pages_stream(spark, in_a, live, stem=False,
+                       partitions=4).awaitTermination(120)
+    idx = load_serving_index(spark, live)
+    assert idx.n_docs == 500 and idx.max_doc_id == 499
+
+    # (b) adopt: stream new docs into an index built outside the stream
+    base = str(tmp_path / "b_idx")
+    build_and_save_serving(docs.where("doc_id < 400"), base, stem=False,
+                           partitions=4)
+    in_b = str(tmp_path / "b_landing")
+    docs.where("doc_id >= 400").repartition(1).write.parquet(in_b)
+    serve_pages_stream(spark, in_b, base, stem=False,
+                       partitions=4).awaitTermination(120)
+    assert load_serving_index(spark, base).n_docs == 500
+    log = json.load(open(f"{base}/merge_log.json"))
+    assert not any("bootstrap" in str(e.get("type")) for e in log)
+
+    # (c) crash window: pending marker without completion -> clean rebuild
+    crash = str(tmp_path / "c_idx")
+    in_c = str(tmp_path / "c_landing")
+    docs.repartition(1).write.parquet(in_c)
+    serve_pages_stream(spark, in_c, crash, stem=False,
+                       partitions=4).awaitTermination(120)
+    log = json.load(open(f"{crash}/merge_log.json"))
+    log = [e for e in log if e.get("type") != "stream_bootstrap"]
+    with open(f"{crash}/merge_log.json", "w") as fh:
+        json.dump(log, fh)  # simulate dying before the completion marker
+    import shutil
+
+    shutil.rmtree(f"{crash}/_stream_checkpoint")  # force full re-delivery
+    serve_pages_stream(spark, in_c, crash, stem=False,
+                       partitions=4).awaitTermination(120)
+    idx = load_serving_index(spark, crash)
+    assert idx.n_docs == 500  # rebuilt, not merged-into-half-built
+    log = json.load(open(f"{crash}/merge_log.json"))
+    assert any(e.get("type") == "stream_bootstrap" for e in log)
+
+    # (d) raw urls rejected
+    with pytest.raises(ValueError, match="numeric id"):
+        serve_pages_stream(spark, in_c, crash, key_col="url")
 
 
 def test_windowed_ingest_rate(spark, tmp_path):

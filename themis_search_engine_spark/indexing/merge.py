@@ -127,10 +127,14 @@ def _read_log(path: str) -> list:
 
 
 def _append_log(path: str, entry: dict) -> None:
+    # atomic replace: a crash mid-write must never corrupt the log — it
+    # carries the exactly-once markers for streaming maintenance
     entries = _read_log(path)
     entries.append(entry)
-    with open(f"{path}/merge_log.json", "w") as fh:
+    tmp = f"{path}/merge_log.json.tmp"
+    with open(tmp, "w") as fh:
         json.dump(entries, fh, indent=1)
+    os.replace(tmp, f"{path}/merge_log.json")
 
 
 def _next_gen(path: str) -> int:
@@ -191,12 +195,15 @@ def describe_index(spark: SparkSession, path: str) -> dict:
         "avgdl": base["avgdl"],
         "chunk_bits": base["chunk_bits"],
         "max_doc_id": base["max_doc_id"],
-        # a compact entry collapses everything before it to one segment
-        "segments": 1 + len(
-            log[max(
+        # a compact entry collapses everything before it to one segment;
+        # only delta merges ADD segments (marker-only entries like the
+        # streaming bootstrap/adopt records don't)
+        "segments": 1 + sum(
+            1 for e in log[max(
                 (i + 1 for i, e in enumerate(log)
                  if e.get("type") == "compact"), default=0,
             ):]
+            if "docs_added" in e
         ),
         "merge_generations": len(log),
         "chunk_groups": int(frag["groups"]),
@@ -340,6 +347,7 @@ def merge_serving_delta(
     partitions: int = 64,
     check_disjoint: bool = True,
     timings: dict | None = None,
+    log_extra: dict | None = None,
 ) -> ServingIndex:
     """Merge ``delta_docs`` into the serving index at ``path`` in place.
 
@@ -460,7 +468,10 @@ def merge_serving_delta(
     ).write.mode("overwrite").parquet(f"{path}/global_stats")
     t["delta_finalize"] = time.perf_counter() - t0
 
-    # 6. merge log: per-merge lineage + metrics (north-rule evidence)
+    # 6. merge log: per-merge lineage + metrics (north-rule evidence).
+    #    ``log_extra`` rides in the SAME atomic append — streaming
+    #    maintenance threads its exactly-once marker through here so
+    #    "merged" and "marked" can never be observed separately.
     _append_log(path, {
         "gen": gen,
         "docs_added": n_delta,
@@ -470,6 +481,7 @@ def merge_serving_delta(
         "files": [m["file"] for m in cmetrics],
         "bytes_out": sum(m["bytes_out"] for m in cmetrics),
         "seconds": {k: round(v, 3) for k, v in t.items()},
+        **(log_extra or {}),
     })
 
     return load_serving_index(spark, path)

@@ -106,6 +106,10 @@ def embedding_synonyms(
         .select("term", F.posexplode("_e").alias("pos", "val"))
         .groupBy("term", "pos")
         .agg(F.avg(F.col("val").cast("double")).alias("v"))
+        # three consumers below (self-join both legs + norms): cache the
+        # postings×dims aggregation (vocab×dims rows — tiny) so the
+        # dominant subtree computes once per action, not up to 3×
+        .cache()
     )
     nrm = tv.groupBy("term").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")

@@ -468,19 +468,43 @@ QUERIES["query_expansion"] = q_query_expansion
 ORACLE_SQL["query_expansion"] = osql.sql_query_expansion(4, 0.5)
 
 
+def _emb_synonyms(spark, sf_dir):
+    """Shared embedding-NN synonym source (P7 resource) for the
+    expansion and expanded-retrieval queries."""
+    from .corpus import load_embeddings
+    from .queryeng.expansion import embedding_synonyms
+
+    idx = get_index(spark, sf_dir)
+    return embedding_synonyms(
+        idx.counts, load_embeddings(spark, sf_dir), top_n=2
+    )
+
+
+def _expanded_retrieval(spark, sf_dir, synonyms) -> DataFrame:
+    """expansion → qweight-weighted BM25 → rounded-rank top-k — the one
+    Search.java:75 flow both synonym sources feed (mirrors the shared
+    SQL tail in oracle_sql)."""
+    from .queryeng.expansion import expand_queries
+
+    idx = get_index(spark, sf_dir)
+    expanded = expand_queries(
+        _qt(spark, stem=False), synonyms, expansion_weight=0.5
+    )
+    scored = bm25_score_all(
+        expanded, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl, use_qweight=True,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
 def q_query_expansion_emb(spark, sf_dir):
     """P7 with a REAL embedding resource (Glove.java:20-55 shape): term
     vectors derived as the mean of containing docs' embeddings, synonyms
     = top-2 cosine neighbors, fed through the same capped expansion
     operator as the prefix source."""
-    from .corpus import load_embeddings
-    from .queryeng.expansion import embedding_synonyms, expand_queries
+    from .queryeng.expansion import expand_queries
 
-    idx = get_index(spark, sf_dir)
-    syn = embedding_synonyms(
-        idx.counts, load_embeddings(spark, sf_dir), top_n=2
-    )
-    return expand_queries(_qt(spark, stem=False), syn)
+    return expand_queries(_qt(spark, stem=False), _emb_synonyms(spark, sf_dir))
 
 
 QUERIES["query_expansion_emb"] = q_query_expansion_emb
@@ -490,18 +514,12 @@ ORACLE_SQL["query_expansion_emb"] = osql.sql_query_expansion_emb(2, 0.5)
 def q_bm25_topk_expanded(spark, sf_dir):
     """Expanded retrieval end-to-end (Search.java:75): P6/P7 expansion
     output feeds BM25 top-k, expansion terms at reduced qweight."""
-    from .queryeng.expansion import expand_queries, prefix_synonyms
+    from .queryeng.expansion import prefix_synonyms
 
     idx = get_index(spark, sf_dir)
-    expanded = expand_queries(
-        _qt(spark, stem=False), prefix_synonyms(idx.dictionary, 4),
-        expansion_weight=0.5,
+    return _expanded_retrieval(
+        spark, sf_dir, prefix_synonyms(idx.dictionary, 4)
     )
-    scored = bm25_score_all(
-        expanded, idx.postings_flat, idx.dictionary, idx.doc_stats,
-        idx.avgdl, use_qweight=True,
-    )
-    return _rounded_rank_topk(scored, 10)
 
 
 QUERIES["bm25_topk_expanded"] = q_bm25_topk_expanded
@@ -511,21 +529,7 @@ ORACLE_SQL["bm25_topk_expanded"] = osql.sql_bm25_topk_expanded(10, 4, 0.5)
 def q_bm25_topk_expanded_emb(spark, sf_dir):
     """Expanded retrieval with the embedding-NN synonym source (P7 →
     Search.java:75 flow)."""
-    from .corpus import load_embeddings
-    from .queryeng.expansion import embedding_synonyms, expand_queries
-
-    idx = get_index(spark, sf_dir)
-    expanded = expand_queries(
-        _qt(spark, stem=False),
-        embedding_synonyms(idx.counts, load_embeddings(spark, sf_dir),
-                           top_n=2),
-        expansion_weight=0.5,
-    )
-    scored = bm25_score_all(
-        expanded, idx.postings_flat, idx.dictionary, idx.doc_stats,
-        idx.avgdl, use_qweight=True,
-    )
-    return _rounded_rank_topk(scored, 10)
+    return _expanded_retrieval(spark, sf_dir, _emb_synonyms(spark, sf_dir))
 
 
 QUERIES["bm25_topk_expanded_emb"] = q_bm25_topk_expanded_emb

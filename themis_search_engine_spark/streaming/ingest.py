@@ -98,14 +98,8 @@ def ingest_pages_stream(
     ``available_now=True`` drains everything currently in the directory
     and stops (the batch-backfill trigger); False keeps listening.
     """
-    pages = (
-        spark.readStream.schema(
-            # file source needs an explicit schema; accept either raw pages
-            # or pre-keyed (doc_id, text) layouts
-            PAGES_SCHEMA if key_col == "url" else f"{key_col} long, {text_col} string"
-        )
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
+    pages = _pages_reader(
+        spark, input_dir, key_col, text_col, max_files_per_trigger
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -114,14 +108,9 @@ def ingest_pages_stream(
             key_col=key_col, text_col=text_col, stem=stem,
         )
 
-    writer = (
-        pages.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{out_path}/_stream_checkpoint")
-        .outputMode("update")
+    return _start_foreach_batch(
+        pages, sink, f"{out_path}/_stream_checkpoint", available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def finalize_stream(spark: SparkSession, out_path: str):
@@ -154,6 +143,37 @@ def windowed_ingest_rate(
     )
 
 
+def _pages_reader(
+    spark: SparkSession,
+    input_dir: str,
+    key_col: str,
+    text_col: str,
+    max_files_per_trigger: int,
+) -> DataFrame:
+    """Shared landing-directory reader for both streaming entry points."""
+    return (
+        spark.readStream.schema(
+            # file source needs an explicit schema; accept either raw pages
+            # or pre-keyed (doc_id, text) layouts
+            PAGES_SCHEMA if key_col == "url"
+            else f"{key_col} long, {text_col} string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def _start_foreach_batch(pages, sink, checkpoint: str, available_now: bool):
+    writer = (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def serve_pages_stream(
     spark: SparkSession,
     input_dir: str,
@@ -170,79 +190,119 @@ def serve_pages_stream(
     """Continuous SERVING-index maintenance: each micro-batch of new pages
     becomes one delta segment of the LIVE queryable index — readStream →
     foreachBatch(merge_serving_delta). The first batch bootstraps the
-    index with a full serving build; every later batch is an O(delta)
+    index with a full serving build (an index already at ``index_path``
+    is ADOPTED as the base instead); every later batch is an O(delta)
     merge (indexing/merge.py: base posting files never re-read), so the
     index stays continuously queryable by every serving plan (bridge /
     sharded / in-process) while the crawl streams in; schedule
     compact_serving_index when describe_index shows fragmentation worth
     reclaiming.
 
-    Exactly-once: merge generations record their stream batch_id in the
-    index's merge_log, and a replayed batch (Structured Streaming redoes
-    a failed foreachBatch under the same batch_id) is SKIPPED when its id
-    is already logged. A crash inside an unlogged half-merge surfaces on
-    replay as the merge's duplicate-doc_id ValueError — loud, not silent
-    corruption; on a production lakehouse the merge is one Iceberg
-    snapshot commit and the window disappears.
+    Exactly-once state machine, all transitions through ATOMIC merge-log
+    appends (a replayed foreachBatch reruns under the same batch_id):
+
+    - bootstrap: a ``stream_bootstrap_pending`` marker is logged BEFORE
+      the build; the build itself is a full-overwrite (idempotent), and
+      a ``stream_bootstrap`` completion marker commits it — a crash at
+      any point replays into a clean rebuild, never into a merge against
+      a half-built index.
+    - merge: the (run, batch_id) marker rides IN the merge's own log
+      entry (one atomic append), so "merged" and "marked" cannot be
+      observed separately; a replay whose marker is already logged is
+      skipped.
+    - markers are scoped to a per-checkpoint run id: batch_ids restart
+      at 0 when a stream checkpoint is lost/reset, and an unscoped
+      marker would then silently skip NEW data. With a lost checkpoint
+      the file source also re-delivers old files — that replay surfaces
+      as the merge's duplicate-doc_id error (loud), not silent double
+      indexing.
+
+    ``key_col`` must be a numeric id: the serving layout addresses
+    postings by chunk = doc_id >> chunk_bits, so raw urls are rejected —
+    assign ids upstream (corpus.assign_doc_ids for batch backfills, or
+    any dense assigner in the landing pipeline).
     """
-    pages = (
-        spark.readStream.schema(
-            PAGES_SCHEMA if key_col == "url"
-            else f"{key_col} long, {text_col} string"
+    if key_col == "url":
+        raise ValueError(
+            "serve_pages_stream requires a numeric id column: the serving "
+            "layout addresses postings by chunk = doc_id >> chunk_bits. "
+            "Assign doc_ids in the landing pipeline (e.g. "
+            "corpus.assign_doc_ids) and pass key_col='doc_id'."
         )
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
 
     from ..indexing.build import build_and_save_serving
-    from ..indexing.merge import _read_log, merge_serving_delta
+    from ..indexing.merge import _append_log, _read_log, merge_serving_delta
+
+    pages = _pages_reader(
+        spark, input_dir, key_col, text_col, max_files_per_trigger
+    )
+
+    # run id tied to the stream CHECKPOINT: same checkpoint (and thus
+    # same batch-id sequence) -> same run id across restarts; a new/reset
+    # checkpoint gets a fresh run id so stale markers can't match
+    ckpt = f"{index_path}/_stream_checkpoint"
+    os.makedirs(ckpt, exist_ok=True)
+    run_file = f"{ckpt}/themis_run_id"
+    if os.path.exists(run_file):
+        with open(run_file) as fh:
+            run_id = fh.read().strip()
+    else:
+        import uuid
+
+        run_id = uuid.uuid4().hex
+        tmp = f"{run_file}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(run_id)
+        os.replace(tmp, run_file)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
             F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
         )
-        if not os.path.exists(f"{index_path}/global_stats"):
+        log = _read_log(index_path)
+        if any(
+            e.get("stream_run") == run_id
+            and e.get("stream_batch_id") == batch_id
+            for e in log
+        ):
+            return  # replayed batch already fully processed
+        pending = next(
+            (e for e in log if e.get("type") == "stream_bootstrap_pending"
+             and not any(
+                 c.get("type") == "stream_bootstrap"
+                 and c.get("stream_run") == e.get("stream_run")
+                 for c in log
+             )),
+            None,
+        )
+        bootstrapped = any(e.get("type") == "stream_bootstrap" for e in log)
+        has_index = os.path.exists(f"{index_path}/global_stats")
+
+        if pending is not None or not (bootstrapped or has_index):
+            # fresh index (or a bootstrap that crashed mid-build): full
+            # idempotent rebuild of every table, then commit the marker
+            if pending is None:
+                os.makedirs(index_path, exist_ok=True)
+                _append_log(index_path, {
+                    "type": "stream_bootstrap_pending",
+                    "stream_run": run_id,
+                    "pending_batch_id": batch_id,
+                })
             build_and_save_serving(
                 docs, index_path, stem=stem, partitions=partitions,
                 chunk_bits=chunk_bits,
             )
-            _mark_stream_gen(index_path, batch_id, bootstrap=True)
+            _append_log(index_path, {
+                "type": "stream_bootstrap",
+                "stream_run": run_id,
+                "stream_batch_id": batch_id,
+            })
             return
-        if any(
-            e.get("stream_batch_id") == batch_id
-            for e in _read_log(index_path)
-        ):
-            return  # replayed batch already merged — idempotent skip
+        # pre-existing index with no stream history: adopt it as the base
+        # (no marker needed — the merge below stamps this batch)
         merge_serving_delta(
             spark, index_path, docs, stem=stem, partitions=partitions,
+            log_extra={"stream_run": run_id, "stream_batch_id": batch_id},
         )
-        _mark_stream_gen(index_path, batch_id)
 
-    writer = (
-        pages.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{index_path}/_stream_checkpoint")
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
-
-
-def _mark_stream_gen(
-    index_path: str, batch_id: int, *, bootstrap: bool = False
-) -> None:
-    """Stamp the stream batch_id onto the latest merge_log entry (or a
-    bootstrap entry) — the replay-skip marker for serve_pages_stream."""
-    from ..indexing.merge import _append_log, _read_log
-
-    entries = _read_log(index_path)
-    if bootstrap or not entries:
-        _append_log(index_path, {
-            "gen": len(entries) + 1,
-            "type": "stream_bootstrap" if bootstrap else "stream_mark",
-            "stream_batch_id": batch_id,
-        })
-        return
-    entries[-1]["stream_batch_id"] = batch_id
-    with open(f"{index_path}/merge_log.json", "w") as fh:
-        json.dump(entries, fh, indent=1)
+    return _start_foreach_batch(pages, sink, ckpt, available_now)
