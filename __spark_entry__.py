@@ -23,9 +23,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.flagship(spark)
 
 
+# Iteration order for the driver's per-query gate: cheap/stateless entries
+# first, the expensive serving-index builds (delta merge, compaction,
+# sharded/local serving) last, so a truncated run loses the heaviest
+# already-proven plans rather than a cheap unique operator (media_ann_topk
+# sat last in round 2 and was the one query the gate never reached).
+_LATE = [
+    "bm25_topk_wand_sharded",
+    "bm25_topk_wand_local",
+    "delta_merge_topk",
+    "compacted_topk",
+]
+
+
+def _ordered(d: dict) -> dict:
+    return {k: d[k] for k in d if k not in _LATE} | {
+        k: d[k] for k in _LATE if k in d
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    return _ordered(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLE_SQL)
+    return _ordered(dict(registry.ORACLE_SQL))

@@ -280,11 +280,34 @@ def sql_query_expansion(prefix_len: int = 4, expansion_weight: float = 0.5) -> s
 SELECT qid, term, qweight, is_expansion FROM expq"""
 
 
-def _emb_syn_ctes(top_n: int) -> str:
+def _emb_syn_ctes(
+    top_n: int, *, n_planes: int = 16, bands: int = 8, dim: int = 64
+) -> str:
     """CTE chain ending in a (term, synonym) relation: term vectors =
     per-dimension mean of containing docs' embeddings, synonyms = top-n
     cosine neighbors (rounded-cosine rank, synonym-asc ties) — the DuckDB
-    twin of queryeng.expansion.embedding_synonyms."""
+    twin of queryeng.expansion.embedding_synonyms.
+
+    Candidate pairs come from the SAME deterministic SRP banding as the
+    Spark plan (literal ±1 hyperplanes from simsearch.srp_signs, band-key
+    equality) — both engines agree bit-for-bit even where LSH recall < 1,
+    exactly as sql_srp_lsh_pairs does for document vectors."""
+    from .pipeline_ops.simsearch import srp_signs
+
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    bits = []
+    for i in range(n_planes):
+        lst = "[" + ", ".join(f"{s:.1f}" for s in srp_signs(i, dim)) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum([vec[d] * ({lst})[d] "
+            f"for d in range(1, {dim + 1})]) >= 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    sig_expr = "\n         + ".join(bits)
+    band_rows = ", ".join(
+        f"({b}, (srp >> {b * r}) & {mask})" for b in range(bands)
+    )
     return f"""dims AS (
   SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS pos
 ),
@@ -296,15 +319,31 @@ tv AS (
   CROSS JOIN dims
   GROUP BY t.term, dims.pos
 ),
-nrm AS (SELECT term, sqrt(sum(v * v)) AS n FROM tv GROUP BY term),
+tvec AS (
+  SELECT term, list(v ORDER BY pos) AS vec, sqrt(sum(v * v)) AS n
+  FROM tv GROUP BY term
+),
+tsigs AS (
+  SELECT term,
+         {sig_expr} AS srp
+  FROM tvec
+),
+tbanded AS (
+  SELECT term, bk.* FROM tsigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+tcand AS (
+  SELECT DISTINCT x.term AS term, y.term AS synonym
+  FROM tbanded x JOIN tbanded y
+    ON x.band = y.band AND x.key = y.key AND x.term <> y.term
+),
 tcos AS (
-  SELECT a.term, b.term AS synonym,
-         sum(a.v * b.v) / (na.n * nb.n) AS cosine
-  FROM tv a
-  JOIN tv b ON a.pos = b.pos AND a.term <> b.term
-  JOIN nrm na ON na.term = a.term
-  JOIN nrm nb ON nb.term = b.term
-  GROUP BY a.term, b.term, na.n, nb.n
+  SELECT c.term, c.synonym,
+         list_sum([a.vec[d] * b.vec[d] for d in range(1, {dim + 1})])
+           / (a.n * b.n) AS cosine
+  FROM tcand c
+  JOIN tvec a ON a.term = c.term
+  JOIN tvec b ON b.term = c.synonym
 ),
 tnn AS (
   SELECT term, synonym,

@@ -245,7 +245,12 @@ def srp_signature(
     """(vec_id, srp: long) — n_planes-bit sign signature. Bit i is 1 iff
     v · h_i >= 0 (Charikar 2002: P[bit match] = 1 - angle/π). Each dot is a
     zip_with/aggregate over a literal ±1 array — pure codegen, one narrow
-    pass, no shuffle."""
+    pass, no shuffle.
+
+    A vector whose length differs from ``dim`` fails LOUDLY (raise_error,
+    plan-side — no driver action): zip_with would otherwise null-pad the
+    shorter side, the dot would aggregate to null, and every bit would
+    silently fall through to 0, gutting LSH recall."""
     sig = None
     for i in range(n_planes):
         signs = F.array(*[F.lit(s) for s in srp_signs(i, dim)])
@@ -257,7 +262,51 @@ def srp_signature(
         bit = F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
-    return embs.select(F.col(id_col).alias("vec_id"), sig.alias("srp"))
+    guarded = F.when(F.size(F.col(vec_col)) == dim, sig).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"srp_signature: expected {dim}-dim vector, got "),
+            F.size(F.col(vec_col)).cast("string"),
+        ))
+    )
+    return embs.select(F.col(id_col).alias("vec_id"), guarded.alias("srp"))
+
+
+def srp_lsh_candidates(
+    embs: DataFrame,
+    *,
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_a, vec_b) undirected candidate pairs (vec_a < vec_b) from
+    banded SRP signatures — the candidate-generation half of
+    :func:`srp_lsh_pairs`, reusable by any vector table (document
+    embeddings, derived term vectors). A band-keyed linear shuffle."""
+    r = n_planes // bands
+    assert bands * r == n_planes, "n_planes must be divisible by bands"
+    sigs = srp_signature(embs, n_planes, dim, vec_col=vec_col, id_col=id_col)
+    mask = (1 << r) - 1
+    banded = sigs.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("srp"), b * r)
+                .bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
+    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 def srp_lsh_pairs(
@@ -281,28 +330,9 @@ def srp_lsh_pairs(
     cosine_pairs). Candidate generation is a band-keyed linear shuffle,
     mirroring minhash_lsh_pairs/simhash_pairs.
     """
-    r = n_planes // bands
-    assert bands * r == n_planes, "n_planes must be divisible by bands"
-    sigs = srp_signature(embs, n_planes, dim, vec_col=vec_col, id_col=id_col)
-    mask = (1 << r) - 1
-    banded = sigs.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("srp"), b * r)
-                .bitwiseAND(F.lit(mask)).alias("key"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.key")
-    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
-    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
-    cand = (
-        left.join(right, ["band", "key"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    cand = srp_lsh_candidates(
+        embs, n_planes=n_planes, bands=bands, dim=dim,
+        vec_col=vec_col, id_col=id_col,
     )
     return cosine_pairs(
         embs, tau, vec_col=vec_col, id_col=id_col, candidates=cand

@@ -71,6 +71,38 @@ def expand_queries(
     )
 
 
+def term_vectors(
+    term_docs: DataFrame,
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(term, vec: array<double>) — each term's vector is the per-dimension
+    mean of its containing documents' embedding vectors (a standard
+    co-occurrence term embedding; the P7 / Glove.java:20-55 resource).
+
+    ``term_docs``: any frame with (term, doc_id) — the index's counts
+    table qualifies. Two linear shuffles ((term,pos) avg, then term
+    collect), both vocabulary-sized.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_e")
+    )
+    return (
+        term_docs.select("term", "doc_id").distinct()
+        .join(e, "doc_id")
+        .select("term", F.posexplode("_e").alias("pos", "val"))
+        .groupBy("term", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("v"))
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            "term", F.transform("pv", lambda s: s.getField("v")).alias("vec")
+        )
+    )
+
+
 def embedding_synonyms(
     term_docs: DataFrame,
     embeddings: DataFrame,
@@ -78,60 +110,70 @@ def embedding_synonyms(
     top_n: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    banded: bool = True,
+    n_planes: int = 16,
+    bands: int = 8,
+    cache: bool = True,
 ) -> DataFrame:
     """(term, synonym) — P7 (Glove.java:20-55) with a REAL embedding
-    resource instead of the prefix stand-in: each term's vector is the
-    mean of its containing documents' embedding vectors (a standard
-    co-occurrence term embedding), and a term's synonyms are its top-n
-    cosine nearest neighbors in that space.
+    resource instead of the prefix stand-in: a term's synonyms are its
+    top-n cosine nearest neighbors among the :func:`term_vectors`.
+    Deterministic: neighbors rank on 6-dp-rounded cosine with synonym-asc
+    tiebreaks (the same engine-independence grain every oracled ranking
+    uses).
 
-    ``term_docs``: any frame with (term, doc_id) — the index's counts
-    table qualifies. Deterministic: neighbors rank on 6-dp-rounded
-    cosine with synonym-asc tiebreaks (the same engine-independence
-    grain every oracled ranking uses).
+    ``banded=True`` (the default and the 100 TB plan): candidate pairs
+    come from the SAME deterministic SRP (Charikar) banding built for
+    embedding near-dup (pipeline_ops.simsearch.srp_signature — literal
+    ±1 hyperplanes, no RNG), so the expensive step is a band-keyed linear
+    shuffle over the vocabulary, and exact cosine runs over candidates
+    only. A web vocabulary is 10⁸⁺ terms; the all-pairs plan
+    (``banded=False``) is |V|² and exists only as the small-scale oracle
+    twin — exactly the cosine_pairs / srp_lsh_pairs split. The DuckDB
+    oracle replicates the banding bit-for-bit (oracle_sql._emb_syn_ctes),
+    so both engines agree even where LSH recall < 1.
 
-    Scale path: the expensive step is term-vector ALL-PAIRS cosine —
-    vocabulary-sized, not corpus-sized (|V|² ≪ |docs|²), and at web
-    vocabulary sizes the SRP banding already built for embedding
-    near-dup (pipeline_ops.simsearch.srp_lsh_pairs) generates the
-    candidate pairs instead of the cross join, exactly as it does for
-    document vectors.
+    ``cache``: the term-vector table feeds 2–3 plan legs; caching it
+    computes the postings×dims aggregation once per action. The cached
+    blocks live until the session evicts them — a long-lived serving
+    session that calls this repeatedly should pass ``cache=False`` or
+    clear the cache after materializing the result.
     """
-    e = embeddings.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_e")
+    tv = term_vectors(
+        term_docs, embeddings, vec_col=vec_col, id_col=id_col
     )
-    tv = (
-        term_docs.select("term", "doc_id").distinct()
-        .join(e, "doc_id")
-        .select("term", F.posexplode("_e").alias("pos", "val"))
-        .groupBy("term", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("v"))
-        # three consumers below (self-join both legs + norms): cache the
-        # postings×dims aggregation (vocab×dims rows — tiny) so the
-        # dominant subtree computes once per action, not up to 3×
-        .cache()
-    )
-    nrm = tv.groupBy("term").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
-    )
-    a = tv.select("term", "pos", F.col("v").alias("va"))
-    b = tv.select(F.col("term").alias("synonym"), "pos",
-                  F.col("v").alias("vb"))
-    cos = (
-        a.join(b, "pos")
-        .where(F.col("term") != F.col("synonym"))
-        .groupBy("term", "synonym")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-        .join(nrm.select("term", F.col("n").alias("na")), "term")
-        .join(
-            nrm.select(F.col("term").alias("synonym"),
-                       F.col("n").alias("nb")),
-            "synonym",
+    if cache:
+        tv = tv.cache()
+    a = tv.select("term", F.col("vec").alias("_va"))
+    b = tv.select(F.col("term").alias("synonym"), F.col("vec").alias("_vb"))
+    if banded:
+        from ..pipeline_ops.simsearch import srp_lsh_candidates
+
+        dim = embeddings.select(F.size(vec_col)).first()[0]
+        und = srp_lsh_candidates(
+            tv, n_planes=n_planes, bands=bands, dim=dim,
+            vec_col="vec", id_col="term",
         )
-        .select(
-            "term", "synonym",
-            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        # undirected (a<b) candidates → both directions: each side of a
+        # candidate pair is a potential neighbor OF the other
+        pairs = (
+            und.select(F.col("vec_a").alias("term"),
+                       F.col("vec_b").alias("synonym"))
+            .union(und.select(F.col("vec_b").alias("term"),
+                              F.col("vec_a").alias("synonym")))
+            .join(a, "term").join(b, "synonym")
         )
+    else:
+        pairs = a.crossJoin(b).where(F.col("term") != F.col("synonym"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0), lambda acc, v: acc + v * v))
+    cos = pairs.select(
+        "term", "synonym",
+        (dot / (norm("_va") * norm("_vb"))).alias("cosine"),
     )
     w = Window.partitionBy("term").orderBy(
         F.desc(F.round("cosine", 6)), F.asc("synonym")

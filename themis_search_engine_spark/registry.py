@@ -229,17 +229,14 @@ def q_bm25_topk_wand_single(spark, sf_dir):
 _MCACHE: dict[str, tuple] = {}
 
 
-def q_delta_merge_topk(spark, sf_dir):
-    """Incremental segment merge end-to-end (indexing/merge.py): a serving
-    index built over the even-doc_id half, delta-merged with the odd half,
-    must produce BM25 top-k rank-identical to the full-corpus oracle (same
-    naive SQL twin as bm25_topk_wand). Exercises fragment accumulation in
-    the WAND scorer and the stale-bound scales of multi-segment pruning."""
+def _delta_merged_bundle(spark, sf_dir):
+    """Even-half build + odd-half delta merge, built once per sf_dir —
+    shared by the delta-merge and compaction queries (compaction copies
+    the directory before rewriting, so this bundle stays valid)."""
     import tempfile
 
     from .indexing.build import build_and_save_serving
     from .indexing.merge import merge_serving_delta, serving_bound_scales
-    from .queryeng.wand import wand_topk
 
     if sf_dir not in _MCACHE:
         docs = load_documents(spark, sf_dir).select("doc_id", "text")
@@ -253,8 +250,19 @@ def q_delta_merge_topk(spark, sf_dir):
         idx = merge_serving_delta(
             spark, p, docs.where("doc_id % 2 = 1"), stem=False, partitions=16
         )
-        _MCACHE[sf_dir] = (idx, serving_bound_scales(spark, p))
-    idx, scales = _MCACHE[sf_dir]
+        _MCACHE[sf_dir] = (idx, serving_bound_scales(spark, p), p)
+    return _MCACHE[sf_dir]
+
+
+def q_delta_merge_topk(spark, sf_dir):
+    """Incremental segment merge end-to-end (indexing/merge.py): a serving
+    index built over the even-doc_id half, delta-merged with the odd half,
+    must produce BM25 top-k rank-identical to the full-corpus oracle (same
+    naive SQL twin as bm25_topk_wand). Exercises fragment accumulation in
+    the WAND scorer and the stale-bound scales of multi-segment pruning."""
+    from .queryeng.wand import wand_topk
+
+    idx, scales, _ = _delta_merged_bundle(spark, sf_dir)
     wide = wand_topk(
         _qt(spark, stem=False), idx.compressed, idx.dictionary, idx.avgdl,
         k=30, chunk_bits=idx.chunk_bits, bound_scales=scales,
@@ -262,7 +270,7 @@ def q_delta_merge_topk(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
-_CCACHE: dict[str, tuple] = {}
+_COMPACT_CACHE: dict[str, tuple] = {}
 
 
 def q_compacted_topk(spark, sf_dir):
@@ -270,32 +278,22 @@ def q_compacted_topk(spark, sf_dir):
     the even-doc_id half, delta-merge the odd half, then COMPACT — the
     compacted single-segment index must produce BM25 top-k rank-identical
     to the full-corpus oracle, with the pruning envelope reset to
-    (1.0, 1.0)."""
+    (1.0, 1.0). Reuses the delta-merged bundle (copied first — compaction
+    rewrites segments in place and must not invalidate the shared one)."""
+    import shutil
     import tempfile
 
-    from .indexing.build import build_and_save_serving
-    from .indexing.merge import (
-        compact_serving_index,
-        merge_serving_delta,
-        serving_bound_scales,
-    )
+    from .indexing.merge import compact_serving_index, serving_bound_scales
     from .queryeng.wand import wand_topk
 
-    if sf_dir not in _CCACHE:
-        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    if sf_dir not in _COMPACT_CACHE:
+        _, _, src = _delta_merged_bundle(spark, sf_dir)
         p = tempfile.mkdtemp(prefix="themis_compact_") + "/idx"
-        build_and_save_serving(
-            docs.where("doc_id % 2 = 0"), p, stem=False, chunk_bits=8,
-            partitions=16,
-        )
-        merge_serving_delta(
-            spark, p, docs.where("doc_id % 2 = 1"), stem=False,
-            partitions=16,
-        )
+        shutil.copytree(src, p)
         idx = compact_serving_index(spark, p, partitions=16)
         assert serving_bound_scales(spark, p) == (1.0, 1.0)
-        _CCACHE[sf_dir] = (idx,)
-    (idx,) = _CCACHE[sf_dir]
+        _COMPACT_CACHE[sf_dir] = (idx,)
+    (idx,) = _COMPACT_CACHE[sf_dir]
     wide = wand_topk(
         _qt(spark, stem=False), idx.compressed, idx.dictionary, idx.avgdl,
         k=30, chunk_bits=idx.chunk_bits,
