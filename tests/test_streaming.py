@@ -185,6 +185,55 @@ def test_stream_serving_restart_adopt_and_crash_replay(spark, tmp_path):
         serve_pages_stream(spark, in_c, crash, key_col="url")
 
 
+def test_crashed_bootstrap_then_checkpoint_reset_multibatch(spark, tmp_path):
+    """A bootstrap that dies before its completion marker, followed by a
+    checkpoint RESET (fresh stream run id), must not leave an eternally
+    unmatched pending marker: pending resolution is by log order, not by
+    same-run completion. Before the fix, every micro-batch after the
+    first re-entered the bootstrap path and overwrote the index with
+    just that batch's docs — the multi-batch replay here would end with
+    ~1/3 of the corpus and extra bootstrap markers."""
+    import json
+    import shutil
+
+    from themis_search_engine_spark.indexing import load_serving_index
+    from themis_search_engine_spark.streaming import serve_pages_stream
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    live = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+
+    # first run sees ONE file, bootstraps, then "crashes" before the
+    # completion marker (strip it from the log)
+    docs.where("doc_id < 200").repartition(1).write.parquet(landing)
+    serve_pages_stream(spark, landing, live, stem=False,
+                       partitions=4).awaitTermination(120)
+    log = json.load(open(f"{live}/merge_log.json"))
+    log = [e for e in log if e.get("type") != "stream_bootstrap"]
+    with open(f"{live}/merge_log.json", "w") as fh:
+        json.dump(log, fh)
+    shutil.rmtree(f"{live}/_stream_checkpoint")  # reset -> fresh run id
+
+    # more files land; the reset stream re-delivers everything in
+    # multiple micro-batches (maxFilesPerTrigger=1)
+    docs.where("doc_id >= 200 and doc_id < 350").repartition(1).write.mode(
+        "append").parquet(landing)
+    docs.where("doc_id >= 350").repartition(1).write.mode("append").parquet(
+        landing)
+    serve_pages_stream(spark, landing, live, stem=False, partitions=4,
+                       max_files_per_trigger=1).awaitTermination(180)
+
+    idx = load_serving_index(spark, live)
+    assert idx.n_docs == 500 and idx.max_doc_id == 499
+    log = json.load(open(f"{live}/merge_log.json"))
+    # exactly one completed bootstrap in the recovered run; later batches
+    # are merges stamped with (run, batch_id)
+    assert sum(e.get("type") == "stream_bootstrap" for e in log) == 1
+    merges = [e for e in log if e.get("stream_batch_id") is not None
+              and e.get("type") != "stream_bootstrap"]
+    assert len(merges) == 2
+
+
 def test_windowed_ingest_rate(spark, tmp_path):
     from themis_search_engine_spark.corpus import synth_pages
 

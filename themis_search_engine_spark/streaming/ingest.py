@@ -266,15 +266,20 @@ def serve_pages_stream(
             for e in log
         ):
             return  # replayed batch already fully processed
-        pending = next(
-            (e for e in log if e.get("type") == "stream_bootstrap_pending"
-             and not any(
-                 c.get("type") == "stream_bootstrap"
-                 and c.get("stream_run") == e.get("stream_run")
-                 for c in log
-             )),
-            None,
-        )
+        # a pending marker is resolved by ANY later completion in log
+        # order — not only one from the same stream_run. A bootstrap that
+        # crashes before its completion marker, followed by a checkpoint
+        # reset (fresh run id), must not leave an eternally-unmatched
+        # pending entry: that would re-enter this branch on EVERY later
+        # micro-batch and silently overwrite the index with just that
+        # batch's docs (covered by
+        # test_streaming.test_crashed_bootstrap_then_checkpoint_reset).
+        pending = None
+        for e in log:
+            if e.get("type") == "stream_bootstrap_pending":
+                pending = e
+            elif e.get("type") == "stream_bootstrap":
+                pending = None
         bootstrapped = any(e.get("type") == "stream_bootstrap" for e in log)
         has_index = os.path.exists(f"{index_path}/global_stats")
 
