@@ -41,6 +41,34 @@ GOLDEN = {
     # step 5
     "probate": "probat", "rate": "rate", "cease": "ceas",
     "controll": "control", "roll": "roll",
+    # --- round-3 expansion: every pair below hand-traced through the
+    # published algorithm (Porter 1980 + the two tartarus departures),
+    # NOT generated from porter.py ---
+    # step 1a incl. the famous bare-s quirks
+    "glasses": "glass", "flies": "fli", "bodies": "bodi", "dogs": "dog",
+    "skies": "ski", "dies": "di", "gas": "ga", "this": "thi", "was": "wa",
+    "atlas": "atla", "alias": "alia", "cosmos": "cosmo", "crisis": "crisi",
+    "goes": "goe",
+    # step 1b variants: restore-e, double-consonant, l/s/z exceptions
+    "conflated": "conflat", "troubled": "troubl", "tanned": "tan",
+    "failing": "fail", "sitting": "sit", "messing": "mess",
+    "buzzing": "buzz", "yelling": "yell", "singing": "sing",
+    "mining": "mine", "driving": "drive", "having": "have",
+    "arguing": "argu", "cried": "cri", "feelings": "feel",
+    # step 1c vowel-in-stem edge (y after consonant in 'cry'/'fly' stems)
+    "crying": "cry", "flying": "fly", "dying": "dy",
+    "enjoy": "enjoi", "say": "sai",
+    # step 2 full-pipeline traces
+    "hesitanci": "hesit", "comfortabli": "comfort", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "possibli": "possibl",
+    "apologi": "apolog", "generalizations": "gener",
+    "generalization": "gener", "oscillators": "oscil",
+    "realization": "realiz", "knightly": "knightli",
+    # step 3/4 m-threshold edges (m=1 keeps, m=2 strips)
+    "agreement": "agreement", "element": "element", "decision": "decis",
+    "sensible": "sensibl", "player": "player", "computer": "comput",
+    "singer": "singer", "happier": "happier", "happiness": "happi",
+    "joyful": "joy", "electricity": "electr",
 }
 
 
@@ -93,6 +121,83 @@ def test_oracle_stem_map_matches_goldens():
 def test_non_ascii_passthrough():
     # Stemmer.java:58-72 — first char outside ASCII 33-126 → unchanged
     assert stem("αλλο") == "αλλο"
+
+
+# --- independent-implementation cross-check (breaks oracle circularity) ----
+
+def _fuzz_vocabulary() -> set[str]:
+    """Deterministic ~7k-word vocabulary: root×suffix grid over every
+    rule-bearing suffix, md5-derived pseudo-words, and edge shapes
+    (all-consonant, y-chains, bare suffixes, short words)."""
+    import hashlib
+    import itertools
+    import string
+
+    roots = [
+        "connect", "relate", "operate", "hope", "care", "run", "stop",
+        "refer", "control", "general", "electric", "triplicate", "adjust",
+        "depend", "defens", "irrit", "commun", "activ", "angular",
+        "homolog", "effect", "bowdler", "probat", "ceas", "engin", "index",
+        "shuffle", "partition", "query", "stream", "batch", "vector",
+        "window", "happy", "deny", "carry", "fly", "try", "agree", "feed",
+        "bleed", "sing", "bring", "fizz", "buzz", "roll", "fall", "toss",
+        "miss", "able", "apology", "analog", "valid", "real", "nation",
+        "rate",
+    ]
+    sufs = [
+        "", "s", "es", "ies", "ed", "ing", "eed", "er", "est", "ly", "li",
+        "y", "ful", "ness", "ment", "ement", "tion", "ation", "ization",
+        "ational", "al", "alli", "ance", "ence", "ant", "ent", "entli",
+        "ic", "ical", "icate", "iciti", "ism", "alism", "ist", "ive",
+        "iveness", "iviti", "ize", "izer", "ous", "ousli", "ousness",
+        "aliti", "biliti", "logi", "ator", "ate", "iti", "ion", "ou", "e",
+        "bli", "eli",
+    ]
+    words = {r + s for r, s in itertools.product(roots, sufs)}
+    for i in range(4000):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        words.add(
+            "".join(
+                string.ascii_lowercase[int(c, 16) % 26]
+                for c in h[: 3 + i % 12]
+            )
+        )
+    words |= {
+        "a", "ab", "abc", "yyyy", "syzygy", "rhythm", "eye", "ooze",
+        "aaa", "bbb", "sses", "ies", "eed", "ing", "ed", "y", "ll",
+        "controll", "skies", "dying", "lying", "tying", "gas", "this",
+        "was", "its", "atlas", "alias", "cosmos", "crisis",
+    }
+    return words
+
+
+def test_twin_implementation_agrees_on_goldens():
+    """The buffer-walking twin (tests/porter_twin.py — independently
+    structured from the published spec) reproduces every hand-verified
+    golden, pinning BOTH implementations to the paper."""
+    from tests.porter_twin import twin_stem
+
+    bad = {
+        w: (want, twin_stem(w))
+        for w, want in {**GOLDEN, **CORPUS_GOLDEN}.items()
+        if twin_stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_twin_implementation_agrees_on_fuzz_vocabulary():
+    """porter.py == the independently-structured twin over ~7k generated
+    words covering every suffix rule and the algorithm's edge shapes. A
+    stemmer bug now has to be IDENTICAL in two structurally unrelated
+    implementations to reach the stemmed DuckDB oracle unseen."""
+    from tests.porter_twin import twin_stem
+
+    mism = [
+        (w, stem(w), twin_stem(w))
+        for w in sorted(_fuzz_vocabulary())
+        if stem(w) != twin_stem(w)
+    ]
+    assert not mism, mism[:20]
     assert stem("ωριαία") == "ωριαία"
 
 
