@@ -133,3 +133,28 @@ def test_embedding_synonyms_no_cache_leak(spark, tiny_term_docs, tiny_vecs):
     ).collect()
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after == before
+
+
+def test_prefix_synonyms_group_cap(spark):
+    from themis_search_engine_spark.queryeng.expansion import prefix_synonyms
+
+    # 10 terms share prefix "inte"; cap at 3 -> only the 3 asc-first terms
+    terms = [(f"inte{c}",) for c in "abcdefghij"] + [("zebra",)]
+    d = spark.createDataFrame(terms, "term string")
+    out = prefix_synonyms(d, prefix_len=4, max_group=3).collect()
+    got_terms = {r["term"] for r in out} | {r["synonym"] for r in out}
+    assert got_terms == {"intea", "inteb", "intec"}
+    assert len(out) == 3 * 2  # capped group of 3 -> 6 directed pairs
+
+
+def test_collect_idf_map_size_guard(spark):
+    import pytest as _pytest
+
+    from themis_search_engine_spark.queryeng.sharded import collect_idf_map
+
+    d = spark.createDataFrame(
+        [(f"t{i}", 1.0) for i in range(10)], "term string, idf double"
+    )
+    assert len(collect_idf_map(d)) == 10
+    with _pytest.raises(ValueError, match="max_terms"):
+        collect_idf_map(d, max_terms=5)

@@ -241,12 +241,25 @@ def _expansion_ctes(
     per qid. ``syn_body`` overrides the default prefix-synonym source
     (must yield columns (term, synonym)). Shared by sql_query_expansion,
     sql_query_expansion_emb and sql_bm25_topk_expanded."""
+    # per-prefix group cap mirrors expansion.prefix_synonyms(max_group=64)
     syn = syn_body or f"""
   SELECT a.term, b.term AS synonym
-  FROM dict a JOIN dict b
-    ON substr(a.term, 1, {prefix_len}) = substr(b.term, 1, {prefix_len})
-  WHERE length(a.term) >= {prefix_len} AND length(b.term) >= {prefix_len}
-    AND a.term <> b.term
+  FROM (SELECT term, pfx FROM (
+          SELECT term, substr(term, 1, {prefix_len}) AS pfx,
+                 row_number() OVER (
+                   PARTITION BY substr(term, 1, {prefix_len})
+                   ORDER BY term ASC) AS r
+          FROM dict WHERE length(term) >= {prefix_len})
+        WHERE r <= 64) a
+  JOIN (SELECT term, pfx FROM (
+          SELECT term, substr(term, 1, {prefix_len}) AS pfx,
+                 row_number() OVER (
+                   PARTITION BY substr(term, 1, {prefix_len})
+                   ORDER BY term ASC) AS r
+          FROM dict WHERE length(term) >= {prefix_len})
+        WHERE r <= 64) b
+    ON a.pfx = b.pfx
+  WHERE a.term <> b.term
 """
     return f"""q AS (SELECT DISTINCT qid, term, qweight::DOUBLE AS qweight FROM {_qterms_values()}),
 syn AS ({syn}),

@@ -24,11 +24,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def prefix_synonyms(dictionary: DataFrame, prefix_len: int = 4) -> DataFrame:
-    """(term, synonym) — distinct dictionary terms sharing a prefix."""
-    a = dictionary.select(
-        F.col("term"), F.substring("term", 1, prefix_len).alias("pfx")
-    ).where(F.length("term") >= prefix_len)
+def prefix_synonyms(
+    dictionary: DataFrame, prefix_len: int = 4, *, max_group: int = 64
+) -> DataFrame:
+    """(term, synonym) — distinct dictionary terms sharing a prefix.
+
+    ``max_group`` bounds each prefix group (deterministic: term asc)
+    BEFORE the self-join: at web vocabulary sizes head prefixes ("inte",
+    "cons") form groups of 10⁴⁺ terms, and an uncapped self-join emits
+    |group|² rows. With the cap the output is ≤ max_group² per prefix —
+    a synonym table, not a blow-up. The DuckDB twin applies the same cap
+    (oracle_sql._expansion_ctes)."""
+    w = Window.partitionBy("pfx").orderBy(F.asc("term"))
+    a = (
+        dictionary.select(
+            F.col("term"), F.substring("term", 1, prefix_len).alias("pfx")
+        )
+        .where(F.length("term") >= prefix_len)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= max_group)
+        .drop("r")
+    )
     b = a.select(F.col("term").alias("synonym"), "pfx")
     return (
         a.join(b, "pfx")

@@ -181,11 +181,31 @@ def _score_shard(
     return qa.tobytes(), da.tobytes(), sa.astype(np.float64).tobytes()
 
 
-def collect_idf_map(dictionary: DataFrame) -> dict[str, float]:
+def collect_idf_map(
+    dictionary: DataFrame, *, max_terms: int = 10_000_000
+) -> dict[str, float]:
     """Materialize the dictionary driver-side for repeated sharded
     serving — the direct analogue of the reference loading its dictionary
     into memory at Search startup (Indexer.java load path): one scan per
-    serving session instead of one filtered-scan JOB per batch."""
+    serving session instead of one filtered-scan JOB per batch.
+
+    ``max_terms`` is a driver-heap guard: a web-scale dictionary is 10⁸⁺
+    terms and does not belong in one driver process. Above the cap this
+    raises instead of materializing — callers should then serve with the
+    default per-batch filtered scan (wand_topk_sharded with
+    ``idf_map=None``, which pushes an IN-list of just the batch
+    vocabulary to the dictionary scan), or maintain their own LRU of hot
+    terms. The default cap (~10M terms ≈ a few hundred MB of dict) suits
+    a single-tenant serving driver; pass a smaller cap for shared ones.
+    """
+    n = dictionary.count()
+    if n > max_terms:
+        raise ValueError(
+            f"collect_idf_map: dictionary has {n} terms > max_terms="
+            f"{max_terms}. Use the per-batch filtered scan "
+            "(wand_topk_sharded(..., idf_map=None)) or raise the cap "
+            "explicitly if the driver heap is sized for it."
+        )
     return {
         r["term"]: float(r["idf"])
         for r in dictionary.select("term", "idf").collect()
