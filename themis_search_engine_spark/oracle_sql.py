@@ -41,9 +41,42 @@ QUERYSET: dict[int, str] = {
     6: "batch stream merge sort query",
 }
 
+# Wider set for the evaluation-metric queries (E1-E4): ≥20 queries over
+# the corpus vocabulary, mixing single/multi-term, repeated terms
+# (qtf > 1), unknown terms, an all-stopword query, and phases that leave
+# some queries with zero judged docs in the top-k (the reference's
+# NaN-skip path, themisEval.java:280-317). Retrieval queries keep the
+# small QUERYSET; only the eval harness needs breadth.
+EVAL_QUERYSET: dict[int, str] = {
+    1: "spark shuffle join",
+    2: "window order group",
+    3: "dup",
+    4: "the a of",
+    5: "fast key value vector",
+    6: "batch stream merge sort query",
+    7: "hash join",
+    8: "filter scan table",
+    9: "row column data",
+    10: "agg group order",
+    11: "customer line order",
+    12: "big small slow",
+    13: "spark spark spark",
+    14: "merge",
+    15: "stream window",
+    16: "query query batch",
+    17: "vector value",
+    18: "key hash",
+    19: "sort order",
+    20: "scan filter unknownterm",
+    21: "data table row column",
+    22: "slow query",
+    23: "fast spark stream",
+    24: "group agg window sort",
+}
 
-def _qterms_values(stem: bool = False) -> str:
-    rows = parse_queries(QUERYSET, stem=stem)
+
+def _qterms_values(stem: bool = False, queryset: dict[int, str] | None = None) -> str:
+    rows = parse_queries(queryset or QUERYSET, stem=stem)
     vals = ", ".join(f"({qid}, '{term}', {qw!r})" for qid, term, _qtf, qw in rows)
     return f"(VALUES {vals}) AS q(qid, term, qweight)"
 
@@ -179,7 +212,9 @@ def sql_tf_maxnorm() -> str:
     return f"WITH {TOK_CTE} SELECT doc_id, term, round(tf, 6) AS tf FROM tfn"
 
 
-def _bm25_scored_cte(stem: bool = False) -> str:
+def _bm25_scored_cte(
+    stem: bool = False, queryset: dict[int, str] | None = None
+) -> str:
     return f"""WITH {tok_cte_stemmed() if stem else TOK_CTE},
 scored AS (
   SELECT q.qid, t.doc_id,
@@ -187,7 +222,7 @@ scored AS (
               * t.tf * ({K1} + 1.0)
               / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
   FROM tfn t
-  JOIN {_qterms_values(stem)} ON t.term = q.term
+  JOIN {_qterms_values(stem, queryset)} ON t.term = q.term
   JOIN dict d ON t.term = d.term
   JOIN docstat s ON t.doc_id = s.doc_id
   CROSS JOIN gstats g
@@ -462,10 +497,11 @@ FROM read_json('{S2_FIXTURE}',
 
 def sql_eval_ap_ndcg(k: int = 20) -> str:
     """E1+E2 over the bm25 top-k ranking with the deterministic synthetic
-    judgment rule (evalmetrics.synthetic_judgments). Judged-only position
-    counting per themisEval.java:94-153,217-273."""
-    qid_vals = ", ".join(f"({q})" for q in QUERYSET)
-    return f"""{_bm25_scored_cte()},
+    judgment rule (evalmetrics.synthetic_judgments), over the wide
+    EVAL_QUERYSET (≥20 queries incl. zero-judged NaN-skip cases).
+    Judged-only position counting per themisEval.java:94-153,217-273."""
+    qid_vals = ", ".join(f"({q})" for q in EVAL_QUERYSET)
+    return f"""{_bm25_scored_cte(queryset=EVAL_QUERYSET)},
 ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid

@@ -431,18 +431,20 @@ ORACLE_SQL: dict[str, str] = {
 
 def q_eval_ap_ndcg(spark, sf_dir):
     """E1+E2: AP + nDCG of the bm25 top-20 ranking against deterministic
-    synthetic judgments (judged-only position walk per the reference)."""
+    synthetic judgments (judged-only position walk per the reference),
+    over the wide EVAL_QUERYSET (≥20 queries: repeated terms, unknown
+    terms, all-stopword, and zero-judged NaN-skip cases)."""
     from .corpus import load_documents
     from .queryeng.evalmetrics import ap_ndcg, synthetic_judgments
 
     idx = get_index(spark, sf_dir)
     scored = bm25_score_all(
-        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
-        idx.doc_stats, idx.avgdl,
+        qterms_df(spark, osql.EVAL_QUERYSET, stem=False),
+        idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
     )
     ranked = _rounded_rank_topk(scored, 20)
     judgments = synthetic_judgments(
-        load_documents(spark, sf_dir).select("doc_id"), osql.QUERYSET
+        load_documents(spark, sf_dir).select("doc_id"), osql.EVAL_QUERYSET
     )
     return ap_ndcg(ranked, judgments)
 
