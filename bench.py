@@ -111,16 +111,22 @@ def main() -> None:
 
     # --- per-query latency over the compressed index (p50/p95) -------------
     # single-task sequential WAND: ONE job per query (scan → groupBy(qid)
-    # → early-exit θ loop in the task) vs the phased plan's 4 barriers
+    # → early-exit θ loop in the task) vs the phased plan's 4 barriers.
+    # Hot-serving form: the dictionary is collected ONCE into the serving
+    # process (the reference's RAM-pinned vocabulary, Search.java's
+    # long-lived loop) so each query's job plants (qid, term, idf) as a
+    # broadcast literal instead of re-joining the dictionary.
+    from themis_search_engine_spark.queryeng.pipeline import query_term_map
+    from themis_search_engine_spark.queryeng.sharded import collect_idf_map
     from themis_search_engine_spark.queryeng.wand import wand_topk_single
 
+    hot_idf = collect_idf_map(idx.dictionary)  # one-time serving state
     lat = []
     for qid in list(queries)[:12]:
-        qt1 = qterms_df(spark, {qid: queries[qid]}, stem=True)
+        q1 = query_term_map({qid: queries[qid]}, stem=True)
         t0 = time.perf_counter()
         wand_topk_single(
-            qt1, comp, idx.dictionary, idx.avgdl, k=10,
-            term_list=query_term_list({qid: queries[qid]}, stem=True),
+            q1, comp, None, idx.avgdl, k=10, idf_map=hot_idf,
         ).collect()
         lat.append(time.perf_counter() - t0)
     lat.sort()

@@ -127,7 +127,10 @@ def run_pair(lo: int, hi: int, pages_dir: str) -> dict:
                  / best[lo]["build_docs_per_sec"]) / ratio
         q_eff = (best[hi]["queries_per_sec"]
                  / best[lo]["queries_per_sec"]) / ratio
-        if b_eff >= TARGET and q_eff >= TARGET:
+        s_lo = best[lo].get("sharded_queries_per_sec")
+        s_hi = best[hi].get("sharded_queries_per_sec")
+        s_eff = (s_hi / s_lo) / ratio if s_lo and s_hi else TARGET
+        if b_eff >= TARGET and q_eff >= TARGET and s_eff >= TARGET:
             break
 
     r_lo, r_hi = best[lo], best[hi]

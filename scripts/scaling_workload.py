@@ -80,6 +80,16 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_200_000))
     n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 4000))
+    # Shard atoms of the doc-sharded serving plan are doc-range CHUNKS
+    # (chunk = doc_id >> chunk_bits). The layout must give every measured
+    # parallelism level many atoms per core, or the efficiency number
+    # measures layout quantization instead of the engine: the default
+    # chunk_bits=16 leaves 1.2M docs only 19 chunks — 16 cores sit
+    # task-starved behind ≤19 atoms (r2 measured 0.62 for exactly this
+    # reason). chunk_bits=13 → ~147 atoms (~9/core at 16); at the target
+    # 10^12 docs ANY chunk_bits gives millions of atoms, so this knob
+    # only exists for bench-scale corpora.
+    chunk_bits = int(os.environ.get("SPARK_GRAFT_SCALE_CHUNK_BITS", 13))
     # input partitioning fixed across trials so every level reads the same
     # file layout; split sizing (maxPartitionBytes below) controls task count
     in_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", 128))
@@ -154,6 +164,7 @@ def main() -> None:
             t0 = time.perf_counter()
             sidx = build_and_save_serving(
                 corpus, f"{tmp}/index", stem=True, timings=phase_t,
+                chunk_bits=chunk_bits,
             )
             rep_sec = time.perf_counter() - t0
             if rep_sec < build_sec:

@@ -273,6 +273,37 @@ def test_wand_single_equals_naive(spark, bundle):
             assert s1 == pytest.approx(s2, rel=1e-9)
 
 
+def test_wand_single_hot_serving_form(spark, bundle):
+    """The dict-form hot-serving path (driver-side {qid: terms} + RAM
+    idf_map, no dictionary join in the per-query job) is rank- AND
+    score-identical to the DataFrame form; unknown terms drop exactly like
+    a dictionary-join miss; dict form without idf_map fails loudly."""
+    from themis_search_engine_spark.queryeng.pipeline import query_term_map
+    from themis_search_engine_spark.queryeng.sharded import collect_idf_map
+    from themis_search_engine_spark.queryeng.wand import wand_topk_single
+
+    idx, comp = bundle
+    qt = qterms_df(spark, QUERIES, stem=True)
+    df_form = _by_qid(
+        wand_topk_single(qt, comp, idx.dictionary, idx.avgdl, k=10).collect()
+    )
+    qmap = query_term_map(QUERIES, stem=True)
+    qmap[max(qmap) + 1] = ["zzz_not_a_term"]  # vocabulary miss → no rows
+    hot = collect_idf_map(idx.dictionary)
+    dict_form = _by_qid(
+        wand_topk_single(qmap, comp, None, idx.avgdl, k=10, idf_map=hot)
+        .collect()
+    )
+    assert set(df_form) == set(dict_form)
+    for qid in df_form:
+        assert [x[1] for x in df_form[qid]] == [x[1] for x in dict_form[qid]]
+        for (_, _, s1), (_, _, s2) in zip(df_form[qid], dict_form[qid]):
+            assert s1 == pytest.approx(s2, rel=1e-12)
+
+    with pytest.raises(ValueError, match="idf_map"):
+        wand_topk_single(qmap, comp, None, idx.avgdl, k=10)
+
+
 def test_wand_single_many_chunks(spark):
     """chunk_bits=6 → dozens of chunks per term: the θ early-exit must not
     drop any true top-k member across chunk boundaries."""
