@@ -81,15 +81,17 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_200_000))
     n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 4000))
     # Shard atoms of the doc-sharded serving plan are doc-range CHUNKS
-    # (chunk = doc_id >> chunk_bits). The layout must give every measured
-    # parallelism level many atoms per core, or the efficiency number
-    # measures layout quantization instead of the engine: the default
-    # chunk_bits=16 leaves 1.2M docs only 19 chunks — 16 cores sit
-    # task-starved behind ≤19 atoms (r2 measured 0.62 for exactly this
-    # reason). chunk_bits=13 → ~147 atoms (~9/core at 16); at the target
-    # 10^12 docs ANY chunk_bits gives millions of atoms, so this knob
-    # only exists for bench-scale corpora.
-    chunk_bits = int(os.environ.get("SPARK_GRAFT_SCALE_CHUNK_BITS", 13))
+    # (chunk = doc_id >> chunk_bits). chunk_bits=16 is the PRODUCTION
+    # layout (per-row numpy decode amortizes above ~1k postings/row —
+    # finer chunks halve sharded absolute q/s, measured r2) and leaves
+    # 1.2M docs only 19 chunks, so 8+ cores are task-starved and the
+    # sharded efficiency number measures layout quantization, not the
+    # engine. bench_scaling runs the primary pairs at 16 (absolute
+    # numbers comparable across rounds) plus a LAYOUT-CONTROLLED pair at
+    # 13 (~147 atoms, ~9/core at 16 cores) where the sharded plan's
+    # scaling is measurable; at the target 10^12 docs ANY chunk_bits
+    # gives millions of atoms and both concerns vanish.
+    chunk_bits = int(os.environ.get("SPARK_GRAFT_SCALE_CHUNK_BITS", 16))
     # input partitioning fixed across trials so every level reads the same
     # file layout; split sizing (maxPartitionBytes below) controls task count
     in_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", 128))
