@@ -224,8 +224,9 @@ def main() -> None:
     sh_pairs_env = os.environ.get("SPARK_GRAFT_SCALE_SHARDED_PAIRS", "2:8,4:16")
     sh_pairs = [
         (int(a), int(b))
-        for a, b in (p.split(":") for p in sh_pairs_env.split(","))
-        if p
+        for a, b in (
+            p.split(":") for p in sh_pairs_env.split(",") if p.strip()
+        )
     ]
     pages_dir = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), "themis_scale_pages"
