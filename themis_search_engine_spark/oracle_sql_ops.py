@@ -616,3 +616,42 @@ franked AS (
 )
 SELECT qid, doc_id, rrf, rank::INT AS rank
 FROM franked WHERE rank <= {k}"""
+
+
+# --- web snapshots (pipeline_ops.websnap) ------------------------------------
+
+# the deterministic (url, warc_ts) fixture view of `documents` — MUST stay
+# bit-identical to pipeline_ops.websnap.snapshot_view
+_PAGES_CTE = """pages AS (
+  SELECT doc_id, n_chars,
+         'https://' || source || '.example.org/p/'
+           || CAST(doc_id % 7 AS VARCHAR) AS url,
+         (1546300800 + ((doc_id * 37) % 1000) * 3600)::BIGINT AS warc_ts
+  FROM documents
+)"""
+
+
+def sql_web_latest_snapshot() -> str:
+    """Mirrors latest_snapshot_per_url over snapshot_view: newest warc_ts
+    per url, doc_id-desc tiebreak."""
+    return f"""WITH {_PAGES_CTE},
+ranked AS (
+  SELECT url, doc_id, warc_ts,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS r
+  FROM pages
+)
+SELECT url, doc_id, warc_ts FROM ranked WHERE r = 1"""
+
+
+def sql_web_domain_stats() -> str:
+    """Mirrors domain_stats over snapshot_view (exact distinct-URL form)."""
+    return f"""WITH {_PAGES_CTE},
+hosted AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url, n_chars
+  FROM pages
+)
+SELECT host, count(*)::BIGINT AS n_pages,
+       count(DISTINCT url)::BIGINT AS n_urls,
+       round(avg(n_chars), 6) AS avg_chars
+FROM hosted GROUP BY host"""

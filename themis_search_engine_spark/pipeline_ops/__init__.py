@@ -25,8 +25,10 @@ from .simsearch import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    kmeans_centroids,
     rrf_fuse,
     srp_lsh_pairs,
     srp_signature,
 )
 from .textstats import fingerprints, lang_id, quality_score, token_stats  # noqa: F401
+from .websnap import domain_stats, latest_snapshot_per_url  # noqa: F401

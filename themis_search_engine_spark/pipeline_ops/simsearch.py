@@ -11,9 +11,12 @@
   standard IVF trade).
 - :func:`cosine_pairs` — all-pairs cosine ≥ tau (embedding near-dup).
 
-Centroids here are picked deterministically (every m-th vector) rather
-than by k-means: training an ANN index is out of scope; the *engine*
-surface (assignment, probing, pruning, scoring) is what scales.
+Centroids default to a deterministic pick (every m-th vector) so the
+driver oracle can replicate them in SQL; :func:`kmeans_centroids` offers
+an equally deterministic Lloyd refinement (no RNG: data-arithmetic init,
+id-asc tie-breaks, exact mean aggregates) for better-balanced cells —
+the *engine* surface (assignment, probing, pruning, scoring) is the same
+either way.
 """
 
 from __future__ import annotations
@@ -118,6 +121,60 @@ def assign_cells(
     )
 
 
+def kmeans_centroids(
+    embs: DataFrame,
+    *,
+    every_m: int = 50,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(centroid_id, centroid_vec) — deterministic Lloyd refinement of the
+    every-m-th-vector IVF init (no RNG anywhere: init is data arithmetic,
+    assignment ties break on centroid_id asc, means are exact aggregates).
+
+    Per iteration: one broadcast nearest-centroid assignment + one
+    (cell, pos) mean shuffle — both linear in corpus size; lineage is
+    bounded per round (localCheckpoint) like pagerank/connected-components.
+    A cell that loses all members keeps its previous centroid (no
+    re-seeding, which would need RNG). ``iters`` is small (2-5): IVF wants
+    balanced cells, not converged k-means.
+    """
+    cents = embs.where(F.col(id_col) % every_m == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(
+            "centroid_vec"
+        ),
+    )
+    vecs = embs.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    for _ in range(int(iters)):
+        cells = assign_cells(vecs, cents, vec_col="_v", id_col="_id")
+        means = (
+            vecs.join(cells, "_id")
+            .select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv")
+            )
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform("pv", lambda s: s.getField("m")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+        cents = means.unionByName(
+            cents.join(means.select("centroid_id"), "centroid_id",
+                       "left_anti")
+        ).localCheckpoint(eager=False)
+    return cents
+
+
 def ivf_topk(
     embs: DataFrame,
     queries: DataFrame,
@@ -125,6 +182,7 @@ def ivf_topk(
     *,
     every_m: int = 50,
     n_probe: int = 2,
+    train_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "query_id",
@@ -132,14 +190,28 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF top-k: prune to n_probe cells per query, then exact cosine.
 
-    Centroids = every ``every_m``-th corpus vector (deterministic). At
+    Centroids = every ``every_m``-th corpus vector (deterministic);
+    ``train_iters > 0`` refines them with :func:`kmeans_centroids`
+    (deterministic Lloyd — better-balanced cells, still no RNG). The
+    driver-oracled registry entry runs train_iters=0, whose centroid
+    arithmetic the DuckDB twin replicates exactly; the trained variant is
+    pinned by pytest (determinism + a recall floor vs brute force — Lloyd
+    optimizes quantization error, so per-query-set recall is not strictly
+    monotone in iterations). At
     scale the corpus side is written partitioned by cell, so probing reads
     only n_probe/n_centroids of the data (partition pruning); here the
     cell filter is the join on the assignment table.
     """
-    centroids = embs.where(F.col(id_col) % every_m == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
-    )
+    if train_iters:
+        centroids = kmeans_centroids(
+            embs, every_m=every_m, iters=train_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        centroids = embs.where(F.col(id_col) % every_m == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
     cells = assign_cells(embs, centroids, vec_col=vec_col, id_col=id_col)
     qcells = assign_cells(
         queries.withColumnRenamed(qvec_col, vec_col)

@@ -1,0 +1,113 @@
+"""Web-snapshot corpus operators: URL-keyed snapshot dedup + domain stats.
+
+A Common-Crawl-style corpus (BASELINE.json input_hint: ``url, warc_ts,
+html, text, lang``) carries MANY crawl snapshots of the same page; the
+first ingestion step of every index build / training pipeline over it is
+"one row per URL" (else the index double-counts df/tf and the training
+set over-weights recrawled pages). These are that step's operators,
+expressed as native DataFrame plans:
+
+- :func:`latest_snapshot_per_url` — keep each URL's newest snapshot.
+  ONE linear shuffle on url; per-group size = that page's recrawl count
+  (bounded by crawl frequency, never corpus-sized), so no skew at
+  10^12 rows. The window carries a rank-1 limit, which Spark executes
+  as WindowGroupLimit BELOW the sort — no full per-URL sort
+  materializes.
+- :func:`domain_stats` — per-host page/URL counts and mean document
+  size: the aggregation that feeds domain-level quality/spam decisions
+  (C4/Gopher-style domain filtering). Map-side combinable except the
+  exact distinct-URL count; at 10^12 rows swap
+  ``F.count_distinct`` for ``F.approx_count_distinct`` (documented
+  knob) — the driver oracle needs the exact form.
+
+The reference engine has no multi-snapshot notion (its S2 corpus keys
+papers by unique id — S2JsonEntryReader.java:64-65 reads ``id`` once);
+these operators are part of the web-corpus extension family, like
+pipeline_ops.dedup / textstats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HOST_RE = r"^https?://([^/]+)"
+
+
+def latest_snapshot_per_url(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per URL: the snapshot with the greatest ``ts_col``
+    (deterministic tiebreak: greatest ``id_col``). Keeps all input
+    columns."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    return (
+        pages.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def domain_stats(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    size_col: str = "n_chars",
+    exact_urls: bool = True,
+) -> DataFrame:
+    """(host, n_pages, n_urls, avg_chars) per registrable host.
+
+    ``exact_urls=False`` switches the distinct-URL count to HLL
+    (``approx_count_distinct``) — the 10^12-row form; exact is the
+    oracle-checkable default."""
+    n_urls = (
+        F.count_distinct(F.col("_u"))
+        if exact_urls
+        else F.approx_count_distinct(F.col("_u"))
+    )
+    return (
+        pages.select(
+            F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+            F.col(url_col).alias("_u"),
+            F.col(size_col).alias("_s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            n_urls.alias("n_urls"),
+            F.round(F.avg("_s"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def snapshot_view(docs: DataFrame) -> DataFrame:
+    """Deterministic (url, warc_ts) web-snapshot view of the driver's
+    ``documents`` table — the test fixture mapping (documented in the
+    DuckDB twin, oracle_sql_ops._pages_cte, which replicates it
+    bit-for-bit):
+
+      url     = https://<source>.example.org/p/<doc_id % 7>
+                (several doc_ids per source share a URL = recrawls)
+      warc_ts = 1546300800 + ((doc_id * 37) % 1000) * 3600
+                (non-monotonic in doc_id; collides above 1000 docs,
+                exercising the id tiebreak at larger scale factors)
+    """
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+        (
+            F.lit(1546300800)
+            + ((F.col("doc_id") * 37) % 1000) * 3600
+        ).cast("long").alias("warc_ts"),
+    )

@@ -242,6 +242,30 @@ def q_media_ann_topk(spark, sf_dir):
     )
 
 
+def q_web_latest_snapshot(spark, sf_dir):
+    """URL-keyed snapshot dedup (websnap.latest_snapshot_per_url) over the
+    deterministic (url, warc_ts) view of documents — the 'one row per URL'
+    ingestion step of a Common-Crawl-style corpus (input_hint shape)."""
+    from .pipeline_ops.websnap import latest_snapshot_per_url, snapshot_view
+
+    pages = snapshot_view(load_documents(spark, sf_dir))
+    return latest_snapshot_per_url(pages).select("url", "doc_id", "warc_ts")
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per-host page/URL counts + mean document size (websnap.domain_stats)
+    — the aggregation feeding domain-level quality/spam filtering."""
+    from .pipeline_ops.websnap import domain_stats, snapshot_view
+
+    pages = snapshot_view(load_documents(spark, sf_dir))
+    return domain_stats(pages).select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "avg_chars",
+    )
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "dedup_jaccard": q_dedup_jaccard,
@@ -265,6 +289,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "frame_sample": q_frame_sample,
     "media_ann_topk": q_media_ann_topk,
+    "web_latest_snapshot": q_web_latest_snapshot,
+    "web_domain_stats": q_web_domain_stats,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -290,4 +316,6 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "pagerank": osqlo.sql_pagerank(0.85, 5),
     "frame_sample": osqlo.sql_frame_sample(3),
     "media_ann_topk": osqlo.sql_media_ann_topk(3, 50, 8),
+    "web_latest_snapshot": osqlo.sql_web_latest_snapshot(),
+    "web_domain_stats": osqlo.sql_web_domain_stats(),
 }
