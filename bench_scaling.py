@@ -65,7 +65,7 @@ def merge_best(best: dict | None, run: dict) -> dict:
         for k in list(run):
             if k.startswith(("build", "phase")):
                 out[k] = run[k]
-    if run["queries_per_sec"] > best["queries_per_sec"]:
+    if run.get("queries_per_sec", 0) > best.get("queries_per_sec", 0):
         for k in ("query_sec", "queries_per_sec"):
             out[k] = run[k]
     if run.get("sharded_queries_per_sec", 0) > best.get(
@@ -141,8 +141,9 @@ def run_pair(
             )
         b_eff = (best[hi]["build_docs_per_sec"]
                  / best[lo]["build_docs_per_sec"]) / ratio
-        q_eff = (best[hi]["queries_per_sec"]
-                 / best[lo]["queries_per_sec"]) / ratio
+        q_lo = best[lo].get("queries_per_sec")
+        q_hi = best[hi].get("queries_per_sec")
+        q_eff = (q_hi / q_lo) / ratio if q_lo and q_hi else 0.0
         s_lo = best[lo].get("sharded_queries_per_sec")
         s_hi = best[hi].get("sharded_queries_per_sec")
         s_eff = (s_hi / s_lo) / ratio if s_lo and s_hi else 0.0
@@ -156,7 +157,8 @@ def run_pair(
 
     r_lo, r_hi = best[lo], best[hi]
     build_eff = (r_hi["build_docs_per_sec"] / r_lo["build_docs_per_sec"]) / ratio
-    query_eff = (r_hi["queries_per_sec"] / r_lo["queries_per_sec"]) / ratio
+    bq_lo, bq_hi = r_lo.get("queries_per_sec"), r_hi.get("queries_per_sec")
+    query_eff = (bq_hi / bq_lo) / ratio if bq_lo and bq_hi else None
     sh_lo = r_lo.get("sharded_queries_per_sec")
     sh_hi = r_hi.get("sharded_queries_per_sec")
     sharded_eff = (
@@ -171,10 +173,11 @@ def run_pair(
         "hw_ceiling": calib,
         "build_docs_per_sec": {str(lo): r_lo["build_docs_per_sec"],
                                str(hi): r_hi["build_docs_per_sec"]},
-        "queries_per_sec": {str(lo): r_lo["queries_per_sec"],
-                            str(hi): r_hi["queries_per_sec"]},
+        "queries_per_sec": {str(lo): bq_lo, str(hi): bq_hi},
         "build_efficiency": round(build_eff, 3),
-        "query_efficiency": round(query_eff, 3),
+        "query_efficiency": (
+            round(query_eff, 3) if query_eff is not None else None
+        ),
         # second serving plan (doc-sharded file-parallel, queryeng/
         # sharded.py): reported alongside the bridge plan — absolute q/s
         # is the headline (≈2.5-3x the bridge plan), efficiency is
@@ -191,15 +194,19 @@ def run_pair(
         "build_efficiency_vs_compute_ceiling": round(
             build_eff / max(calib["compute_efficiency"], 1e-9), 3
         ),
-        "query_efficiency_vs_compute_ceiling": round(
-            query_eff / max(calib["compute_efficiency"], 1e-9), 3
+        "query_efficiency_vs_compute_ceiling": (
+            round(query_eff / max(calib["compute_efficiency"], 1e-9), 3)
+            if query_eff is not None else None
         ),
-        "query_efficiency_vs_membound_ceiling": round(
-            query_eff / max(calib["membound_efficiency"], 1e-9), 3
+        "query_efficiency_vs_membound_ceiling": (
+            round(query_eff / max(calib["membound_efficiency"], 1e-9), 3)
+            if query_eff is not None else None
         ),
         "target": TARGET,
         "build_pass": build_eff >= TARGET,
-        "query_pass": query_eff >= TARGET,
+        "query_pass": (
+            query_eff >= TARGET if query_eff is not None else None
+        ),
         "sharded_query_pass": (
             sharded_eff >= TARGET if sharded_eff is not None else None
         ),
@@ -239,7 +246,13 @@ def main() -> None:
         for lo, hi in sh_pairs:
             layout_records[f"{lo}->{hi}"] = run_pair(
                 lo, hi, pages_dir, gate="sharded",
-                extra_env={"SPARK_GRAFT_SCALE_CHUNK_BITS": "13"},
+                extra_env={
+                    "SPARK_GRAFT_SCALE_CHUNK_BITS": "13",
+                    # the gate never reads the bridge number; a 4000-query
+                    # bridge batch at the finer layout is ~10 min/level of
+                    # pure waste
+                    "SPARK_GRAFT_SCALE_SKIP_BRIDGE": "1",
+                },
             )
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
