@@ -300,6 +300,18 @@ def test_wand_single_hot_serving_form(spark, bundle):
         for (_, _, s1), (_, _, s2) in zip(df_form[qid], dict_form[qid]):
             assert s1 == pytest.approx(s2, rel=1e-12)
 
+    # SINGLE-query dict form takes the join-free literal plan (qid lit +
+    # idf map-literal, no BroadcastExchange) — must stay rank/score-
+    # identical per query and contain no join node
+    for qid, terms in query_term_map(QUERIES, stem=True).items():
+        one = wand_topk_single(
+            {qid: terms}, comp, None, idx.avgdl, k=10, idf_map=hot
+        )
+        got = _by_qid(one.collect()).get(qid, [])
+        assert [x[1] for x in df_form.get(qid, [])] == [x[1] for x in got]
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+
     with pytest.raises(ValueError, match="idf_map"):
         wand_topk_single(qmap, comp, None, idx.avgdl, k=10)
 

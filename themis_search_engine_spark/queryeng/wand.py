@@ -321,10 +321,12 @@ def wand_topk_single(
     HOT-SERVING form: pass ``qterms`` as a driver-side ``{qid: [terms]}``
     map plus ``idf_map`` (queryeng.sharded.collect_idf_map — the
     reference's RAM-pinned vocabulary, Search.java's long-lived process).
-    The (qid, term, idf) rows are then planted as a broadcast literal
-    frame, skipping the dictionary scan+join that otherwise runs inside
-    every query's job — measured ~35% off p50 at sf0.1. ``dictionary``
-    may be None in this form.
+    Instead of the dictionary scan+join, (qid, term, idf) is planted
+    directly into the plan: for a SINGLE query as literal qid/idf-map
+    Column expressions (no join, no broadcast exchange — the whole plan
+    is scan → project → one qid shuffle → kernel), for multi-query
+    batches as a broadcast literal frame. ``dictionary`` may be None in
+    this form.
 
     Results are rank-identical to the naive path (score desc, doc_id asc,
     raw-score grain)."""
@@ -339,12 +341,29 @@ def wand_topk_single(
             for t in sorted(set(ts))
             if t in idf_map
         ]
+        terms = sorted({t for _, t, _ in rows})
+        if len({r[0] for r in rows}) == 1:
+            # single query: no join at all — qid is a literal, idf a
+            # literal map lookup keyed on the scanned term column
+            if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+                compressed = compressed.where(
+                    F.col("term").isin(list(terms))
+                )
+            idf_lit = F.create_map(
+                *[x for _, t, i in rows for x in (F.lit(t), F.lit(i))]
+            )
+            joined = compressed.withColumns(
+                {"qid": F.lit(rows[0][0]), "idf": idf_lit[F.col("term")]}
+            )
+            return joined.groupBy("qid").applyInPandas(
+                _query_wand_runner(k, avgdl, chunk_bits, bound_scales),
+                _RANKED_SCHEMA,
+            )
         spark = compressed.sparkSession
         q = F.broadcast(spark.createDataFrame(
             rows or [(None, None, None)],
             "qid int, term string, idf double",
         ).where("qid is not null"))
-        terms = sorted({t for _, t, _ in rows})
     else:
         terms = (
             term_list
