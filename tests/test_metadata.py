@@ -1,0 +1,117 @@
+"""Metadata-filtered retrieval + facet counts (queryeng/metadata.py).
+
+Correctness: filtered top-k returns the next-best MATCHING docs (never a
+post-filter of the unfiltered top-k), every hit satisfies the predicate,
+facet counts reconcile with the distinct existential match set.
+Plan: predicate reaches the attribute parquet scan as a pushed filter;
+the batch term IN-list stays pushed on the postings scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.queryeng import qterms_df
+from themis_search_engine_spark.queryeng.metadata import (
+    bm25_topk_filtered,
+    facet_counts,
+    matching_docs,
+)
+
+DOCS = [
+    # doc_id, text, lang
+    (0, "spark shuffle join spark", "en"),
+    (1, "spark shuffle join", "en"),
+    (2, "spark join shuffle merge", "de"),
+    (3, "spark spark spark shuffle join", "de"),
+    (4, "window order group", "en"),
+    (5, "shuffle", "fr"),
+    (6, "join join join", "en"),
+    (7, "unrelated words only here", "en"),
+]
+
+QS = {1: "spark shuffle join", 2: "window order group"}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def midx(docs_df):
+    return build_index(docs_df.select("doc_id", "text")).cache()
+
+
+def test_filtered_hits_satisfy_predicate_and_refill(spark, docs_df, midx):
+    qt = qterms_df(spark, QS)
+    ranked = bm25_topk_filtered(
+        qt, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl,
+        docs_df, F.col("lang") == "en", k=3,
+    ).collect()
+    en_docs = {r["doc_id"] for r in docs_df.where("lang = 'en'").collect()}
+    assert ranked and all(r["doc_id"] in en_docs for r in ranked)
+    # qid 1 has en matches {0, 1, 6}: the filtered top-3 must surface ALL
+    # of them — doc 6 would be pushed out by de docs in the unfiltered
+    # top-3, so its presence proves the filter sits below top-k (refill),
+    # not above it (post-filter).
+    q1 = {r["doc_id"] for r in ranked if r["qid"] == 1}
+    assert q1 == {0, 1, 6}
+
+
+def test_filtered_is_not_post_filtered_topk(spark, docs_df, midx):
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all, topk
+
+    qt = qterms_df(spark, {1: "spark shuffle join"})
+    unfiltered = topk(
+        bm25_score_all(
+            qt, midx.postings_flat, midx.dictionary, midx.doc_stats,
+            midx.avgdl,
+        ),
+        3,
+    ).collect()
+    post = [r for r in unfiltered if r["doc_id"] in {0, 1, 6}]
+    filtered = bm25_topk_filtered(
+        qt, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl,
+        docs_df, F.col("lang") == "en", k=3,
+    ).collect()
+    assert len(filtered) == 3 and len(post) < 3
+
+
+def test_facet_counts_reconcile(spark, docs_df, midx):
+    qt = qterms_df(spark, QS)
+    facets = facet_counts(qt, midx.postings_flat, docs_df, ("lang",))
+    rows = facets.collect()
+    got = {(r["qid"], r["lang"]): r["n_docs"] for r in rows}
+    # qid 1 'spark shuffle join': en {0,1,6}, de {2,3}, fr {5}
+    assert got[(1, "en")] == 3 and got[(1, "de")] == 2 and got[(1, "fr")] == 1
+    # qid 2 'window order group': only doc 4 (en)
+    assert got[(2, "en")] == 1 and (2, "de") not in got
+    # facet total per qid == distinct match count
+    cand = matching_docs(qt, midx.postings_flat)
+    per_qid = {
+        r["qid"]: r["n"]
+        for r in cand.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    for qid in (1, 2):
+        assert sum(v for (q, _l), v in got.items() if q == qid) == per_qid[qid]
+
+
+def test_filter_pushdown_in_plan(spark, tmp_path, docs_df, midx):
+    # persist attrs to parquet so the predicate has a scan to push into
+    attr_path = str(tmp_path / "attrs")
+    docs_df.select("doc_id", "lang").write.parquet(attr_path)
+    attrs = spark.read.parquet(attr_path)
+    qt = qterms_df(spark, {1: "spark shuffle join"})
+    plan = bm25_topk_filtered(
+        qt, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl,
+        attrs.withColumn("doc_id", F.col("doc_id")), F.col("lang") == "en",
+        k=3,
+    )._jdf.queryExecution().toString()
+    # executedPlan().toString() truncates per-node fields; the full
+    # queryExecution dump keeps the FileScan's PushedFilters list.
+    assert "EqualTo(lang,en)" in plan and "PushedFilters" in plan

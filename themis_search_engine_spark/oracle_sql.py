@@ -213,8 +213,18 @@ def sql_tf_maxnorm() -> str:
 
 
 def _bm25_scored_cte(
-    stem: bool = False, queryset: dict[int, str] | None = None
+    stem: bool = False,
+    queryset: dict[int, str] | None = None,
+    doc_filter: str | None = None,
 ) -> str:
+    """``doc_filter`` (SQL over alias ``dd`` of documents) restricts the
+    scored candidate set — the oracle twin of metadata.bm25_topk_filtered's
+    pre-aggregation semi-join."""
+    filter_join = (
+        f"\n  JOIN documents dd ON t.doc_id = dd.doc_id AND ({doc_filter})"
+        if doc_filter
+        else ""
+    )
     return f"""WITH {tok_cte_stemmed() if stem else TOK_CTE},
 scored AS (
   SELECT q.qid, t.doc_id,
@@ -224,7 +234,7 @@ scored AS (
   FROM tfn t
   JOIN {_qterms_values(stem, queryset)} ON t.term = q.term
   JOIN dict d ON t.term = d.term
-  JOIN docstat s ON t.doc_id = s.doc_id
+  JOIN docstat s ON t.doc_id = s.doc_id{filter_join}
   CROSS JOIN gstats g
   GROUP BY q.qid, t.doc_id
 )"""
@@ -250,6 +260,36 @@ ranked AS (
 )
 SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_bm25_topk_filtered(k: int = 10, doc_filter: str = "dd.lang = 'en'") -> str:
+    """Oracle twin of metadata.bm25_topk_filtered: the restriction is
+    applied inside the scored CTE (pre-aggregation), so filtered queries
+    return the next-best MATCHING docs, never < k post-filtered rows."""
+    return f"""{_bm25_scored_cte(doc_filter=doc_filter)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_facet_counts(facet_cols: tuple[str, ...] = ("lang",)) -> str:
+    """Oracle twin of metadata.facet_counts: distinct (qid, doc_id)
+    existential matches rolled up per facet value."""
+    cols = ", ".join(f"d.{c}" for c in facet_cols)
+    return f"""WITH {TOK_CTE},
+cand AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+)
+SELECT c.qid, {cols}, count(*)::BIGINT AS n_docs
+FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+GROUP BY c.qid, {cols}"""
 
 
 def sql_dictionary_stemmed() -> str:

@@ -1,0 +1,135 @@
+"""Metadata-filtered retrieval and faceted match counts.
+
+The reference serves pure text queries (Search.java:52-99 walks the
+ranked list with no document-attribute restriction). A web corpus needs
+both of the classic attribute surfaces a search engine bolts onto that
+ranked list:
+
+* **filtered retrieval** — BM25 top-k restricted to documents matching a
+  metadata predicate (``lang = 'en'``, a site allow-list, a crawl-date
+  range);
+* **facet counts** — for each query, the distribution of *matching*
+  documents over an attribute (the "English (1 423) / German (211)"
+  sidebar).
+
+Scale design (100 TB corpus, 10^12 docs):
+
+* The candidate set is bounded by the query terms' postings (the IN-list
+  pushed scan of ``bm25.bm25_score_all``), never the corpus — both ops
+  start from that same pruned join.
+* The attribute table is a column-pruned parquet scan (``doc_id`` + the
+  referenced attrs only); the predicate is pushed into the scan
+  (``PushedFilters`` on lang/source), so a selective filter reads only
+  matching row groups.
+* The filter joins candidates on ``doc_id`` **below** the score
+  aggregation, so the groupBy shuffles only surviving rows. Join
+  strategy is Catalyst's choice: a selective predicate (rare lang,
+  small site list) broadcasts; a broad one (lang='en' ≈ half the web)
+  sort-merge-joins on doc_id — bounded by the candidate count, not the
+  corpus. Callers with a known-tiny filter can force ``broadcast=True``.
+* The zero-join scale path is build-time denormalization: pass
+  ``attr_cols`` to ``indexing.build.build_index`` equivalents the same
+  way doc length is denormalized into postings (build.py:106-112), and
+  the predicate becomes a codegen'd per-posting-row filter. This module
+  is the join-based form that needs no index rebuild.
+* Facet counting is two map-side-combinable aggregations: distinct
+  (qid, doc_id) first (partial-agg before shuffle), then the tiny
+  (qid, facet-value) rollup — output is |queries| × |facet values| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import MAX_PRUNE_LITERALS, bm25_score_all, topk
+
+
+def filter_doc_ids(
+    doc_attrs: DataFrame, predicate: Column, *, broadcast: bool = False
+) -> DataFrame:
+    """doc_ids surviving a metadata predicate — a column-pruned,
+    filter-pushed scan of the attribute table. ``broadcast=True`` hints
+    the planner when the caller knows the predicate is highly selective
+    (avoid it for broad predicates: the broadcast would be corpus-sized).
+    """
+    ids = doc_attrs.where(predicate).select("doc_id")
+    return F.broadcast(ids) if broadcast else ids
+
+
+def bm25_topk_filtered(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    doc_attrs: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    *,
+    broadcast_filter: bool = False,
+    topk_fn=topk,
+) -> DataFrame:
+    """BM25 top-k over only the documents matching ``predicate``.
+
+    The semi-join restriction sits on the postings side BEFORE scoring,
+    so Catalyst plants both prunings into the same scan subtree: the
+    batch term IN-list (pushed to parquet) and the doc_id semi-join.
+    Scoring, aggregation, and the salted two-phase top-k then see only
+    surviving rows — a filtered query is strictly cheaper than its
+    unfiltered twin, never a post-filter of it (post-filtering top-k
+    would also be WRONG: it returns < k rows whenever any top doc is
+    filtered out, instead of the next-best matching docs).
+    """
+    allowed = filter_doc_ids(doc_attrs, predicate, broadcast=broadcast_filter)
+    restricted = postings_flat.join(allowed, "doc_id", "left_semi")
+    scored = bm25_score_all(
+        qterms, restricted, dictionary, doc_stats, avgdl,
+        term_list=[r["term"] for r in qterms.select("term").distinct().collect()],
+    )
+    return topk_fn(scored, k)
+
+
+def matching_docs(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    term_list: list[str] | None = None,
+) -> DataFrame:
+    """Distinct (qid, doc_id) candidates of a query batch — the
+    existential match set (Q6 semantics) every facet/filter op starts
+    from. IN-list pushed scan + broadcast qterms join + partial-agg
+    distinct; bounded by the batch terms' postings."""
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
+    pruned = postings_flat
+    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+        pruned = postings_flat.where(F.col("term").isin(list(terms)))
+    q = F.broadcast(qterms.select("qid", "term").distinct())
+    return pruned.join(q, "term").select("qid", "doc_id").distinct()
+
+
+def facet_counts(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    doc_attrs: DataFrame,
+    facet_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-query facet distribution: for each qid and each combination of
+    ``facet_cols`` values, how many distinct documents match the query.
+
+    Plan: distinct (qid, doc_id) first (map-side combinable — the heavy
+    shuffle is the candidate set, deduped before the join), then join
+    the column-pruned attribute scan on doc_id, then the tiny rollup.
+    Output rows = |queries| × Π|facet cardinalities| — driver-safe at
+    any corpus size for categorical facets.
+    """
+    cand = matching_docs(qterms, postings_flat)
+    attrs = doc_attrs.select("doc_id", *facet_cols)
+    return (
+        cand.join(attrs, "doc_id")
+        .groupBy("qid", *facet_cols)
+        .agg(F.count("*").alias("n_docs"))
+    )

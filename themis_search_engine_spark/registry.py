@@ -538,6 +538,41 @@ ORACLE_SQL["bm25_topk_expanded_emb"] = osql.sql_bm25_topk_expanded_emb(
 )
 
 
+def q_bm25_topk_filtered(spark, sf_dir):
+    """Metadata-filtered retrieval: BM25 top-10 restricted to lang='en'
+    docs — predicate pushed to the attribute scan, semi-join below the
+    score aggregation (queryeng/metadata.py)."""
+    from .queryeng.metadata import bm25_topk_filtered as _filtered
+
+    idx = get_index(spark, sf_dir)
+    return _filtered(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+        load_documents(spark, sf_dir), F.col("lang") == "en", 10,
+        topk_fn=_rounded_rank_topk,
+    )
+
+
+QUERIES["bm25_topk_filtered"] = q_bm25_topk_filtered
+ORACLE_SQL["bm25_topk_filtered"] = osql.sql_bm25_topk_filtered(10, "dd.lang = 'en'")
+
+
+def q_facet_counts(spark, sf_dir):
+    """Per-query facet distribution over (lang): distinct existential
+    matches rolled up per attribute value (queryeng/metadata.py)."""
+    from .queryeng.metadata import facet_counts as _facets
+
+    idx = get_index(spark, sf_dir)
+    return _facets(
+        _qt(spark, stem=False), idx.postings_flat,
+        load_documents(spark, sf_dir), ("lang",),
+    )
+
+
+QUERIES["facet_counts"] = q_facet_counts
+ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
+
+
 def q_s2_extract(spark, sf_dir):
     """S2 source end-to-end: JSONL → schema-on-read parse with the
     reference's missing-field defaults → P1 field concat. Runs over the
