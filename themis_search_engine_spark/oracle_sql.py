@@ -277,6 +277,36 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_snippets_topk(k: int = 5, before: int = 30, length: int = 80) -> str:
+    """Oracle twin of snippets.kwic_snippets over the BM25 top-k: first
+    token-boundary occurrence of any query term in the space-padded
+    normalized text (char positions map 1:1 to the original text because
+    P2 normalization is length-preserving), then a substring window of
+    the ORIGINAL text."""
+    return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hits AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= {k}),
+firsthit AS (
+  SELECT h.qid, h.doc_id, h.rank,
+         min(nullif(strpos(
+           ' ' || lower(regexp_replace(d.text, '[^a-zA-Z0-9]', ' ', 'g')) || ' ',
+           ' ' || q.term || ' '), 0)) AS mpos,
+         any_value(d.text) AS text
+  FROM hits h
+  JOIN documents d ON h.doc_id = d.doc_id
+  JOIN {_qterms_values()} ON h.qid = q.qid
+  GROUP BY h.qid, h.doc_id, h.rank
+)
+SELECT qid, doc_id, rank::BIGINT AS rank,
+       substring(text, greatest(1, mpos - {before}), {length}) AS snippet
+FROM firsthit"""
+
+
 def sql_facet_counts(facet_cols: tuple[str, ...] = ("lang",)) -> str:
     """Oracle twin of metadata.facet_counts: distinct (qid, doc_id)
     existential matches rolled up per facet value."""

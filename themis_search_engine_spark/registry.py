@@ -573,6 +573,25 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_snippets_topk(spark, sf_dir):
+    """Q10 gap closed: doc fetch (IN-pushed point lookup) + KWIC snippet
+    around the first query-term occurrence, over the BM25 top-5
+    (queryeng/snippets.py)."""
+    from .queryeng.snippets import kwic_snippets
+
+    idx = get_index(spark, sf_dir)
+    qt = _qt(spark, stem=False)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+    )
+    hits = _rounded_rank_topk(scored, 5)
+    return kwic_snippets(hits, load_documents(spark, sf_dir), qt)
+
+
+QUERIES["snippets_topk"] = q_snippets_topk
+ORACLE_SQL["snippets_topk"] = osql.sql_snippets_topk(5, 30, 80)
+
+
 def q_s2_extract(spark, sf_dir):
     """S2 source end-to-end: JSONL → schema-on-read parse with the
     reference's missing-field defaults → P1 field concat. Runs over the
