@@ -286,3 +286,44 @@ def test_ivf_kmeans_trained(spark):
     # from n_probe cell pruning)
     assert r0 >= 0.9, r0
     assert r2_ >= 0.9, r2_
+
+
+def test_filtered_cosine_topk_refill(spark):
+    """Filtered vector search refills with next-best MATCHING vectors:
+    every hit satisfies the predicate and the result still has k rows
+    (post-filtering the unfiltered top-k would not)."""
+    from themis_search_engine_spark.pipeline_ops.simsearch import (
+        cosine_topk,
+        filtered_cosine_topk,
+    )
+
+    # vec 0 is the query; vecs 1-2 (odd label) are nearest, 3-6 (even
+    # label) progressively farther — an even-label filter must drop 1-2
+    # and surface 3-5, not return 1 row.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.1, 0.0], 1),
+        (2, [0.98, 0.15, 0.0], 3),
+        (3, [0.9, 0.3, 0.0], 0),
+        (4, [0.8, 0.5, 0.0], 2),
+        (5, [0.6, 0.7, 0.0], 4),
+        (6, [0.1, 0.9, 0.1], 6),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qv = embs.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    filt = filtered_cosine_topk(
+        embs, qv, F.col("label") % 2 == 0, k=3
+    ).collect()
+    # query vec 0 has odd label → excluded too; even-label by cosine
+    # order is 3 > 4 > 5
+    assert [r["vec_id"] for r in sorted(filt, key=lambda r: r["rank"])] == [3, 4, 5]
+    labels = {r[0]: r[2] for r in rows}
+    assert len(filt) == 3 and all(labels[r["vec_id"]] % 2 == 0 for r in filt)
+    unfilt = cosine_topk(embs, qv, k=3).collect()
+    post = [r for r in unfilt if labels[r["vec_id"]] % 2 == 0]
+    assert len(post) < 3  # post-filter loses rows; pre-filter refilled

@@ -290,12 +290,18 @@ _NORM_B = (
 )
 
 
-def sql_cosine_topk(k: int = 5, every_m: int = 50) -> str:
+def sql_cosine_topk(
+    k: int = 5, every_m: int = 50, corpus_filter: str | None = None
+) -> str:
+    """``corpus_filter`` (SQL over alias ``a`` of embeddings) restricts
+    the searched corpus BEFORE scoring — the oracle twin of
+    simsearch.filtered_cosine_topk's pre-filter (refill semantics)."""
+    cf = f"\n    AND ({corpus_filter})" if corpus_filter else ""
     return f"""WITH scored AS (
   SELECT b.vec_id AS query_id, a.vec_id,
          {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
   FROM embeddings a, embeddings b
-  WHERE b.vec_id % {every_m} = 0
+  WHERE b.vec_id % {every_m} = 0{cf}
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine,

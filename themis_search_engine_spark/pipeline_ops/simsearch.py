@@ -83,6 +83,32 @@ def cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Metadata-filtered vector search: exact cosine top-k over only the
+    corpus vectors satisfying ``predicate`` (a Column over ``embs``).
+
+    The filter restricts BEFORE scoring — filtered search refills with
+    the next-best matching vectors, never post-filters an unfiltered
+    top-k to < k rows (the same semantics as metadata.bm25_topk_filtered
+    on the text side). The predicate lands on the embeddings scan
+    (PushedFilters / partition pruning when the corpus is written
+    partitioned by the attribute); everything downstream — norms,
+    broadcast-NL scoring, the top-k window — sees only survivors, so a
+    selective filter makes the search cheaper, not just smaller.
+    At IVF scale, apply the predicate before :func:`ivf_topk` the same
+    way; with the corpus written partitioned by (attr, cell) both the
+    attribute filter and the n_probe cell pruning become partition
+    pruning on one scan.
+    """
+    return cosine_topk(embs.where(predicate), queries, k=k, **kwargs)
+
+
 def assign_cells(
     embs: DataFrame,
     centroids: DataFrame,

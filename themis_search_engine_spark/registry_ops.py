@@ -148,6 +148,20 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_cosine_topk_filtered(spark, sf_dir):
+    """Metadata-filtered vector search: top-5 among even-label vectors
+    only (pre-filter refill semantics, simsearch.filtered_cosine_topk)."""
+    from .pipeline_ops.simsearch import filtered_cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    out = filtered_cosine_topk(
+        embs, _query_vecs(embs), F.col("label") % 2 == 0, k=5
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_hybrid_topk(spark, sf_dir):
     """Hybrid retrieval end-to-end: BM25 top-k over the documents table
     fused with cosine ANN top-k over the embeddings table by reciprocal-
@@ -280,6 +294,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_filtered": q_ann_cosine_topk_filtered,
     "hybrid_topk": q_hybrid_topk,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_lsh_pairs": q_emb_lsh_pairs,
@@ -307,6 +322,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "quality_score": osqlo.sql_quality_score(),
     "fingerprints": osqlo.sql_fingerprints(3, 4),
     "ann_cosine_topk": osqlo.sql_cosine_topk(5, 50),
+    "ann_cosine_topk_filtered": osqlo.sql_cosine_topk(5, 50, "a.label % 2 = 0"),
     "hybrid_topk": osqlo.sql_hybrid_topk(10),
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
     "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
