@@ -115,3 +115,25 @@ def test_filter_pushdown_in_plan(spark, tmp_path, docs_df, midx):
     # executedPlan().toString() truncates per-node fields; the full
     # queryExecution dump keeps the FileScan's PushedFilters list.
     assert "EqualTo(lang,en)" in plan and "PushedFilters" in plan
+
+
+def test_collapse_topk_caps_groups_and_refills(spark):
+    """At most per_group hits per source; displaced slots refill with
+    lower-scored docs from other sources."""
+    from themis_search_engine_spark.queryeng.metadata import collapse_topk
+
+    scored = spark.createDataFrame(
+        [(1, d, 10.0 - d) for d in range(6)],  # doc 0 best … doc 5 worst
+        "qid long, doc_id long, score double",
+    )
+    attrs = spark.createDataFrame(
+        # docs 0,1,2 share host A; 3,4 host B; 5 host C
+        [(0, "A"), (1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "C")],
+        "doc_id long, source string",
+    )
+    out = collapse_topk(scored, attrs, "source", 2, 4).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 2 (third A) is collapsed out; rank order by score: 0,1 (A),
+    # 3,4 (B) — doc 5 misses k=4
+    assert ids == [0, 1, 3, 4]
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4]

@@ -307,6 +307,29 @@ SELECT qid, doc_id, rank::BIGINT AS rank,
 FROM firsthit"""
 
 
+def sql_collapse_topk(
+    k: int = 10, group_col: str = "source", per_group: int = 2
+) -> str:
+    """Oracle twin of metadata.collapse_topk: per-(qid, group) rank caps
+    each group at ``per_group`` BEFORE the global per-qid top-k."""
+    return f"""{_bm25_scored_cte()},
+grouped AS (
+  SELECT s.qid, s.doc_id, round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY s.qid, d.{group_col}
+                            ORDER BY round(s.score, 6) DESC, s.doc_id ASC)
+           AS grank
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM grouped WHERE grank <= {per_group}
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_facet_counts(facet_cols: tuple[str, ...] = ("lang",)) -> str:
     """Oracle twin of metadata.facet_counts: distinct (qid, doc_id)
     existential matches rolled up per facet value."""

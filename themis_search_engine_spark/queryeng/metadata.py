@@ -111,6 +111,46 @@ def matching_docs(
     return pruned.join(q, "term").select("qid", "doc_id").distinct()
 
 
+def collapse_topk(
+    scored: DataFrame,
+    doc_attrs: DataFrame,
+    group_col: str = "source",
+    per_group: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Result diversification ("site collapse"): top-k by score, but at
+    most ``per_group`` results per ``group_col`` value per query — the
+    web-search rule that one host must not monopolize the page.
+
+    Two windows, both salt-free but bounded: the per-(qid, group) rank
+    partitions the candidate set much finer than per-qid (a hot query's
+    candidates spread over many hosts — the per-partition sort is
+    |candidates per host|, not |candidates|), and the final per-qid
+    window sorts only the ≤ per_group survivors of each group. The
+    attribute join is keyed on doc_id, bounded by the candidate set.
+    Deterministic: rounded score desc, doc_id asc at both levels.
+    Output: (qid, doc_id, score, rank) with ``rank`` the diversified
+    1..k position.
+    """
+    from pyspark.sql.window import Window
+
+    joined = scored.join(doc_attrs.select("doc_id", group_col), "doc_id")
+    wg = Window.partitionBy("qid", group_col).orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    survivors = joined.withColumn("_gr", F.row_number().over(wg)).where(
+        F.col("_gr") <= per_group
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def facet_counts(
     qterms: DataFrame,
     postings_flat: DataFrame,

@@ -573,6 +573,25 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_collapse_topk(spark, sf_dir):
+    """Diversified retrieval: BM25 top-10 with at most 2 results per
+    source per query (queryeng/metadata.collapse_topk)."""
+    from .queryeng.metadata import collapse_topk
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return collapse_topk(
+        scored, load_documents(spark, sf_dir), "source", 2, 10
+    )
+
+
+QUERIES["collapse_topk"] = q_collapse_topk
+ORACLE_SQL["collapse_topk"] = osql.sql_collapse_topk(10, "source", 2)
+
+
 def q_snippets_topk(spark, sf_dir):
     """Q10 gap closed: doc fetch (IN-pushed point lookup) + KWIC snippet
     around the first query-term occurrence, over the BM25 top-5
