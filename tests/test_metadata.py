@@ -137,3 +137,37 @@ def test_collapse_topk_caps_groups_and_refills(spark):
     # 3,4 (B) — doc 5 misses k=4
     assert ids == [0, 1, 3, 4]
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+
+
+def test_related_terms_pmi(spark):
+    """PMI pin on a corpus where co-occurrence is hand-computable."""
+    import math
+
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.queryeng.related import related_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle cluster"),
+            (1, "spark shuffle cluster"),
+            (2, "spark cluster"),
+            (3, "cluster alone here"),
+            (4, "alone words here"),
+            (5, "words words alone"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, stem=False).cache()
+    qt = qterms_df(spark, {1: "spark"})
+    out = related_terms(
+        qt, idx.postings_flat, idx.counts, idx.dictionary, idx.n_docs,
+        top_n=3, min_df=2,
+    ).collect()
+    got = {r["term"]: (r["pmi"], r["rank"]) for r in out}
+    # match(spark) = {0,1,2} (q_df=3); shuffle co_df=2, df=2 →
+    # pmi = log2(2*6/(3*2)) = 1; cluster co_df=3, df=4 → log2(18/12)
+    assert "spark" not in got  # own term excluded
+    assert got["shuffle"][0] == pytest.approx(1.0)
+    assert got["cluster"][0] == pytest.approx(round(math.log2(3 * 6 / (3 * 4)), 6))
+    # shuffle (pmi 1) outranks cluster (pmi ~0.585)
+    assert got["shuffle"][1] < got["cluster"][1]

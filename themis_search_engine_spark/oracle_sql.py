@@ -330,6 +330,42 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_related_terms(top_n: int = 5, min_df: int = 2) -> str:
+    """Oracle twin of related.related_terms: document-level PMI between
+    each query's match set and co-occurring terms, excluding the query's
+    own terms."""
+    return f"""WITH {TOK_CTE},
+qt AS (SELECT DISTINCT qid, term FROM {_qterms_values()}),
+cand AS (
+  SELECT DISTINCT qt.qid, c.doc_id
+  FROM counts c JOIN qt ON c.term = qt.term
+),
+qsize AS (SELECT qid, count(*) AS q_df FROM cand GROUP BY qid),
+co AS (
+  SELECT cand.qid, k.term, count(*) AS co_df
+  FROM cand JOIN counts k ON cand.doc_id = k.doc_id
+  GROUP BY cand.qid, k.term
+),
+pmi AS (
+  SELECT co.qid, co.term,
+         round(log2(co.co_df * g.n_docs::DOUBLE / (s.q_df * d.df)), 6) AS pmi
+  FROM co
+  JOIN dict d ON co.term = d.term AND d.df >= {min_df}
+  JOIN qsize s ON co.qid = s.qid
+  CROSS JOIN gstats g
+  LEFT JOIN qt ON co.qid = qt.qid AND co.term = qt.term
+  WHERE qt.term IS NULL
+),
+ranked AS (
+  SELECT qid, term, pmi,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY pmi DESC, term ASC) AS rank
+  FROM pmi
+)
+SELECT qid, term, pmi, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {top_n}"""
+
+
 def sql_facet_counts(facet_cols: tuple[str, ...] = ("lang",)) -> str:
     """Oracle twin of metadata.facet_counts: distinct (qid, doc_id)
     existential matches rolled up per facet value."""

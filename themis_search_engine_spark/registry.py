@@ -573,6 +573,22 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_related_terms(spark, sf_dir):
+    """Related-searches surface: top-5 PMI co-occurring terms per query
+    over the match set (queryeng/related.py)."""
+    from .queryeng.related import related_terms
+
+    idx = get_index(spark, sf_dir)
+    return related_terms(
+        _qt(spark, stem=False), idx.postings_flat, idx.counts,
+        idx.dictionary, idx.n_docs, top_n=5, min_df=2,
+    )
+
+
+QUERIES["related_terms"] = q_related_terms
+ORACLE_SQL["related_terms"] = osql.sql_related_terms(5, 2)
+
+
 def q_collapse_topk(spark, sf_dir):
     """Diversified retrieval: BM25 top-10 with at most 2 results per
     source per query (queryeng/metadata.collapse_topk)."""
