@@ -1,0 +1,107 @@
+"""Attribute-partitioned serving index (indexing/partitioned.py).
+
+Pins: filtered WAND over the partition subset is rank-identical to the
+semi-join filtered plan (global scoring semantics), all-parts equals the
+unpartitioned index, excluded partitions contribute zero input (the scan
+reads only selected part paths), and bad values fail loud.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.indexing.partitioned import (
+    build_partitioned_serving,
+    load_partitioned_serving,
+    wand_topk_partitioned,
+)
+from themis_search_engine_spark.queryeng import qterms_df
+from themis_search_engine_spark.queryeng.metadata import bm25_topk_filtered
+
+DOCS = [
+    (0, "spark shuffle join spark window", "en"),
+    (1, "spark shuffle join", "en"),
+    (2, "spark join shuffle merge window window", "de"),
+    (3, "spark spark spark shuffle join", "de"),
+    (4, "window order group spark", "en"),
+    (5, "shuffle window merge", "fr"),
+    (6, "join join join window order", "en"),
+    (7, "order group merge spark shuffle", "fr"),
+]
+
+QS = {1: "spark shuffle join", 2: "window order group"}
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def pidx_path(spark, tmp_path_factory, pdocs):
+    p = str(tmp_path_factory.mktemp("pidx")) + "/idx"
+    build_partitioned_serving(
+        pdocs, p, "lang", stem=False, chunk_bits=2, partitions=4
+    )
+    return p
+
+
+def _ranked(rows):
+    return sorted(
+        (r["qid"], r["doc_id"], round(r["score"], 6)) for r in rows
+    )
+
+
+def test_filtered_wand_matches_semijoin_plan(spark, pdocs, pidx_path):
+    qt = qterms_df(spark, QS)
+    wand = wand_topk_partitioned(spark, pidx_path, qt, ["en"], k=10).collect()
+    idx = build_index(pdocs.select("doc_id", "text"), stem=False)
+    semi = bm25_topk_filtered(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+        pdocs, F.col("lang") == "en", k=10,
+    ).collect()
+    assert _ranked(wand) == _ranked(semi)
+
+
+def test_all_parts_match_unfiltered(spark, pdocs, pidx_path):
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all, topk
+
+    qt = qterms_df(spark, QS)
+    wand = wand_topk_partitioned(spark, pidx_path, qt, None, k=10).collect()
+    idx = build_index(pdocs.select("doc_id", "text"), stem=False)
+    naive = topk(
+        bm25_score_all(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+        ),
+        10,
+    ).collect()
+    assert _ranked(wand) == _ranked(naive)
+
+
+def test_partition_pruning_zero_io_for_excluded(spark, pidx_path):
+    ps = load_partitioned_serving(spark, pidx_path, ["en"])
+    files = [
+        r.filePath
+        for r in ps.compressed.select(
+            F.input_file_name().alias("filePath")
+        ).distinct().collect()
+    ]
+    assert files and all("/parts/en/" in f for f in files)
+    assert ps.values == ["en"]
+    hi, lo = ps.bound_scales
+    assert hi >= 1.0 >= lo > 0.0
+
+
+def test_unknown_value_raises(spark, pidx_path):
+    with pytest.raises(ValueError, match="unknown partition"):
+        load_partitioned_serving(spark, pidx_path, ["xx"])
+
+
+def test_unsafe_value_raises(spark, pdocs, tmp_path):
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        build_partitioned_serving(
+            pdocs.withColumn("lang", F.lit("a/b")),
+            str(tmp_path) + "/bad", "lang", stem=False,
+        )

@@ -573,6 +573,41 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+_PCACHE: dict[str, str] = {}
+
+
+def q_bm25_topk_wand_filtered(spark, sf_dir):
+    """Filtered retrieval on the PRODUCTION path: lang-partitioned
+    serving index, lang='en' query touches only parts/en (partition
+    pruning, no filter join) — score-identical to the semi-join plan, so
+    it shares sql_bm25_topk_filtered's oracle
+    (indexing/partitioned.py)."""
+    import tempfile
+
+    from .indexing.partitioned import (
+        build_partitioned_serving,
+        wand_topk_partitioned,
+    )
+
+    if sf_dir not in _PCACHE:
+        p = tempfile.mkdtemp(prefix="themis_parts_") + "/pidx"
+        build_partitioned_serving(
+            load_documents(spark, sf_dir).select("doc_id", "text", "lang"),
+            p, "lang", stem=False, chunk_bits=8, partitions=8,
+        )
+        _PCACHE[sf_dir] = p
+    wide = wand_topk_partitioned(
+        spark, _PCACHE[sf_dir], _qt(spark, stem=False), ["en"], k=30,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
+QUERIES["bm25_topk_wand_filtered"] = q_bm25_topk_wand_filtered
+ORACLE_SQL["bm25_topk_wand_filtered"] = osql.sql_bm25_topk_filtered(
+    10, "dd.lang = 'en'"
+)
+
+
 def q_related_terms(spark, sf_dir):
     """Related-searches surface: top-5 PMI co-occurring terms per query
     over the match set (queryeng/related.py)."""
