@@ -171,3 +171,37 @@ def test_related_terms_pmi(spark):
     assert got["cluster"][0] == pytest.approx(round(math.log2(3 * 6 / (3 * 4)), 6))
     # shuffle (pmi 1) outranks cluster (pmi ~0.585)
     assert got["shuffle"][1] < got["cluster"][1]
+
+
+def test_spell_suggest_and_autocomplete(spark):
+    from themis_search_engine_spark.queryeng.spell import (
+        autocomplete,
+        spell_suggest,
+    )
+
+    dictionary = spark.createDataFrame(
+        [("spark", 100), ("spars", 40), ("sharp", 30), ("window", 80),
+         ("shuffle", 60), ("join", 90)],
+        "term string, df long",
+    )
+    terms = spark.createDataFrame(
+        [("spak",), ("windoq",), ("zzzz",)], "term string"
+    )
+    got = spell_suggest(terms, dictionary, top_n=2).collect()
+    by_term = {}
+    for r in sorted(got, key=lambda r: (r["term"], r["rank"])):
+        by_term.setdefault(r["term"], []).append(r["suggestion"])
+    # spak: spark (del-a vs ins? lev=1, df 100) and spars? lev(spak,spars)=2
+    # -> excluded by verify even though they share no deletion key anyway
+    assert by_term["spak"] == ["spark"]
+    assert by_term["windoq"] == ["window"]
+    assert "zzzz" not in by_term  # no distance-1 neighbor
+    comp = autocomplete(
+        spark.createDataFrame([("sp",), ("j",)], "prefix string"),
+        dictionary, top_n=2,
+    ).collect()
+    by_p = {}
+    for r in sorted(comp, key=lambda r: (r["prefix"], r["rank"])):
+        by_p.setdefault(r["prefix"], []).append(r["suggestion"])
+    assert by_p["sp"] == ["spark", "spars"]  # df desc
+    assert by_p["j"] == ["join"]

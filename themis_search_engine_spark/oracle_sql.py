@@ -366,6 +366,52 @@ SELECT qid, term, pmi, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {top_n}"""
 
 
+def sql_spell_suggest(
+    terms: tuple[str, ...], top_n: int = 3, min_df: int = 1
+) -> str:
+    """Oracle twin of spell.spell_suggest: deletion-key candidates ∩
+    exact levenshtein <= 1, ranked by df desc, suggestion asc."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    keys = (
+        "list_append([substr({c}, 1, i-1) || substr({c}, i+1) "
+        "FOR i IN range(1, length({c}) + 1)], {c})"
+    )
+    return f"""WITH {TOK_CTE},
+q(term) AS (VALUES {vals}),
+qk AS (SELECT term, unnest({keys.format(c='term')}) AS key FROM q),
+dk AS (
+  SELECT term AS suggestion, df, unnest({keys.format(c='term')}) AS key
+  FROM dict WHERE df >= {min_df}
+),
+cand AS (
+  SELECT DISTINCT qk.term, dk.suggestion, dk.df
+  FROM qk JOIN dk ON qk.key = dk.key
+  WHERE qk.term <> dk.suggestion
+),
+ranked AS (
+  SELECT term, suggestion, df,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY df DESC, suggestion ASC) AS rank
+  FROM cand WHERE levenshtein(term, suggestion) <= 1
+)
+SELECT term, suggestion, df, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {top_n}"""
+
+
+def sql_autocomplete(prefixes: tuple[str, ...], top_n: int = 5) -> str:
+    vals = ", ".join(f"('{p}')" for p in prefixes)
+    return f"""WITH {TOK_CTE},
+p(prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix, d.term AS suggestion, d.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY d.df DESC, d.term ASC) AS rank
+  FROM dict d JOIN p ON starts_with(d.term, p.prefix)
+)
+SELECT prefix, suggestion, df, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {top_n}"""
+
+
 def sql_facet_counts(facet_cols: tuple[str, ...] = ("lang",)) -> str:
     """Oracle twin of metadata.facet_counts: distinct (qid, doc_id)
     existential matches rolled up per facet value."""

@@ -1,0 +1,109 @@
+"""Spell suggestion and prefix autocomplete over the term dictionary.
+
+The "did you mean" surface: a query term with no (or low-df) dictionary
+entry gets distance-1 corrections ranked by corpus frequency; a typed
+prefix gets its most frequent completions.
+
+Scale design — the same banding + bounded-verify shape as the repo's
+LSH dedup ops, because the naive form (every unknown term × every
+vocabulary term through an edit-distance UDF) is a |V|-sized cross join
+per term:
+
+* **candidate generation** is a deletion-key equi-join (the SymSpell
+  observation): two strings within levenshtein distance 1 share a key
+  in {s} ∪ deletions1(s). The dictionary side explodes to |V| × (len+1)
+  key rows — linear, computed once; at web scale it is a build-time
+  table persisted bucketed by key, and the query side (a handful of
+  terms) broadcast-joins into it.
+* **verify** is exact `levenshtein() <= 1` on candidate pairs only —
+  candidate-bounded, never corpus- or vocabulary-enumerated.
+* deletion keys are length-banded by construction (a key's sources
+  differ in length by ≤ 1), so no giant skewed key groups beyond what
+  hot short prefixes of real vocabularies produce; df floors drop the
+  misspelling tail of the dictionary itself before ranking.
+
+Autocomplete is a dictionary range scan: `startswith(prefix)` pushes to
+the parquet scan as a range predicate (string min/max row-group stats),
+then a tiny per-prefix top-n window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# {term} ∪ single-character deletions of term — shared by both join sides
+_DELETION_KEYS = (
+    "array_union(array({c}), transform(sequence(1, length({c})), "
+    "i -> concat(substring({c}, 1, i-1), substring({c}, i+1, length({c})))))"
+)
+
+
+def _with_keys(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn("_key", F.explode(F.expr(_DELETION_KEYS.format(c=col))))
+
+
+def spell_suggest(
+    terms: DataFrame,
+    dictionary: DataFrame,
+    top_n: int = 3,
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """(term, suggestion, df, rank) — distance-1 dictionary corrections
+    per input term, ranked df desc then suggestion asc. The input term
+    itself is excluded (an exact dictionary hit needs no correction).
+
+    ``terms``: one column ``term`` (normalized/stemmed the same way the
+    dictionary was built). ``min_df`` floors candidate suggestions — at
+    web scale the dictionary's own misspelling tail is huge and a df
+    floor removes it before ranking.
+    """
+    q = _with_keys(terms.select("term").distinct(), "term")
+    d = _with_keys(
+        dictionary.select(
+            F.col("term").alias("suggestion"), "df"
+        ).where(F.col("df") >= min_df),
+        "suggestion",
+    )
+    cand = (
+        q.join(d, "_key")
+        .select("term", "suggestion", "df")
+        .where(F.col("term") != F.col("suggestion"))
+        .distinct()
+    )
+    verified = cand.where(F.levenshtein("term", "suggestion") <= 1)
+    w = Window.partitionBy("term").orderBy(
+        F.desc("df"), F.asc("suggestion")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("term", "suggestion", "df", "rank")
+    )
+
+
+def autocomplete(
+    prefixes: DataFrame,
+    dictionary: DataFrame,
+    top_n: int = 5,
+) -> DataFrame:
+    """(prefix, suggestion, df, rank) — most frequent dictionary
+    completions per prefix. ``prefixes``: one column ``prefix``.
+
+    The prefix predicate is a range condition on the sorted term domain,
+    so a dictionary stored sorted/bucketed by term serves it with a
+    row-group range read; the join here broadcasts the (tiny) prefix
+    set and evaluates startswith codegen-side.
+    """
+    p = F.broadcast(prefixes.select("prefix").distinct())
+    hits = dictionary.select(
+        F.col("term").alias("suggestion"), "df"
+    ).join(p, F.col("suggestion").startswith(F.col("prefix")))
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("suggestion"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("prefix", "suggestion", "df", "rank")
+    )

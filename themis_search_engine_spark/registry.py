@@ -573,6 +573,41 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+# distance-1 misspellings of corpus vocabulary + one unmatchable term
+SPELL_TERMS = ("spak", "shufle", "joim", "windoq", "merg", "zzzz")
+AUTOCOMPLETE_PREFIXES = ("sp", "wi", "qu")
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean: deletion-key banded candidates + bounded levenshtein
+    verify over the dictionary (queryeng/spell.py)."""
+    from .queryeng.spell import spell_suggest
+
+    idx = get_index(spark, sf_dir)
+    terms = spark.createDataFrame([(t,) for t in SPELL_TERMS], "term string")
+    return spell_suggest(terms, idx.dictionary, top_n=3)
+
+
+QUERIES["spell_suggest"] = q_spell_suggest
+ORACLE_SQL["spell_suggest"] = osql.sql_spell_suggest(SPELL_TERMS, 3)
+
+
+def q_autocomplete(spark, sf_dir):
+    """Prefix autocomplete: most frequent dictionary completions
+    (queryeng/spell.py)."""
+    from .queryeng.spell import autocomplete
+
+    idx = get_index(spark, sf_dir)
+    prefixes = spark.createDataFrame(
+        [(p,) for p in AUTOCOMPLETE_PREFIXES], "prefix string"
+    )
+    return autocomplete(prefixes, idx.dictionary, top_n=5)
+
+
+QUERIES["autocomplete"] = q_autocomplete
+ORACLE_SQL["autocomplete"] = osql.sql_autocomplete(AUTOCOMPLETE_PREFIXES, 5)
+
+
 _PCACHE: dict[str, str] = {}
 
 
