@@ -327,3 +327,45 @@ def test_filtered_cosine_topk_refill(spark):
     unfilt = cosine_topk(embs, qv, k=3).collect()
     post = [r for r in unfilt if labels[r["vec_id"]] % 2 == 0]
     assert len(post) < 3  # post-filter loses rows; pre-filter refilled
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session numbering: gap STRICTLY greater than the threshold starts
+    a new session; equal-ts events order by event_id."""
+    from datetime import datetime
+
+    from themis_search_engine_spark.pipeline_ops.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    T = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes, sec=0):
+        from datetime import timedelta
+
+        return T + timedelta(minutes=minutes, seconds=sec)
+
+    rows = [
+        # user 1: events at 0, 10, 40 (gap 30 == threshold → SAME
+        # session), 71 (gap 31 > threshold → new session)
+        (1, 1, at(0), 1.0),
+        (2, 1, at(10), 2.0),
+        (3, 1, at(40), 3.0),
+        (4, 1, at(71), 4.0),
+        # user 2: two events with the same timestamp (tie on event_id)
+        (5, 2, at(0), 1.0),
+        (6, 2, at(0), 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    s = sessionize(events, gap_minutes=30).collect()
+    idx = {r["event_id"]: r["session_idx"] for r in s}
+    assert idx == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1}
+    st = session_stats(events, gap_minutes=30).collect()
+    by = {(r["user_id"], r["session_idx"]): r for r in st}
+    assert by[(1, 1)]["n_events"] == 3 and by[(1, 1)]["duration_s"] == 2400
+    assert by[(1, 2)]["n_events"] == 1 and by[(1, 2)]["duration_s"] == 0
+    assert by[(1, 1)]["total_value"] == 6.0
+    assert by[(2, 1)]["n_events"] == 2

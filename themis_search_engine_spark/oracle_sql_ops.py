@@ -661,3 +661,45 @@ SELECT host, count(*)::BIGINT AS n_pages,
        count(DISTINCT url)::BIGINT AS n_urls,
        round(avg(n_chars), 6) AS avg_chars
 FROM hosted GROUP BY host"""
+
+
+_SESSION_CTE = """ordered AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT
+                   > {gap_s}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT event_id, user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)"""
+
+
+def sql_sessionize(gap_minutes: int = 360) -> str:
+    """Oracle twin of sessions.sessionize: gap-based session numbering.
+    Timestamps floor to whole epoch seconds on BOTH sides (Spark's
+    unix_timestamp truncates; DuckDB's epoch keeps microseconds)."""
+    cte = _SESSION_CTE.format(gap_s=gap_minutes * 60)
+    return f"""WITH {cte}
+SELECT event_id, user_id, session_idx::BIGINT AS session_idx FROM sess"""
+
+
+def sql_session_stats(gap_minutes: int = 360) -> str:
+    cte = _SESSION_CTE.format(gap_s=gap_minutes * 60)
+    return f"""WITH {cte}
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS start_s,
+       floor(epoch(max(ts)))::BIGINT AS end_s,
+       (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_s,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_idx"""

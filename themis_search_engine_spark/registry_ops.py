@@ -280,7 +280,37 @@ def q_web_domain_stats(spark, sf_dir):
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events table (6 h gap —
+    pipeline_ops/sessions.py)."""
+    from .pipeline_ops.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=360).select(
+        "event_id", "user_id", "session_idx"
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup: counts, bounds, duration, value sum
+    (pipeline_ops/sessions.py)."""
+    from .pipeline_ops.sessions import session_stats
+
+    s = session_stats(_events(spark, sf_dir), gap_minutes=360)
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        F.unix_timestamp("start_ts").alias("start_s"),
+        F.unix_timestamp("end_ts").alias("end_s"),
+        "duration_s", "total_value",
+    )
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
     "exact_dedup": q_exact_dedup,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -309,6 +339,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
+    "sessionize": osqlo.sql_sessionize(360),
+    "session_stats": osqlo.sql_session_stats(360),
     "exact_dedup": osqlo.sql_exact_dedup(),
     "dedup_jaccard": osqlo.sql_jaccard_pairs(2, 0.8),
     "minhash_signatures": osqlo.sql_minhash_signatures(2, 16),
