@@ -37,3 +37,52 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     for r in got:
         assert r["content_hash"] not in by_hash
         by_hash[r["content_hash"]] = r["doc_id"]
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    """Per-user session numbering from the keyed-state streaming op equals
+    the batch sessionize over the same (time-ordered) event log."""
+    from datetime import datetime, timedelta
+
+    from themis_search_engine_spark.pipeline_ops.sessions import sessionize
+    from themis_search_engine_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    T = datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = T
+        for k in range(12):
+            # alternate small gaps (same session) and >30 min breaks
+            t = t + timedelta(minutes=(5 if k % 3 else 40), seconds=u)
+            rows.append((eid, u, t))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    in_dir = str(tmp_path / "ev")
+    # time-ordered log: one file, ordered by event time
+    events.orderBy("ts", "event_id").coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"]): (r["user_id"], r["session_idx"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["session_idx"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == want and len(got) == len(rows)

@@ -95,3 +95,82 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("session_idx", LongType(), False),
+    ]
+)
+
+# state = (epoch second of the user's last event, current session index)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType(), True),
+        StructField("session_idx", LongType(), True),
+    ]
+)
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of pipeline_ops.sessions.sessionize: per-user keyed
+    state carries (last event time, session counter) across micro-batches,
+    so a LIVE event stream gets the SAME 1-based session numbering the
+    batch op assigns to the full history (pinned stream≡batch in
+    tests/test_stateful_streaming.py).
+
+    Ordering caveat (documented, not hidden): state advances in arrival
+    order across micro-batches — an event arriving AFTER a later-timestamped
+    event of the same user can split sessions differently from the batch
+    op. Production fronts this with a watermark + sort-within-trigger
+    (the ingest path's event-time windows show the watermark plumbing);
+    the equivalence test feeds time-ordered files, the honest contract
+    for a log-shipping source. Timestamps floor to epoch seconds exactly
+    like the batch op, so the gap comparison is identical.
+    """
+    gap_s = gap_minutes * 60
+
+    def _session_group(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, idx = state.get if state.exists else (None, 0)
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            state.update((last_ts, idx))
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf["_ts_s"] = pdf["ts"].astype("int64") // 1_000_000_000
+        pdf = pdf.sort_values(["_ts_s", "event_id"])
+        out_idx = []
+        for ts_s in pdf["_ts_s"].tolist():
+            if last_ts is None or ts_s - last_ts > gap_s:
+                idx += 1
+            out_idx.append(idx)
+            last_ts = int(ts_s)
+        pdf["session_idx"] = out_idx
+        state.update((last_ts, idx))
+        yield pdf[["event_id", "user_id", "session_idx"]]
+
+    ev = events_stream.select(
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_group,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
