@@ -478,3 +478,103 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def build_ivf_index(
+    embs: DataFrame,
+    path: str,
+    *,
+    every_m: int = 50,
+    train_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF layout: vectors written ``partitionBy(cell)`` +
+    the centroid table. This makes the scale claim in :func:`ivf_topk`'s
+    docstring PHYSICAL: probing n_probe cells is directory-level
+    partition pruning on the vector table — excluded cells are never
+    listed, opened, or decoded. Same centroid construction as ivf_topk
+    (deterministic; ``train_iters > 0`` = Lloyd refinement), so the
+    persisted index answers queries identically to the in-memory plan.
+    """
+    if train_iters:
+        centroids = kmeans_centroids(
+            embs, every_m=every_m, iters=train_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        centroids = embs.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        ).where(F.col("centroid_id") % every_m == 0)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    cells = assign_cells(embs, centroids, vec_col=vec_col, id_col=id_col)
+    (
+        embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .join(cells, "_id")
+        .select(
+            F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "cell"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF top-k over the persisted layout: the probed cell set (tiny —
+    |Q| × n_probe values, collected driver-side like the batch term list)
+    lands on the vector scan as a partition-column IN-filter, so Spark
+    reads ONLY those cell directories (``PartitionFilters`` in the plan,
+    pinned by pytest). Scoring is the same exact-cosine + max-over-probes
+    aggregation as :func:`ivf_topk`, so results are identical to the
+    in-memory plan with the same parameters."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    qcells = assign_cells(
+        queries.withColumnRenamed(qvec_col, vec_col)
+        .withColumnRenamed(qid_col, id_col),
+        centroids, vec_col=vec_col, id_col=id_col, n_probe=n_probe,
+    )
+    probed = [r["cell"] for r in qcells.select("cell").distinct().collect()]
+    vecs = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell").isin(probed)
+    )
+    e = with_norm(vecs, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_vn"), "cell",
+    )
+    q = with_norm(
+        queries.withColumnRenamed(qvec_col, "embedding"), "embedding"
+    ).select(
+        F.col(qid_col).alias("query_id"), F.col("embedding").alias("_q"),
+        F.col("_norm").alias("_qn"),
+    ).join(
+        F.broadcast(qcells.withColumnRenamed("_id", "query_id")), "query_id"
+    )
+    scored = e.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id",
+        (_dot(F.col("_v"), F.col("_q"))
+         / (F.col("_vn") * F.col("_qn"))).alias("cosine"),
+    ).groupBy("query_id", "vec_id").agg(F.max("cosine").alias("cosine"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -210,6 +210,30 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_topk_persisted(spark, sf_dir):
+    """IVF over the PERSISTED partitionBy(cell) layout: probed cells are
+    directory-level partition pruning (simsearch.ivf_topk_persisted) —
+    result-identical to the in-memory ivf_topk, so it shares its oracle."""
+    import tempfile
+
+    from .pipeline_ops.simsearch import build_ivf_index, ivf_topk_persisted
+
+    embs = _embs(spark, sf_dir)
+    if sf_dir not in _IVF_CACHE:
+        p = tempfile.mkdtemp(prefix="themis_ivf_") + "/ivf"
+        build_ivf_index(embs, p, every_m=25)
+        _IVF_CACHE[sf_dir] = p
+    out = ivf_topk_persisted(
+        spark, _IVF_CACHE[sf_dir], _query_vecs(embs), k=5, n_probe=2
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_citation_edges(spark, sf_dir):
     from .linkgraph import citation_edges, synthetic_citations
 
@@ -329,6 +353,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_lsh_pairs": q_emb_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_topk_persisted": q_ann_ivf_topk_persisted,
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
@@ -359,6 +384,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
     "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
+    "ann_ivf_topk_persisted": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
