@@ -205,3 +205,47 @@ def test_spell_suggest_and_autocomplete(spark):
         by_p.setdefault(r["prefix"], []).append(r["suggestion"])
     assert by_p["sp"] == ["spark", "spars"]  # df desc
     assert by_p["j"] == ["join"]
+
+
+def test_conjunctive_scores_and_min_match(spark, docs_df, midx):
+    from themis_search_engine_spark.queryeng.metadata import (
+        conjunctive_scores,
+    )
+
+    qt = qterms_df(spark, {1: "spark shuffle join"})
+    # AND: docs containing all of {spark, shuffle, join}: 0, 1, 2, 3
+    strict = conjunctive_scores(
+        qt, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl
+    ).collect()
+    assert {r["doc_id"] for r in strict} == {0, 1, 2, 3}
+    # min_match=1 == OR semantics (adds single-term docs 5, 6)
+    loose = conjunctive_scores(
+        qt, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl,
+        min_match=1,
+    ).collect()
+    assert {r["doc_id"] for r in loose} == {0, 1, 2, 3, 5, 6}
+    # min_match=2: docs with >= 2 of the terms
+    two = conjunctive_scores(
+        qt, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl,
+        min_match=2,
+    ).collect()
+    assert {r["doc_id"] for r in two} == {0, 1, 2, 3}
+    # unknown terms are excluded from the requirement: adding one to the
+    # query must not empty the AND result
+    qt2 = qterms_df(spark, {1: "spark shuffle join zzzzunknown"})
+    still = conjunctive_scores(
+        qt2, midx.postings_flat, midx.dictionary, midx.doc_stats, midx.avgdl
+    ).collect()
+    assert {r["doc_id"] for r in still} == {0, 1, 2, 3}
+    # conjunctive scores equal the OR scorer's scores for qualifying docs
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+
+    or_scores = {
+        (r["qid"], r["doc_id"]): round(r["score"], 9)
+        for r in bm25_score_all(
+            qt, midx.postings_flat, midx.dictionary, midx.doc_stats,
+            midx.avgdl,
+        ).collect()
+    }
+    for r in strict:
+        assert round(r["score"], 9) == or_scores[(r["qid"], r["doc_id"])]

@@ -366,6 +366,39 @@ SELECT qid, term, pmi, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {top_n}"""
 
 
+def sql_bm25_topk_conjunctive(k: int = 10) -> str:
+    """Oracle twin of metadata.conjunctive_scores + top-k: docs must
+    contain ALL of the query's distinct dictionary-known terms."""
+    return f"""WITH {TOK_CTE},
+qt AS (SELECT DISTINCT qid, term FROM {_qterms_values()}),
+need AS (
+  SELECT qt.qid, count(DISTINCT qt.term) AS n
+  FROM qt JOIN dict d ON qt.term = d.term GROUP BY qt.qid
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score,
+         count(DISTINCT t.term) AS m
+  FROM tfn t
+  JOIN qt q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT sc.qid, sc.doc_id, round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC)
+           AS rank
+  FROM scored sc JOIN need ON sc.qid = need.qid AND sc.m = need.n
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_spell_suggest(
     terms: tuple[str, ...], top_n: int = 3, min_df: int = 1
 ) -> str:

@@ -111,6 +111,62 @@ def matching_docs(
     return pruned.join(q, "term").select("qid", "doc_id").distinct()
 
 
+def conjunctive_scores(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    *,
+    min_match: int | None = None,
+) -> DataFrame:
+    """BM25 scores under AND semantics (or ``min_match``-of-n): a doc
+    qualifies only if it contains ALL the query's distinct KNOWN terms
+    (default), or at least ``min_match`` of them.
+
+    The reference scores bag-of-words OR only (OkapiBM25.java walks the
+    union); conjunctive matching is the web-search default ("all words").
+    Unknown terms (df = 0) are excluded from the requirement — they can
+    never match, and the reference likewise scores only dictionary terms.
+
+    Plan: identical to the OR scorer (IN-pushed postings scan, broadcast
+    qterms⋈dictionary, one groupBy) — the AND constraint rides the SAME
+    aggregation as a countDistinct + a post-agg filter against the
+    per-qid requirement (broadcast, |Q| rows). No extra shuffle; the
+    filter drops partial matches before top-k sees them.
+    """
+    from .bm25 import MAX_PRUNE_LITERALS, bm25_part_expr
+
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    pruned = postings_flat
+    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+        pruned = postings_flat.where(F.col("term").isin(list(terms)))
+    q = F.broadcast(qterms.join(dictionary.select("term", "idf"), "term"))
+    need = q.groupBy("qid").agg(
+        F.countDistinct("term").alias("_need")
+    )
+    joined = pruned.join(q, "term")
+    if "length" not in postings_flat.columns:
+        joined = joined.join(doc_stats.select("doc_id", "length"), "doc_id")
+    scored = (
+        joined.select("qid", "doc_id", "term", bm25_part_expr(avgdl=avgdl).alias("part"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum("part").alias("score"),
+            F.countDistinct("term").alias("_matched"),
+        )
+        .join(F.broadcast(need), "qid")
+    )
+    req = (
+        F.least(F.lit(int(min_match)), F.col("_need"))
+        if min_match is not None
+        else F.col("_need")
+    )
+    return scored.where(F.col("_matched") >= req).select(
+        "qid", "doc_id", "score"
+    )
+
+
 def collapse_topk(
     scored: DataFrame,
     doc_attrs: DataFrame,

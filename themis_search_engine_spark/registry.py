@@ -573,6 +573,23 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_bm25_topk_conjunctive(spark, sf_dir):
+    """AND-semantics retrieval: BM25 top-10 over docs containing ALL of
+    the query's known terms (queryeng/metadata.conjunctive_scores)."""
+    from .queryeng.metadata import conjunctive_scores
+
+    idx = get_index(spark, sf_dir)
+    scored = conjunctive_scores(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25_topk_conjunctive"] = q_bm25_topk_conjunctive
+ORACLE_SQL["bm25_topk_conjunctive"] = osql.sql_bm25_topk_conjunctive(10)
+
+
 # distance-1 misspellings of corpus vocabulary + one unmatchable term
 SPELL_TERMS = ("spak", "shufle", "joim", "windoq", "merg", "zzzz")
 AUTOCOMPLETE_PREFIXES = ("sp", "wi", "qu")
