@@ -442,3 +442,37 @@ def test_ivf_persisted_matches_inmemory_and_prunes(spark, tmp_path):
         for f in files
     }
     assert read_cells == probed
+
+
+def test_sampling_ops_deterministic_and_semantics(spark):
+    from themis_search_engine_spark.pipeline_ops.sampling import (
+        decontaminate,
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} alpha beta", "en" if i % 2 else "de")
+         for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b and set(a.values()) == {"train", "val", "test"}
+    # roughly weight-proportional (hash uniformity, wide tolerance)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 120 <= n_train <= 190
+    s1 = {r["doc_id"] for r in stratified_sample(docs, {"en": 1.0, "de": 0.0}).collect()}
+    assert s1 == {i for i in range(200) if i % 2}  # rate 1.0 keeps all en, 0.0 drops de
+    with __import__("pytest").raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+    # decontamination: doc 0's text placed verbatim in the eval set →
+    # doc 0 dropped, disjoint docs survive
+    ev = spark.createDataFrame(
+        [(9000, "unique text number 0 alpha beta")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in decontaminate(docs, ev, n=5).collect()}
+    assert 0 not in kept
+    # docs sharing only shorter overlaps (<5-gram) survive
+    assert len(kept) >= 150

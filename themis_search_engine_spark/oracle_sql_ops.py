@@ -703,3 +703,61 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_s,
        round(sum(value), 6) AS total_value
 FROM sess GROUP BY user_id, session_idx"""
+
+
+_HB = "('0x' || substr(md5('{salt}|' || {key}::VARCHAR), 1, 8))::BIGINT"
+
+
+def sql_hash_split(weights: dict[str, float], salt: str = "split") -> str:
+    """Oracle twin of sampling.hash_split: identical md5-bucket math and
+    identical integer thresholds (same int(acc * 2^32) truncation)."""
+    h = _HB.format(salt=salt, key="doc_id")
+    acc = 0.0
+    cases = []
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN h < {int(acc * (1 << 32))} THEN '{name}'")
+    body = "\n         ".join(cases)
+    return f"""WITH hashed AS (
+  SELECT doc_id, {h} AS h FROM documents
+)
+SELECT doc_id,
+       CASE {body}
+            ELSE '{names[-1]}' END AS split
+FROM hashed"""
+
+
+def sql_stratified_sample(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    salt: str = "sample",
+) -> str:
+    h = _HB.format(salt=salt, key="doc_id")
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{v}' THEN {r!r}" for v, r in rates.items()
+    )
+    return f"""WITH hashed AS (
+  SELECT doc_id, {stratum_col}, {h} AS h FROM documents
+)
+SELECT doc_id, {stratum_col}
+FROM hashed
+WHERE h < floor((CASE {cases} ELSE {default_rate!r} END) * 4294967296.0)::BIGINT"""
+
+
+def sql_decontaminate(
+    n: int = 3, min_overlap: int = 1, eval_mod: int = 37
+) -> str:
+    """Oracle twin of sampling.decontaminate with the registered eval set
+    (doc_id % eval_mod = 0 rows of the same corpus)."""
+    return f"""WITH {_shingle_cte(n)},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0),
+contaminated AS (
+  SELECT s.doc_id
+  FROM sh s JOIN ev USING (shingle)
+  GROUP BY s.doc_id
+  HAVING count(*) >= {min_overlap}
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)"""

@@ -1,0 +1,147 @@
+"""Deterministic corpus splitting, sampling, and eval decontamination.
+
+Training-data plumbing the 100 TB pipeline needs around the cleaning ops:
+
+* :func:`hash_split` — train/val/test assignment that is a pure function
+  of the doc id: stable across runs, machines, and engine versions (no
+  RNG, no seed bookkeeping — re-running the pipeline never migrates a
+  doc between splits, the property sampleBy()/rand() cannot give).
+* :func:`stratified_sample` — per-stratum rates with the same
+  deterministic hash, so a 10% 'en' sample is the SAME 10% every run.
+* :func:`decontaminate` — drop training docs sharing >= ``min_overlap``
+  word n-grams with any eval-set doc (the benchmark-leakage guard).
+
+Hash math: the first 8 hex chars of md5 of the key, as a long in
+[0, 2^32) — the same seeded-md5 trick the MinHash ops use, so DuckDB
+replicates it bit-for-bit (no approximation in the oracle).
+
+Scale: split/sample are stateless Column expressions (codegen, no
+shuffle, no join). Decontamination is shingle-join shaped like the
+Jaccard dedup verify: the eval side is tiny (benchmarks are thousands of
+docs, broadcast), the training side streams through one shingle explode
+— never an all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# value in [0, 2^32) derived from md5(key with salt) — matches the DuckDB
+# expression ('0x' || substr(md5(...), 1, 8))::BIGINT
+def _hash_bucket(key, salt: str):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+_HSPACE = float(1 << 32)
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Input rows + a ``split`` column assigned by deterministic hash.
+
+    ``weights``: split name → fraction (must sum to ~1; validated).
+    Assignment thresholds are cumulative fractions of the 2^32 hash
+    space, so expected split sizes match the weights and every doc's
+    split is a pure function of (salt, doc_id).
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(int(acc * _HSPACE))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a doc iff its hash falls
+    under its stratum's rate threshold. Unlisted strata get
+    ``default_rate``. Same doc set every run (no RNG)."""
+    h = _hash_bucket(F.col(id_col), salt)
+    rate = None
+    for v, r in rates.items():
+        cond = F.col(stratum_col) == v
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = (
+        F.lit(float(default_rate))
+        if rate is None
+        else rate.otherwise(float(default_rate))
+    )
+    # floor (not cast) the threshold: DuckDB's double→BIGINT cast rounds
+    # while Spark's truncates — floor() agrees bit-for-bit on both sides
+    return docs.where(h < F.floor(rate * F.lit(_HSPACE)))
+
+
+def _shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) — DISTINCT word n-grams of normalized text (the
+    dedup ops' shingle construction, P2 normalization, stopwords kept)."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", " ")),
+            r"\s+",
+        ),
+        lambda t: t != "",
+    )
+    d = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).where(
+        F.size("_toks") >= n
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - n),
+        lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+    )
+    return d.select("_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training docs minus benchmark leakage: drop any doc sharing at
+    least ``min_overlap`` distinct word ``n``-grams with ANY eval doc.
+
+    The eval shingle set is broadcast (benchmarks are tiny next to the
+    corpus); the training side is one shingle explode + a groupBy on
+    doc_id — linear, never pairwise. Returns surviving rows of ``docs``
+    unchanged.
+    """
+    ev = F.broadcast(
+        _shingles(eval_docs, n, id_col, text_col).select("shingle").distinct()
+    )
+    tr = _shingles(docs, n, id_col, text_col)
+    contaminated = (
+        tr.join(ev, "shingle")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_hits"))
+        .where(F.col("_hits") >= min_overlap)
+        .select(F.col("_id").alias(id_col))
+    )
+    return docs.join(contaminated, id_col, "left_anti")

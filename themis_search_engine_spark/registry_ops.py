@@ -210,6 +210,43 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 hash of doc_id —
+    stable across runs, no RNG (pipeline_ops/sampling.py)."""
+    from .pipeline_ops.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), SPLIT_WEIGHTS).select(
+        "doc_id", "split"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-lang sampling: 50% en, 25% de, 10% elsewhere
+    (pipeline_ops/sampling.py)."""
+    from .pipeline_ops.sampling import stratified_sample
+
+    from .corpus import load_documents
+
+    return stratified_sample(
+        load_documents(spark, sf_dir), SAMPLE_RATES, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-leakage guard: drop training docs sharing any 3-gram
+    with the (synthetic) eval set doc_id % 37 == 0
+    (pipeline_ops/sampling.py)."""
+    from .pipeline_ops.sampling import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, ev, n=3, min_overlap=1).select("doc_id")
+
+
 _IVF_CACHE: dict[str, str] = {}
 
 
@@ -335,6 +372,9 @@ def q_session_stats(spark, sf_dir):
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "exact_dedup": q_exact_dedup,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -366,6 +406,9 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OPS_ORACLE_SQL: dict[str, str] = {
     "sessionize": osqlo.sql_sessionize(360),
     "session_stats": osqlo.sql_session_stats(360),
+    "hash_split": osqlo.sql_hash_split(SPLIT_WEIGHTS),
+    "stratified_sample": osqlo.sql_stratified_sample(SAMPLE_RATES, 0.1),
+    "decontaminate": osqlo.sql_decontaminate(3, 1, 37),
     "exact_dedup": osqlo.sql_exact_dedup(),
     "dedup_jaccard": osqlo.sql_jaccard_pairs(2, 0.8),
     "minhash_signatures": osqlo.sql_minhash_signatures(2, 16),
