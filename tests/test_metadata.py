@@ -249,3 +249,30 @@ def test_conjunctive_scores_and_min_match(spark, docs_df, midx):
     }
     for r in strict:
         assert round(r["score"], 9) == or_scores[(r["qid"], r["doc_id"])]
+
+
+def test_phrase_search_adjacency(spark):
+    """Exact adjacency: overlapping occurrences counted, word-set matches
+    without adjacency rejected, stopwords participate in phrases."""
+    from themis_search_engine_spark.queryeng.phrase import (
+        phrase_occurrences,
+        phrase_topk,
+        positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "state of the art results"),
+            (1, "the art of state"),          # same words, wrong order
+            (2, "state of the art of the art"),  # 1x phrase + suffix echo
+            (3, "a a a a"),                   # overlapping self-phrase
+        ],
+        "doc_id long, text string",
+    )
+    pos = positional_index(docs)
+    occ = phrase_occurrences(pos, ["state", "of", "the", "art"]).collect()
+    got = {(r["doc_id"], r["pos"]) for r in occ}
+    assert got == {(0, 1), (2, 1)}
+    # overlapping bigram "a a": 3 occurrences at pos 1,2,3
+    top = phrase_topk(pos, {1: ["a", "a"]}, k=5).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in top] == [(3, 3)]

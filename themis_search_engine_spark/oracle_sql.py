@@ -366,6 +366,62 @@ SELECT qid, term, pmi, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {top_n}"""
 
 
+# quoted-phrase query set for the positional-index op: frequent corpus
+# bigrams + a trigram + a no-match phrase
+PHRASESET: dict[int, str] = {
+    1: "table hash",
+    2: "customer join",
+    3: "merge group order",
+    4: "zz unmatched phrase",
+}
+
+
+def sql_phrase_topk(k: int = 10) -> str:
+    """Oracle twin of phrase.phrase_topk over PHRASESET: positions over
+    the normalized UNFILTERED token stream; an n-term phrase matches at
+    start positions where each term sits at pos + i."""
+    sets = []
+    for qid, phrase in sorted(PHRASESET.items()):
+        terms = phrase.split()
+        joins = []
+        for i, t in enumerate(terms[1:], start=1):
+            joins.append(
+                f"JOIN tokpos p{i} ON p0.doc_id = p{i}.doc_id "
+                f"AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{terms[i]}'"
+            )
+        joins_sql = "\n  ".join(joins)
+        sets.append(f"""SELECT {qid} AS qid, p0.doc_id, count(*)::BIGINT AS phrase_tf
+FROM tokpos p0
+  {joins_sql}
+WHERE p0.term = '{terms[0]}'
+GROUP BY p0.doc_id""")
+    union = "\nUNION ALL\n".join(sets)
+    return f"""WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.term AS term
+  FROM tokarr,
+       unnest([{{'pos': i, 'term': toks[i]}}
+               for i in range(1, len(toks) + 1)]) u(s)
+),
+occ AS (
+{union}
+),
+ranked AS (
+  SELECT qid::BIGINT AS qid, doc_id, phrase_tf,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+  FROM occ
+)
+SELECT qid, doc_id, phrase_tf, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_bm25_topk_conjunctive(k: int = 10) -> str:
     """Oracle twin of metadata.conjunctive_scores + top-k: docs must
     contain ALL of the query's distinct dictionary-known terms."""

@@ -573,6 +573,21 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_phrase_topk(spark, sf_dir):
+    """Quoted-phrase search over the positional index — exact adjacency
+    on the unfiltered normalized token stream, ranked by phrase
+    frequency (queryeng/phrase.py)."""
+    from .queryeng.phrase import phrase_topk, positional_index
+
+    pos = positional_index(load_documents(spark, sf_dir))
+    phrases = {qid: p.split() for qid, p in osql.PHRASESET.items()}
+    return phrase_topk(pos, phrases, k=10)
+
+
+QUERIES["phrase_topk"] = q_phrase_topk
+ORACLE_SQL["phrase_topk"] = osql.sql_phrase_topk(10)
+
+
 def q_bm25_topk_conjunctive(spark, sf_dir):
     """AND-semantics retrieval: BM25 top-10 over docs containing ALL of
     the query's known terms (queryeng/metadata.conjunctive_scores)."""
