@@ -57,3 +57,31 @@ def test_metric_aggregates(spark):
     assert row["ap_avg"] == pytest.approx(0.75)
     assert row["ap_mean"] == pytest.approx(0.75)
     assert row["ndcg_avg"] == pytest.approx(0.7)
+
+
+def test_prf_mrr_hand_computed(spark):
+    """P@k / recall@k / MRR on a hand-checkable fixture: full-rank
+    positions (unjudged answers count against precision), MRR=0 when no
+    relevant doc is retrieved, zero-relevant queries skipped."""
+    from themis_search_engine_spark.queryeng.evalmetrics import prf_mrr
+
+    ranked = spark.createDataFrame(
+        # qid 1: relevant at ranks 2 and 4; qid 2: none relevant in top-k;
+        # qid 3: has no relevant docs at all (skipped)
+        [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [(2, d, r) for r, d in enumerate([20, 21], 1)]
+        + [(3, 30, 1)],
+        "qid long, doc_id long, rank long",
+    )
+    judgments = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 1), (1, 99, 1),   # R=3, two retrieved
+         (2, 77, 1),                           # R=1, zero retrieved
+         (3, 30, 0)],                          # judged but irrelevant
+        "qid long, doc_id long, relevance int",
+    )
+    got = {r["qid"]: r for r in prf_mrr(ranked, judgments, k=5).collect()}
+    assert got[1]["p_at_k"] == 0.4            # 2/5
+    assert got[1]["recall_at_k"] == round(2 / 3, 6)
+    assert got[1]["mrr"] == 0.5               # first relevant at rank 2
+    assert got[2]["p_at_k"] == 0.0 and got[2]["mrr"] == 0.0
+    assert 3 not in got                       # zero-relevant → skipped

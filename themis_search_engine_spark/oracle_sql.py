@@ -871,3 +871,39 @@ ranked AS (
 )
 SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_eval_prf_mrr(k: int = 20) -> str:
+    """Oracle twin of evalmetrics.prf_mrr over the same bm25 ranking and
+    synthetic judgments as sql_eval_ap_ndcg; full-rank positions."""
+    qid_vals = ", ".join(f"({q})" for q in EVAL_QUERYSET)
+    return f"""{_bm25_scored_cte(queryset=EVAL_QUERYSET)},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+judg AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN ((d.doc_id // 7) + q.qid) % 2 = 0 THEN 1 ELSE 0 END
+           AS relevance
+  FROM documents d CROSS JOIN (VALUES {qid_vals}) q(qid)
+  WHERE d.doc_id % 7 = q.qid % 7
+),
+walked AS (
+  SELECT r.qid, r.rank, coalesce(j.relevance, 0) AS relevance
+  FROM ranked r LEFT JOIN judg j ON r.qid = j.qid AND r.doc_id = j.doc_id
+  WHERE r.rank <= {k}
+),
+perq AS (
+  SELECT qid, sum(relevance) AS rel_ret,
+         min(CASE WHEN relevance = 1 THEN rank END) AS first_rel
+  FROM walked GROUP BY qid
+),
+rq AS (SELECT qid, count(*) AS r FROM judg WHERE relevance = 1 GROUP BY qid)
+SELECT p.qid,
+       round(p.rel_ret * 1.0 / {k}, 6) AS p_at_k,
+       round(p.rel_ret * 1.0 / rq.r, 6) AS recall_at_k,
+       round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr
+FROM perq p JOIN rq ON p.qid = rq.qid"""

@@ -144,3 +144,38 @@ def ap_ndcg_py(
         if found > 0:
             out[qid] = (ap_sum / found, dcg / idcg if idcg else float("nan"))
     return out
+
+
+def prf_mrr(ranked: DataFrame, judgments: DataFrame, k: int = 20) -> DataFrame:
+    """(qid, p_at_k, recall_at_k, mrr) — the standard set-based metrics
+    the reference's judged-only walk doesn't compute (themisEval.java has
+    AP/nDCG only). Unlike AP's counter, these use FULL rank positions:
+    precision@k divides by k (unjudged answers count against it),
+    recall@k divides by the query's total relevant count, MRR is the
+    reciprocal of the first relevant rank (0 when none in the top k).
+    Queries with zero relevant docs are skipped, matching the NaN-skip
+    convention.
+    """
+    j = (
+        ranked.select("qid", "doc_id", "rank")
+        .where(F.col("rank") <= k)
+        .join(judgments, ["qid", "doc_id"], "left")
+        .fillna(0, ["relevance"])
+    )
+    per_q = j.groupBy("qid").agg(
+        F.sum("relevance").alias("rel_ret"),
+        F.min(F.when(F.col("relevance") == 1, F.col("rank"))).alias(
+            "first_rel"
+        ),
+    )
+    r_per_q = judgments.where(F.col("relevance") == 1).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    return per_q.join(r_per_q, "qid").select(
+        "qid",
+        F.round(F.col("rel_ret") / F.lit(float(k)), 6).alias("p_at_k"),
+        F.round(F.col("rel_ret") / F.col("r"), 6).alias("recall_at_k"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )

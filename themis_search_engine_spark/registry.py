@@ -3,7 +3,7 @@
 Consumed by ``__spark_entry__.py`` (the driver contract). Every SQL-oracled
 callable here runs the engine's own operators over the driver's
 ``documents.parquet`` and must value-match its DuckDB twin at sf=0.01.
-Index bundles are memoized per (sf_dir, stem, path) so the 70 registered
+Index bundles are memoized per (sf_dir, stem, path) so the 71 registered
 queries don't rebuild the index each.
 """
 
@@ -451,6 +451,28 @@ def q_eval_ap_ndcg(spark, sf_dir):
 
 QUERIES["eval_ap_ndcg"] = q_eval_ap_ndcg
 ORACLE_SQL["eval_ap_ndcg"] = osql.sql_eval_ap_ndcg(20)
+
+
+def q_eval_prf_mrr(spark, sf_dir):
+    """E-family extension: precision@k / recall@k / MRR over the same
+    ranking + judgments as eval_ap_ndcg (full-rank positions —
+    evalmetrics.prf_mrr; the reference walks AP/nDCG only)."""
+    from .queryeng.evalmetrics import prf_mrr, synthetic_judgments
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        qterms_df(spark, osql.EVAL_QUERYSET, stem=False),
+        idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+    )
+    ranked = _rounded_rank_topk(scored, 20)
+    judgments = synthetic_judgments(
+        load_documents(spark, sf_dir).select("doc_id"), osql.EVAL_QUERYSET
+    )
+    return prf_mrr(ranked, judgments, 20)
+
+
+QUERIES["eval_prf_mrr"] = q_eval_prf_mrr
+ORACLE_SQL["eval_prf_mrr"] = osql.sql_eval_prf_mrr(20)
 
 
 def q_query_expansion(spark, sf_dir):
