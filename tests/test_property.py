@@ -53,3 +53,55 @@ def test_porter_stable_and_idempotent_on_stems(word):
     assert stem(word) == s  # deterministic
     # stemming is not idempotent in general for Porter, but must not blow up
     assert len(stem(s)) <= len(word) + 2
+
+
+def _del_keys(w: str) -> set[str]:
+    """Python twin of spell._DELETION_KEYS: {w} ∪ single-char deletions."""
+    return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+)
+def test_deletion_key_candidates_complete_at_distance_1(a, b):
+    """The SymSpell identity spell_suggest relies on: ANY pair within
+    levenshtein distance 1 shares a deletion key — the banded candidate
+    join loses nothing the exact verify would keep (completeness; the
+    verify step handles precision)."""
+    if _lev(a, b) <= 1:
+        assert _del_keys(a) & _del_keys(b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from("ab"), min_size=1, max_size=12),
+       st.lists(st.sampled_from("ab"), min_size=1, max_size=3))
+def test_phrase_occurrence_count_matches_scan(tokens, phrase):
+    """The n-1-join phrase identity: occurrences found by joining
+    per-term position lists on (pos - offset) == a linear scan count."""
+    positions = {}
+    for i, t in enumerate(tokens, 1):
+        positions.setdefault(t, []).append(i)
+    # the join form: start positions p where term_j sits at p + j for all j
+    starts = set(positions.get(phrase[0], []))
+    for j, t in enumerate(phrase[1:], 1):
+        starts &= {p - j for p in positions.get(t, [])}
+    # the scan form
+    scan = sum(
+        1
+        for i in range(len(tokens) - len(phrase) + 1)
+        if tokens[i : i + len(phrase)] == phrase
+    )
+    assert len(starts) == scan
