@@ -276,3 +276,30 @@ def test_phrase_search_adjacency(spark):
     # overlapping bigram "a a": 3 occurrences at pos 1,2,3
     top = phrase_topk(pos, {1: ["a", "a"]}, k=5).collect()
     assert [(r["doc_id"], r["phrase_tf"]) for r in top] == [(3, 3)]
+
+
+def test_persisted_positional_index_pruned_scan(spark, tmp_path):
+    """Persisted positional layout: phrase queries read it with the term
+    IN-list pushed to the parquet scan, and results equal the in-memory
+    positional index."""
+    from themis_search_engine_spark.queryeng.phrase import (
+        load_positional_index,
+        phrase_topk,
+        positional_index,
+        save_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta alpha beta number {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "pos")
+    save_positional_index(docs, p, partitions=4)
+    stored = load_positional_index(spark, p)
+    phrases = {1: ["alpha", "beta"], 2: ["beta", "gamma"]}
+    a = sorted(map(tuple, phrase_topk(stored, phrases, k=5).collect()))
+    b = sorted(map(tuple, phrase_topk(positional_index(docs), phrases, k=5).collect()))
+    assert a == b and a
+    plan = phrase_topk(stored, {1: ["alpha", "beta"]}, k=5)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "In(term, [alpha,beta]" in plan

@@ -102,3 +102,31 @@ def phrase_topk(
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", "phrase_tf", "rank")
     )
+
+
+def save_positional_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the positional table repartitioned by term and sorted
+    within partitions by (term, doc_id, pos) — the same layout rule as
+    the postings table, so a phrase query's per-term position fetch is a
+    term-IN-pushed scan of a few sorted row groups (parquet min/max
+    stats prune on term), not a corpus pass. ``partitions`` is the
+    layout constant, sized for the target corpus like the serving
+    build's shuffle width."""
+    (
+        positional_index(docs, id_col=id_col, text_col=text_col)
+        .repartition(partitions, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_positional_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
