@@ -303,3 +303,29 @@ def test_persisted_positional_index_pruned_scan(spark, tmp_path):
     assert a == b and a
     plan = phrase_topk(stored, {1: ["alpha", "beta"]}, k=5)._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "In(term, [alpha,beta]" in plan
+
+
+def test_phrase_proximity_gap_semantics(spark):
+    """max_gap proximity: ordered, each next term within 1+gap tokens;
+    counts are distinct start positions; gap=0 equals exact adjacency."""
+    from themis_search_engine_spark.queryeng.phrase import (
+        phrase_occurrences,
+        positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark big join"),         # gap 1 between spark and join
+            (1, "spark join"),             # adjacent
+            (2, "spark very big join"),    # gap 2 — beyond max_gap=1
+            (3, "join spark"),             # wrong order
+            (4, "spark join join"),        # one start, two chain ends
+        ],
+        "doc_id long, text string",
+    )
+    pos = positional_index(docs)
+    near = phrase_occurrences(pos, ["spark", "join"], max_gap=1).collect()
+    got = {(r["doc_id"], r["pos"]) for r in near}
+    assert got == {(0, 1), (1, 1), (4, 1)}  # distinct STARTS (doc 4 once)
+    exact = phrase_occurrences(pos, ["spark", "join"], max_gap=0).collect()
+    assert {(r["doc_id"], r["pos"]) for r in exact} == {(1, 1), (4, 1)}

@@ -56,37 +56,69 @@ def positional_index(
 
 
 def phrase_occurrences(
-    pos_index: DataFrame, phrase_terms: list[str]
+    pos_index: DataFrame, phrase_terms: list[str], *, max_gap: int = 0
 ) -> DataFrame:
-    """(doc_id, pos) — start position of every exact occurrence of the
-    phrase. n-1 keyed joins on (doc_id, pos − i); the first (ideally
-    rarest) term's list anchors the chain."""
+    """(doc_id, pos) — start positions where the phrase occurs.
+
+    ``max_gap=0``: exact adjacency — n-1 keyed equi-joins on
+    (doc_id, pos − i); the first (ideally rarest) term's list anchors
+    the chain, and each start has at most one chain.
+
+    ``max_gap>0``: ordered proximity ("near" operator) — each next term
+    must appear AFTER the previous one within ``1 + max_gap`` tokens.
+    The chain join becomes an equi-join on doc_id with a position-range
+    condition; intermediates are bounded by the per-doc position-list
+    products of the phrase terms (tiny — a doc's tf for each term), and
+    the result deduplicates to distinct START positions so counts stay
+    combinatorial-blowup-free ("how many places does the phrase start",
+    not "how many chains").
+    """
     if not phrase_terms:
         raise ValueError("empty phrase")
     pruned = pos_index.where(F.col("term").isin(list(set(phrase_terms))))
-    occ = (
-        pruned.where(F.col("term") == phrase_terms[0])
-        .select("doc_id", "pos")
-    )
-    for i, t in enumerate(phrase_terms[1:], start=1):
-        nxt = pruned.where(F.col("term") == t).select(
-            "doc_id", (F.col("pos") - i).alias("pos")
+    if max_gap == 0:
+        occ = (
+            pruned.where(F.col("term") == phrase_terms[0])
+            .select("doc_id", "pos")
         )
-        occ = occ.join(nxt, ["doc_id", "pos"])
-    return occ
+        for i, t in enumerate(phrase_terms[1:], start=1):
+            nxt = pruned.where(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            occ = occ.join(nxt, ["doc_id", "pos"])
+        return occ
+    chains = (
+        pruned.where(F.col("term") == phrase_terms[0])
+        .select("doc_id", "pos", F.col("pos").alias("_prev"))
+    )
+    for t in phrase_terms[1:]:
+        nxt = pruned.where(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias("_nxt")
+        )
+        chains = (
+            chains.join(nxt, "doc_id")
+            .where(
+                (F.col("_nxt") > F.col("_prev"))
+                & (F.col("_nxt") <= F.col("_prev") + 1 + max_gap)
+            )
+            .select("doc_id", "pos", F.col("_nxt").alias("_prev"))
+        )
+    return chains.select("doc_id", "pos").distinct()
 
 
 def phrase_topk(
     pos_index: DataFrame,
     phrases: dict[int, list[str]],
     k: int = 10,
+    *,
+    max_gap: int = 0,
 ) -> DataFrame:
     """(qid, doc_id, phrase_tf, rank) — top-k docs per quoted phrase,
     ranked by occurrence count desc then doc_id asc. ``phrases``:
-    qid → normalized token list."""
+    qid → normalized token list. ``max_gap`` > 0 = proximity mode."""
     outs = []
     for qid, terms in sorted(phrases.items()):
-        occ = phrase_occurrences(pos_index, terms)
+        occ = phrase_occurrences(pos_index, terms, max_gap=max_gap)
         outs.append(
             occ.groupBy("doc_id").agg(F.count("*").alias("phrase_tf"))
             .withColumn("qid", F.lit(qid).cast("long"))

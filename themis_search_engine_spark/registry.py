@@ -610,6 +610,21 @@ QUERIES["phrase_topk"] = q_phrase_topk
 ORACLE_SQL["phrase_topk"] = osql.sql_phrase_topk(10)
 
 
+def q_phrase_near_topk(spark, sf_dir):
+    """Proximity ("near") phrase search: ordered occurrence with at most
+    one intervening token between consecutive terms
+    (queryeng/phrase.py, max_gap=1)."""
+    from .queryeng.phrase import phrase_topk, positional_index
+
+    pos = positional_index(load_documents(spark, sf_dir))
+    phrases = {qid: p.split() for qid, p in osql.PHRASESET.items()}
+    return phrase_topk(pos, phrases, k=10, max_gap=1)
+
+
+QUERIES["phrase_near_topk"] = q_phrase_near_topk
+ORACLE_SQL["phrase_near_topk"] = osql.sql_phrase_near_topk(10, 1)
+
+
 def q_bm25_topk_conjunctive(spark, sf_dir):
     """AND-semantics retrieval: BM25 top-10 over docs containing ALL of
     the query's known terms (queryeng/metadata.conjunctive_scores)."""
