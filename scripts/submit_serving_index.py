@@ -32,8 +32,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# plain `python scripts/submit_serving_index.py` from any cwd: the repo
+# root wins over --py-files only in local dev (spark-submit ships the zip)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _spark():
@@ -79,6 +84,24 @@ def main(argv: list[str] | None = None) -> None:
                    help="semicolon-separated query strings")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--no-stem", action="store_true")
+
+    bp = sub.add_parser("build-partitioned")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--attr", default="lang")
+    bp.add_argument("--no-stem", action="store_true")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--partitions", type=int, default=64)
+
+    qp = sub.add_parser("query-partitioned")
+    qp.add_argument("--index", required=True)
+    qp.add_argument("--queries", required=True,
+                    help="semicolon-separated query strings")
+    qp.add_argument("--values", default="",
+                    help="comma-separated partition values (empty = all)")
+    qp.add_argument("-k", type=int, default=10)
+    qp.add_argument("--no-stem", action="store_true")
 
     args = ap.parse_args(argv)
     spark = _spark()
@@ -138,6 +161,42 @@ def main(argv: list[str] | None = None) -> None:
 
         report = {"cmd": "describe", "index": args.index,
                   **describe_index(spark, args.index)}
+    elif args.cmd == "build-partitioned":
+        from themis_search_engine_spark.indexing.partitioned import (
+            build_partitioned_serving,
+        )
+
+        man = build_partitioned_serving(
+            spark.read.parquet(args.input), args.index, args.attr,
+            text_col=args.text_col, id_col=args.id_col,
+            stem=not args.no_stem, partitions=args.partitions,
+        )
+        report = {
+            "cmd": "build-partitioned", "index": args.index,
+            "attr": args.attr, "values": man["values"],
+            "n_docs": man["n_docs"], "avgdl": man["avgdl"],
+            "parts": {v: p["n_docs"] for v, p in man["parts"].items()},
+        }
+    elif args.cmd == "query-partitioned":
+        from themis_search_engine_spark.indexing.partitioned import (
+            wand_topk_partitioned,
+        )
+        from themis_search_engine_spark.queryeng import qterms_df
+
+        queries = {
+            i: s for i, s in enumerate(args.queries.split(";")) if s.strip()
+        }
+        values = [v for v in args.values.split(",") if v.strip()] or None
+        rows = wand_topk_partitioned(
+            spark, args.index,
+            qterms_df(spark, queries, stem=not args.no_stem),
+            values, k=args.k, prune=False,
+        ).collect()
+        report = {
+            "cmd": "query-partitioned", "index": args.index,
+            "values": values or "all", "n_queries": len(queries),
+            "result_rows": len(rows),
+        }
     else:  # query
         from themis_search_engine_spark.indexing import load_serving_index
         from themis_search_engine_spark.indexing.merge import (

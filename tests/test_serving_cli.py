@@ -51,3 +51,31 @@ def test_cli_lifecycle(spark, cli, capsys, tmp_path):
                            "--queries", "alpha gamma;zzznope", "-k", "3"])
     assert r["n_queries"] == 2 and r["result_rows"] == 3
     assert r["top1"]["0"] is not None and r["top1"]["1"] is None
+
+
+def test_cli_partitioned_lifecycle(spark, cli, capsys, tmp_path):
+    pages = str(tmp_path / "pp.parquet")
+    rows = [
+        (i, f"alpha beta doc{i} gamma", "en" if i % 2 else "de")
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(pages)
+    idx = str(tmp_path / "pidx")
+
+    r = _run(cli, capsys, ["build-partitioned", "--input", pages,
+                           "--index", idx, "--attr", "lang", "--no-stem",
+                           "--partitions", "4"])
+    assert r["cmd"] == "build-partitioned"
+    assert r["values"] == ["de", "en"] and r["n_docs"] == 30
+    assert r["parts"] == {"de": 15, "en": 15}
+
+    r = _run(cli, capsys, ["query-partitioned", "--index", idx,
+                           "--queries", "alpha gamma", "--values", "en",
+                           "--no-stem", "-k", "3"])
+    assert r["result_rows"] == 3 and r["values"] == ["en"]
+
+    r = _run(cli, capsys, ["query-partitioned", "--index", idx,
+                           "--queries", "alpha gamma", "--no-stem", "-k", "3"])
+    assert r["result_rows"] == 3 and r["values"] == "all"
