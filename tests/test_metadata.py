@@ -329,3 +329,11 @@ def test_phrase_proximity_gap_semantics(spark):
     assert got == {(0, 1), (1, 1), (4, 1)}  # distinct STARTS (doc 4 once)
     exact = phrase_occurrences(pos, ["spark", "join"], max_gap=0).collect()
     assert {(r["doc_id"], r["pos"]) for r in exact} == {(1, 1), (4, 1)}
+
+
+def test_phrase_topk_empty_phrases_raises(spark):
+    from themis_search_engine_spark.queryeng.phrase import phrase_topk
+
+    pos = spark.createDataFrame([], "doc_id long, term string, pos long")
+    with pytest.raises(ValueError, match="empty phrases"):
+        phrase_topk(pos, {})

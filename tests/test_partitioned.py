@@ -105,3 +105,28 @@ def test_unsafe_value_raises(spark, pdocs, tmp_path):
             pdocs.withColumn("lang", F.lit("a/b")),
             str(tmp_path) + "/bad", "lang", stem=False,
         )
+
+
+def test_duplicate_values_deduplicated(spark, pidx_path):
+    """['en','en'] must read parts/en once — duplicated paths would score
+    every posting twice."""
+    ps = load_partitioned_serving(spark, pidx_path, ["en", "en"])
+    assert ps.values == ["en"]
+    dd = load_partitioned_serving(spark, pidx_path, ["en"])
+    assert ps.compressed.count() == dd.compressed.count()
+
+
+def test_empty_selection_raises(spark, pidx_path):
+    with pytest.raises(ValueError, match="empty partition selection"):
+        load_partitioned_serving(spark, pidx_path, [])
+
+
+def test_explicit_values_must_cover_corpus(spark, pdocs, tmp_path):
+    """An explicit partition list that misses corpus values must raise —
+    silently dropping docs would corrupt the global stats and break
+    score-identity with the semi-join filtered plan."""
+    with pytest.raises(ValueError, match="not in the explicit partition"):
+        build_partitioned_serving(
+            pdocs, str(tmp_path) + "/partial", "lang",
+            stem=False, values=["en", "de"],  # corpus also has fr
+        )

@@ -476,3 +476,21 @@ def test_sampling_ops_deterministic_and_semantics(spark):
     assert 0 not in kept
     # docs sharing only shorter overlaps (<5-gram) survive
     assert len(kept) >= 150
+
+
+def test_degenerate_sampling_oracles_are_valid_sql():
+    """Single-split hash_split and empty-rates stratified_sample must
+    emit parseable SQL (a CASE with zero WHENs is invalid)."""
+    import duckdb
+
+    from themis_search_engine_spark import oracle_sql_ops as o
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.sql(o.sql_hash_split({"all": 1.0})).fetchall()
+    assert len(rows) == 500 and all(r[1] == "all" for r in rows)
+    rows = con.sql(o.sql_stratified_sample({}, 0.1)).fetchall()
+    assert 20 <= len(rows) <= 90  # ~10% of 500 by hash

@@ -86,13 +86,25 @@ def build_partitioned_serving(
     """
     spark = docs.sparkSession
     cb = DEFAULT_CHUNK_BITS if chunk_bits is None else chunk_bits
+    rows = docs.select(attr_col).distinct().collect()
+    present = sorted(r[attr_col] for r in rows if r[attr_col] is not None)
+    if len(present) != len(rows):
+        raise ValueError(f"NULL {attr_col} values in corpus")
     if values is None:
-        rows = docs.select(attr_col).distinct().collect()
-        vals = sorted(r[attr_col] for r in rows if r[attr_col] is not None)
-        if len(vals) != len(rows):
-            raise ValueError(f"NULL {attr_col} values in corpus")
+        vals = present
     else:
-        vals = sorted(values)
+        # an explicit list must COVER the corpus: silently dropping docs
+        # outside it would corrupt the "global" stats and break the
+        # score-identity contract with the semi-join filtered plan
+        vals = sorted(set(values))
+        extra = [v for v in present if v not in vals]
+        if extra:
+            raise ValueError(
+                f"corpus contains {attr_col} values {extra} not in the "
+                f"explicit partition list {vals}"
+            )
+    if not vals:
+        raise ValueError("empty corpus / no partition values")
 
     parts: dict[str, dict] = {}
     for v in vals:
@@ -185,7 +197,9 @@ def load_partitioned_serving(
     with open(f"{path}/parts.json") as fh:
         manifest = json.load(fh)
     all_vals = manifest["values"]
-    sel = all_vals if values is None else sorted(values)
+    sel = all_vals if values is None else sorted(set(values))
+    if not sel:
+        raise ValueError(f"empty partition selection; have {all_vals}")
     unknown = [v for v in sel if v not in all_vals]
     if unknown:
         raise ValueError(f"unknown partition values {unknown}; have {all_vals}")

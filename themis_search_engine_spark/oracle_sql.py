@@ -376,26 +376,15 @@ PHRASESET: dict[int, str] = {
 }
 
 
-def sql_phrase_topk(k: int = 10) -> str:
-    """Oracle twin of phrase.phrase_topk over PHRASESET: positions over
-    the normalized UNFILTERED token stream; an n-term phrase matches at
-    start positions where each term sits at pos + i."""
-    sets = []
-    for qid, phrase in sorted(PHRASESET.items()):
-        terms = phrase.split()
-        joins = []
-        for i, t in enumerate(terms[1:], start=1):
-            joins.append(
-                f"JOIN tokpos p{i} ON p0.doc_id = p{i}.doc_id "
-                f"AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{terms[i]}'"
-            )
-        joins_sql = "\n  ".join(joins)
-        sets.append(f"""SELECT {qid} AS qid, p0.doc_id, count(*)::BIGINT AS phrase_tf
-FROM tokpos p0
-  {joins_sql}
-WHERE p0.term = '{terms[0]}'
-GROUP BY p0.doc_id""")
-    union = "\nUNION ALL\n".join(sets)
+def _sql_phrase_scaffold(k: int, per_phrase_sql) -> str:
+    """Shared scaffolding for the phrase oracles: normalized UNFILTERED
+    token positions (tokarr/tokpos CTEs), one SELECT per PHRASESET entry
+    (``per_phrase_sql(qid, terms)``), rank + top-k tail. One body, two
+    join predicates — the exact and proximity oracles cannot drift."""
+    union = "\nUNION ALL\n".join(
+        per_phrase_sql(qid, phrase.split())
+        for qid, phrase in sorted(PHRASESET.items())
+    )
     return f"""WITH tokarr AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(
@@ -420,56 +409,49 @@ ranked AS (
 )
 SELECT qid, doc_id, phrase_tf, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_phrase_topk(k: int = 10) -> str:
+    """Oracle twin of phrase.phrase_topk over PHRASESET: positions over
+    the normalized UNFILTERED token stream; an n-term phrase matches at
+    start positions where each term sits at pos + i."""
+
+    def per_phrase(qid, terms):
+        joins = "\n  ".join(
+            f"JOIN tokpos p{i} ON p0.doc_id = p{i}.doc_id "
+            f"AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{terms[i]}'"
+            for i in range(1, len(terms))
+        )
+        return f"""SELECT {qid} AS qid, p0.doc_id, count(*)::BIGINT AS phrase_tf
+FROM tokpos p0
+  {joins}
+WHERE p0.term = '{terms[0]}'
+GROUP BY p0.doc_id"""
+
+    return _sql_phrase_scaffold(k, per_phrase)
 
 
 def sql_phrase_near_topk(k: int = 10, max_gap: int = 1) -> str:
     """Oracle twin of phrase.phrase_topk(max_gap>0): ordered proximity —
     each next term within 1+max_gap tokens after the previous; counts
     are DISTINCT start positions."""
-    sets = []
-    for qid, phrase in sorted(PHRASESET.items()):
-        terms = phrase.split()
-        joins = []
-        for i, t in enumerate(terms[1:], start=1):
-            prev = f"p{i - 1}"
-            joins.append(
-                f"JOIN tokpos p{i} ON p0.doc_id = p{i}.doc_id "
-                f"AND p{i}.term = '{terms[i]}' "
-                f"AND p{i}.pos > {prev}.pos "
-                f"AND p{i}.pos <= {prev}.pos + {1 + max_gap}"
-            )
-        joins_sql = "\n  ".join(joins)
-        sets.append(f"""SELECT {qid} AS qid, p0.doc_id,
+
+    def per_phrase(qid, terms):
+        joins = "\n  ".join(
+            f"JOIN tokpos p{i} ON p0.doc_id = p{i}.doc_id "
+            f"AND p{i}.term = '{terms[i]}' "
+            f"AND p{i}.pos > p{i - 1}.pos "
+            f"AND p{i}.pos <= p{i - 1}.pos + {1 + max_gap}"
+            for i in range(1, len(terms))
+        )
+        return f"""SELECT {qid} AS qid, p0.doc_id,
        count(DISTINCT p0.pos)::BIGINT AS phrase_tf
 FROM tokpos p0
-  {joins_sql}
+  {joins}
 WHERE p0.term = '{terms[0]}'
-GROUP BY p0.doc_id""")
-    union = "\nUNION ALL\n".join(sets)
-    return f"""WITH tokarr AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(
-           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\\s+'),
-           t -> t <> '') AS toks
-  FROM documents
-),
-tokpos AS (
-  SELECT doc_id, u.s.pos AS pos, u.s.term AS term
-  FROM tokarr,
-       unnest([{{'pos': i, 'term': toks[i]}}
-               for i in range(1, len(toks) + 1)]) u(s)
-),
-occ AS (
-{union}
-),
-ranked AS (
-  SELECT qid::BIGINT AS qid, doc_id, phrase_tf,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY phrase_tf DESC, doc_id ASC) AS rank
-  FROM occ
-)
-SELECT qid, doc_id, phrase_tf, rank::BIGINT AS rank
-FROM ranked WHERE rank <= {k}"""
+GROUP BY p0.doc_id"""
+
+    return _sql_phrase_scaffold(k, per_phrase)
 
 
 def sql_bm25_topk_conjunctive(k: int = 10) -> str:

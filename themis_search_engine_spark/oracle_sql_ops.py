@@ -712,9 +712,11 @@ def sql_hash_split(weights: dict[str, float], salt: str = "split") -> str:
     """Oracle twin of sampling.hash_split: identical md5-bucket math and
     identical integer thresholds (same int(acc * 2^32) truncation)."""
     h = _HB.format(salt=salt, key="doc_id")
+    names = list(weights)
+    if len(names) == 1:  # degenerate: CASE with zero WHENs is invalid SQL
+        return f"SELECT doc_id, '{names[0]}' AS split FROM documents"
     acc = 0.0
     cases = []
-    names = list(weights)
     for name in names[:-1]:
         acc += weights[name]
         cases.append(f"WHEN h < {int(acc * (1 << 32))} THEN '{name}'")
@@ -735,15 +737,19 @@ def sql_stratified_sample(
     salt: str = "sample",
 ) -> str:
     h = _HB.format(salt=salt, key="doc_id")
-    cases = " ".join(
-        f"WHEN {stratum_col} = '{v}' THEN {r!r}" for v, r in rates.items()
-    )
+    if rates:
+        cases = " ".join(
+            f"WHEN {stratum_col} = '{v}' THEN {r!r}" for v, r in rates.items()
+        )
+        rate_sql = f"(CASE {cases} ELSE {default_rate!r} END)"
+    else:  # degenerate: CASE with zero WHENs is invalid SQL
+        rate_sql = f"{default_rate!r}"
     return f"""WITH hashed AS (
   SELECT doc_id, {stratum_col}, {h} AS h FROM documents
 )
 SELECT doc_id, {stratum_col}
 FROM hashed
-WHERE h < floor((CASE {cases} ELSE {default_rate!r} END) * 4294967296.0)::BIGINT"""
+WHERE h < floor({rate_sql} * 4294967296.0)::BIGINT"""
 
 
 def sql_decontaminate(

@@ -97,23 +97,14 @@ def stratified_sample(
 
 
 def _shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) — DISTINCT word n-grams of normalized text (the
-    dedup ops' shingle construction, P2 normalization, stopwords kept)."""
-    toks = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", " ")),
-            r"\s+",
-        ),
-        lambda t: t != "",
+    """(_id, shingle) — the dedup ops' shingle construction (P2
+    normalization, stopwords kept, distinct n-grams), reused from
+    dedup.shingles so the two can never drift."""
+    from .dedup import shingles
+
+    return shingles(docs, n, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").alias("_id"), "shingle"
     )
-    d = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).where(
-        F.size("_toks") >= n
-    )
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - n),
-        lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
-    )
-    return d.select("_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def decontaminate(

@@ -116,6 +116,8 @@ def phrase_topk(
     """(qid, doc_id, phrase_tf, rank) — top-k docs per quoted phrase,
     ranked by occurrence count desc then doc_id asc. ``phrases``:
     qid → normalized token list. ``max_gap`` > 0 = proximity mode."""
+    if not phrases:
+        raise ValueError("empty phrases")
     outs = []
     for qid, terms in sorted(phrases.items()):
         occ = phrase_occurrences(pos_index, terms, max_gap=max_gap)

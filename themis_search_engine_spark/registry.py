@@ -3,7 +3,7 @@
 Consumed by ``__spark_entry__.py`` (the driver contract). Every SQL-oracled
 callable here runs the engine's own operators over the driver's
 ``documents.parquet`` and must value-match its DuckDB twin at sf=0.01.
-Index bundles are memoized per (sf_dir, stem, path) so the 71 registered
+Index bundles are memoized per (sf_dir, stem, path) so the 72 registered
 queries don't rebuild the index each.
 """
 

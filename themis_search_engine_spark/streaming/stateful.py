@@ -138,6 +138,24 @@ def streaming_sessionize(
     like the batch op, so the gap comparison is identical.
     """
     gap_s = gap_minutes * 60
+    # applyInPandasWithState delivers tz-NAIVE datetimes localized to the
+    # session timezone; astype('int64') on those is wall-clock seconds.
+    # The batch op uses unix_timestamp (true epoch), so a non-UTC session
+    # would silently diverge across DST — convert via the session tz,
+    # failing LOUD on ambiguous/nonexistent local times.
+    sess_tz = events_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
+
+    def _to_epoch_s(ts: pd.Series) -> pd.Series:
+        if sess_tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            return ts.astype("int64") // 1_000_000_000
+        return (
+            ts.dt.tz_localize(sess_tz, ambiguous="raise", nonexistent="raise")
+            .dt.tz_convert("UTC")
+            .astype("int64")
+            // 1_000_000_000
+        )
 
     def _session_group(
         key: tuple[Any, ...],
@@ -150,7 +168,7 @@ def streaming_sessionize(
             state.update((last_ts, idx))
             return
         pdf = pd.concat(frames, ignore_index=True)
-        pdf["_ts_s"] = pdf["ts"].astype("int64") // 1_000_000_000
+        pdf["_ts_s"] = _to_epoch_s(pdf["ts"])
         pdf = pdf.sort_values(["_ts_s", "event_id"])
         out_idx = []
         for ts_s in pdf["_ts_s"].tolist():
