@@ -337,3 +337,26 @@ def test_phrase_topk_empty_phrases_raises(spark):
     pos = spark.createDataFrame([], "doc_id long, term string, pos long")
     with pytest.raises(ValueError, match="empty phrases"):
         phrase_topk(pos, {})
+
+
+def test_autocomplete_range_form_equals_join_form(spark, tmp_path):
+    """autocomplete_terms (range predicates, pushable) returns exactly
+    the join form's rows, and the range bounds reach the parquet scan."""
+    from themis_search_engine_spark.queryeng.spell import (
+        autocomplete,
+        autocomplete_terms,
+    )
+
+    rows = [("spark", 100), ("spars", 40), ("spa", 70), ("sharp", 30),
+            ("window", 80), ("join", 90), ("sp", 5)]
+    d = spark.createDataFrame(rows, "term string, df long")
+    path = str(tmp_path / "dict")
+    d.write.parquet(path)
+    stored = spark.read.parquet(path)
+    prefixes = ["sp", "wi", "zz"]
+    a = sorted(map(tuple, autocomplete_terms(stored, prefixes, 3).collect()))
+    pdf = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    b = sorted(map(tuple, autocomplete(pdf, stored, 3).collect()))
+    assert a == b and a
+    plan = autocomplete_terms(stored, ["sp"], 3)._jdf.queryExecution().toString()
+    assert "GreaterThanOrEqual(term,sp)" in plan and "LessThan(term,sq)" in plan

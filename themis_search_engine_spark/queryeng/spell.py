@@ -107,3 +107,46 @@ def autocomplete(
         .where(F.col("rank") <= top_n)
         .select("prefix", "suggestion", "df", "rank")
     )
+
+
+def _prefix_upper_bound(prefix: str) -> str:
+    """Smallest string greater than every string with this prefix:
+    increment the last character (prefixes here are normalized ASCII
+    alnum, so +1 stays in range)."""
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def autocomplete_terms(
+    dictionary: DataFrame,
+    prefixes: list[str],
+    top_n: int = 5,
+) -> DataFrame:
+    """(prefix, suggestion, df, rank) — like :func:`autocomplete`, but
+    with a driver-known prefix list so each prefix becomes a RANGE
+    predicate on the term column: ``term >= p AND term < p⁺`` pushes
+    into the parquet scan (row-group min/max pruning on the sorted term
+    domain), where the join form's ``startswith`` can only filter after
+    a full dictionary read. One pruned scan per prefix, unioned — the
+    right plan when the dictionary is stored sorted/bucketed by term.
+    """
+    if not prefixes:
+        raise ValueError("empty prefixes")
+    legs = []
+    for p in sorted(set(prefixes)):
+        hi = _prefix_upper_bound(p)
+        legs.append(
+            dictionary.select(
+                F.col("term").alias("suggestion"), "df"
+            )
+            .where((F.col("suggestion") >= p) & (F.col("suggestion") < hi))
+            .withColumn("prefix", F.lit(p))
+        )
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.unionByName(leg)
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("suggestion"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("prefix", "suggestion", "df", "rank")
+    )

@@ -662,15 +662,15 @@ ORACLE_SQL["spell_suggest"] = osql.sql_spell_suggest(SPELL_TERMS, 3)
 
 
 def q_autocomplete(spark, sf_dir):
-    """Prefix autocomplete: most frequent dictionary completions
-    (queryeng/spell.py)."""
-    from .queryeng.spell import autocomplete
+    """Prefix autocomplete: most frequent dictionary completions — the
+    range-scan form (term >= p AND term < p⁺ pushes into the dictionary
+    scan; queryeng/spell.autocomplete_terms)."""
+    from .queryeng.spell import autocomplete_terms
 
     idx = get_index(spark, sf_dir)
-    prefixes = spark.createDataFrame(
-        [(p,) for p in AUTOCOMPLETE_PREFIXES], "prefix string"
+    return autocomplete_terms(
+        idx.dictionary, list(AUTOCOMPLETE_PREFIXES), top_n=5
     )
-    return autocomplete(prefixes, idx.dictionary, top_n=5)
 
 
 QUERIES["autocomplete"] = q_autocomplete
