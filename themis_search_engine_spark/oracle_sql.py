@@ -376,6 +376,52 @@ PHRASESET: dict[int, str] = {
 }
 
 
+MLT_DOC_IDS = (0, 7, 42)
+
+
+def sql_more_like_this(k: int = 10, top_terms: int = 5) -> str:
+    """Oracle twin of mlt.more_like_this + rounded-rank top-k over
+    MLT_DOC_IDS: per-source-doc top terms by cnt·idf, standard BM25,
+    source doc excluded."""
+    ids = ", ".join(str(i) for i in MLT_DOC_IDS)
+    return f"""WITH {TOK_CTE},
+mlt AS (
+  SELECT doc_id AS qid, term FROM (
+    SELECT c.doc_id, c.term,
+           row_number() OVER (
+             PARTITION BY c.doc_id
+             ORDER BY round(c.cnt * log2((g.n_docs - d.df + 0.5)
+                                         / (d.df + 0.5)), 6)
+                      DESC, c.term ASC) AS r
+    FROM counts c
+    JOIN dict d ON c.term = d.term
+    CROSS JOIN gstats g
+    WHERE c.doc_id IN ({ids})
+  ) WHERE r <= {top_terms}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN mlt q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  WHERE t.doc_id <> q.qid
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def _sql_phrase_scaffold(k: int, per_phrase_sql) -> str:
     """Shared scaffolding for the phrase oracles: normalized UNFILTERED
     token positions (tokarr/tokpos CTEs), one SELECT per PHRASESET entry

@@ -1,0 +1,79 @@
+"""More-like-this: retrieve documents similar to a given document.
+
+The classic related-documents surface (Lucene's MoreLikeThis): the
+source doc's most characteristic terms become a query, scored with the
+standard BM25 scorer, source doc excluded. The reference has no
+document-to-document retrieval at all (Search.java takes text queries
+only); this composes it from existing index tables.
+
+Term selection: top ``top_terms`` per source doc by cnt·idf (descending,
+term asc tiebreak) — the tf-idf salience rule, computed from the counts
+and dictionary tables (no corpus re-scan). Terms with negative
+contribution still rank (idf can be negative for very common terms);
+the top of the ordering is the characteristic vocabulary either way.
+
+Scale: term selection is a per-source-doc window over that doc's own
+terms (source docs are a point lookup: doc_id IN-list pushed into the
+counts scan); retrieval is the standard candidate-bounded BM25 plan.
+Everything downstream of the tiny (qid=doc, term) frame is identical to
+text-query retrieval, so all its scale properties carry over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .bm25 import bm25_score_all
+
+
+def mlt_query_terms(
+    doc_ids: list[int],
+    counts: DataFrame,
+    dictionary: DataFrame,
+    top_terms: int = 5,
+) -> DataFrame:
+    """(qid, term, qtf, qweight) — each source doc's top terms by
+    cnt·idf, shaped like qterms_df output so every retrieval plan
+    accepts it. qid = the source doc_id."""
+    src = counts.where(F.col("doc_id").isin(list(doc_ids))).join(
+        dictionary.select("term", "idf"), "term"
+    )
+    # rank on the ROUNDED salience (like every cross-engine ordering in
+    # this repo): float-product dust must not flip near-ties between
+    # engines; term asc breaks exact ties deterministically
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("cnt") * F.col("idf"), 6)), F.asc("term")
+    )
+    return (
+        src.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_terms)
+        .select(
+            F.col("doc_id").cast("long").alias("qid"),
+            "term",
+            F.lit(1).alias("qtf"),
+            F.lit(1.0).alias("qweight"),
+        )
+    )
+
+
+def more_like_this(
+    doc_ids: list[int],
+    counts: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    *,
+    top_terms: int = 5,
+) -> DataFrame:
+    """(qid=source doc_id, doc_id, score) — BM25 scores of all candidate
+    docs for each source doc's characteristic-term query, the source
+    itself excluded. Rank with the caller's top-k of choice."""
+    qt = mlt_query_terms(doc_ids, counts, dictionary, top_terms)
+    scored = bm25_score_all(
+        qt, postings_flat, dictionary, doc_stats, avgdl,
+        term_list=[r["term"] for r in qt.select("term").distinct().collect()],
+    )
+    return scored.where(F.col("qid") != F.col("doc_id"))

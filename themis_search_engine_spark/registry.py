@@ -595,6 +595,24 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_more_like_this(spark, sf_dir):
+    """Related-documents retrieval: each source doc's top cnt·idf terms
+    queried through the standard BM25 plan, source excluded
+    (queryeng/mlt.py)."""
+    from .queryeng.mlt import more_like_this
+
+    idx = get_index(spark, sf_dir)
+    scored = more_like_this(
+        list(osql.MLT_DOC_IDS), idx.counts, idx.postings_flat,
+        idx.dictionary, idx.doc_stats, idx.avgdl, top_terms=5,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["more_like_this"] = q_more_like_this
+ORACLE_SQL["more_like_this"] = osql.sql_more_like_this(10, 5)
+
+
 def q_phrase_topk(spark, sf_dir):
     """Quoted-phrase search over the positional index — exact adjacency
     on the unfiltered normalized token stream, ranked by phrase
