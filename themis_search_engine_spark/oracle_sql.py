@@ -262,6 +262,73 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_bm25f_topk(
+    k: int = 10,
+    title_tokens: int = 8,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """Oracle twin of queryeng.bm25f: positional field tag (1-based pos
+    over the normalized nonempty token stream, pre-stopword) → weighted
+    tf / weighted length → BM25F score, rounded-rank top-k. Field
+    weights, boundary, and the every-doc-counts avgwdl rule mirror the
+    Spark plan exactly."""
+    return f"""WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+),
+ftok AS (
+  SELECT doc_id,
+         CASE WHEN u.s.pos <= {title_tokens} THEN {w_title!r}
+              ELSE {w_body!r} END AS w,
+         u.s.term AS term
+  FROM tokarr,
+       unnest([{{'pos': i, 'term': toks[i]}}
+               for i in range(1, len(toks) + 1)]) u(s)
+  WHERE u.s.term NOT IN ({_STOP_LIST_SQL})
+),
+wtf AS (
+  SELECT doc_id, term, sum(w)::DOUBLE AS wtf FROM ftok GROUP BY doc_id, term
+),
+wdl AS (
+  SELECT d.doc_id, coalesce(x.wdl, 0.0)::DOUBLE AS wdl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(w) AS wdl FROM ftok GROUP BY doc_id) x
+  USING (doc_id)
+),
+gstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(wdl)::DOUBLE AS avgwdl FROM wdl
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftok GROUP BY term
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.wtf * ({k1} + 1.0)
+              / (t.wtf + {k1} * (1.0 - {b} + {b} * l.wdl / g.avgwdl)) ) AS score
+  FROM (SELECT DISTINCT qid, term FROM {_qterms_values(stem=False)}) q
+  JOIN wtf t ON q.term = t.term
+  JOIN dict d ON t.term = d.term
+  JOIN wdl l ON t.doc_id = l.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_bm25_topk_filtered(k: int = 10, doc_filter: str = "dd.lang = 'en'") -> str:
     """Oracle twin of metadata.bm25_topk_filtered: the restriction is
     applied inside the scored CTE (pre-aggregation), so filtered queries

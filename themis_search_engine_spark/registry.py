@@ -613,6 +613,23 @@ QUERIES["more_like_this"] = q_more_like_this
 ORACLE_SQL["more_like_this"] = osql.sql_more_like_this(10, 5)
 
 
+def q_bm25f_topk(spark, sf_dir):
+    """Field-weighted BM25F retrieval: title tokens (positional field
+    view of the flat documents table) weighted 2×, body 1×
+    (queryeng/bm25f.py)."""
+    from .corpus import load_documents
+    from .queryeng.bm25f import bm25f_score_all, fielded_counts
+
+    docs = load_documents(spark, sf_dir)
+    fc = fielded_counts(docs, title_tokens=8)
+    scored = bm25f_score_all(_qt(spark, stem=False), fc, docs)
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25f_topk"] = q_bm25f_topk
+ORACLE_SQL["bm25f_topk"] = osql.sql_bm25f_topk(10, 8, 2.0, 1.0)
+
+
 def q_phrase_topk(spark, sf_dir):
     """Quoted-phrase search over the positional index — exact adjacency
     on the unfiltered normalized token stream, ranked by phrase
