@@ -767,3 +767,42 @@ contaminated AS (
 )
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
+def sql_pack_sequences(budget: int = 2048) -> str:
+    """Oracle twin of packing.pack_sequences: raw (unfiltered) token
+    counts, exclusive prefix sum in doc_id order, floor-division sequence
+    assignment. The window here is the small-scale semantic spec; the
+    Spark plan computes the identical prefix sum bucket-parallel."""
+    return f"""WITH tok AS (
+  SELECT doc_id, len({TOKS})::BIGINT AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS start_pos
+  FROM tok
+)
+SELECT doc_id, n_tokens, start_pos,
+       (start_pos // {budget})::BIGINT AS seq_id,
+       ((start_pos + greatest(n_tokens, 1) - 1) // {budget})::BIGINT AS end_seq
+FROM cum"""
+
+
+def sql_packed_stats(budget: int = 2048) -> str:
+    """Per-sequence rollup of the packing layout (docs starting per seq)."""
+    return f"""WITH tok AS (
+  SELECT doc_id, len({TOKS})::BIGINT AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS start_pos
+  FROM tok
+)
+SELECT (start_pos // {budget})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs_starting,
+       sum(n_tokens)::BIGINT AS tokens_starting
+FROM cum GROUP BY 1"""

@@ -341,6 +341,29 @@ def q_web_domain_stats(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing: each doc's global token
+    offset and sequence assignment, bucket-parallel prefix sum
+    (pipeline_ops/packing.py)."""
+    from .pipeline_ops.packing import pack_sequences, token_counts_raw
+
+    tc = token_counts_raw(load_documents(spark, sf_dir))
+    return pack_sequences(tc, budget=2048, bucket_size=4096)
+
+
+def q_packed_stats(spark, sf_dir):
+    """Per-sequence packing rollup: docs starting / tokens starting per
+    fixed-budget pretraining sequence (pipeline_ops/packing.py)."""
+    from .pipeline_ops.packing import (
+        pack_sequences,
+        packed_stats,
+        token_counts_raw,
+    )
+
+    tc = token_counts_raw(load_documents(spark, sf_dir))
+    return packed_stats(pack_sequences(tc, budget=2048, bucket_size=4096))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -401,6 +424,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_ann_topk": q_media_ann_topk,
     "web_latest_snapshot": q_web_latest_snapshot,
     "web_domain_stats": q_web_domain_stats,
+    "pack_sequences": q_pack_sequences,
+    "packed_stats": q_packed_stats,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -435,4 +460,6 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "media_ann_topk": osqlo.sql_media_ann_topk(3, 50, 8),
     "web_latest_snapshot": osqlo.sql_web_latest_snapshot(),
     "web_domain_stats": osqlo.sql_web_domain_stats(),
+    "pack_sequences": osqlo.sql_pack_sequences(2048),
+    "packed_stats": osqlo.sql_packed_stats(2048),
 }
