@@ -494,3 +494,25 @@ def test_degenerate_sampling_oracles_are_valid_sql():
     assert len(rows) == 500 and all(r[1] == "all" for r in rows)
     rows = con.sql(o.sql_stratified_sample({}, 0.1)).fetchall()
     assert 20 <= len(rows) <= 90  # ~10% of 500 by hash
+
+
+def test_domain_mix_caps_and_rates(spark):
+    """domain_mix: a source whose target share exceeds its size is kept
+    WHOLE (rate capped at 1); zero-weight sources vanish; the sample is
+    deterministic across invocations."""
+    from themis_search_engine_spark.pipeline_ops.sampling import domain_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]  # 50 docs per source
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    target = {"s0": 0.9, "s1": 0.1}  # s2/s3 default to weight 0
+    out = domain_mix(docs, target, n_target=100)
+    got = {(r.doc_id, r.source) for r in out.select("doc_id", "source").collect()}
+    srcs = {}
+    for _d, s in got:
+        srcs[s] = srcs.get(s, 0) + 1
+    # s0: rate min(1, 90/50) = 1 → all 50 kept; s1: rate 10/50 = 0.2
+    assert srcs.get("s0") == 50
+    assert 0 < srcs.get("s1", 0) < 25
+    assert "s2" not in srcs and "s3" not in srcs
+    again = {(r.doc_id, r.source) for r in out.collect()}
+    assert got == again

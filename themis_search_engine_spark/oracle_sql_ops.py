@@ -806,3 +806,32 @@ SELECT (start_pos // {budget})::BIGINT AS seq_id,
        count(*)::BIGINT AS n_docs_starting,
        sum(n_tokens)::BIGINT AS tokens_starting
 FROM cum GROUP BY 1"""
+
+
+def sql_domain_mix(
+    target: dict[str, float],
+    n_target: int,
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> str:
+    """Oracle twin of sampling.domain_mix: identical data-derived rates
+    (min(1, w·n/cnt), same double arithmetic order), identical md5
+    threshold with floor()."""
+    h = _HB.format(salt=salt, key="doc_id")
+    if target:
+        cases = " ".join(
+            f"WHEN source = '{v}' THEN {w!r}" for v, w in target.items()
+        )
+        w_sql = f"(CASE {cases} ELSE {default_weight!r} END)"
+    else:
+        w_sql = f"{default_weight!r}"
+    return f"""WITH cnt AS (
+  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source
+),
+hashed AS (
+  SELECT d.doc_id, d.source, {h} AS h,
+         least(1.0, {w_sql} * {float(n_target)!r} / c.c) AS rate
+  FROM documents d JOIN cnt c USING (source)
+)
+SELECT doc_id, source FROM hashed
+WHERE h < floor(rate * 4294967296.0)::BIGINT"""

@@ -96,6 +96,54 @@ def stratified_sample(
     return docs.where(h < F.floor(rate * F.lit(_HSPACE)))
 
 
+def domain_mix(
+    docs: DataFrame,
+    target: dict[str, float],
+    n_target: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain reweighting: sample each source toward a
+    target mixture (the pretraining-mix op — Pile/DoReMi-style weights).
+
+    ``target``: source → desired share of the ``n_target``-doc output.
+    Per-source keep rates are DERIVED FROM THE DATA inside the plan —
+    rate_s = min(1, w_s·n_target / cnt_s) — via one tiny per-source
+    count aggregate broadcast back onto the corpus; no collect, no RNG
+    (same md5-threshold keep rule as :func:`stratified_sample`, so the
+    sample is stable across runs and engines). Sources absent from
+    ``target`` get ``default_weight``.
+
+    Downsampling only: a source too small for its target share is kept
+    whole (rate capped at 1) rather than upsampled — epoch repetition is
+    a training-loader concern, not a corpus op. Expected output size is
+    Σ min(w_s·n_target, cnt_s)."""
+    w = None
+    for v, tw in target.items():
+        cond = F.col(source_col) == v
+        w = F.when(cond, float(tw)) if w is None else w.when(cond, float(tw))
+    w = (
+        F.lit(float(default_weight))
+        if w is None
+        else w.otherwise(float(default_weight))
+    )
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    rate = F.least(
+        F.lit(1.0), w * F.lit(float(n_target)) / F.col("_cnt")
+    )
+    h = _hash_bucket(F.col(id_col), salt)
+    return (
+        docs.join(F.broadcast(counts), source_col)
+        # floor, not cast: DuckDB's double→BIGINT cast rounds, Spark's
+        # truncates — floor() agrees bit-for-bit (see stratified_sample)
+        .where(h < F.floor(rate * F.lit(_HSPACE)))
+        .drop("_cnt")
+    )
+
+
 def _shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(_id, shingle) — the dedup ops' shingle construction (P2
     normalization, stopwords kept, distinct n-grams), reused from

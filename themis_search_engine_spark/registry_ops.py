@@ -341,6 +341,21 @@ def q_web_domain_stats(spark, sf_dir):
     )
 
 
+MIX_TARGET = {"src0": 0.4, "src1": 0.2, "src2": 0.2, "src3": 0.2}
+
+
+def q_domain_mix(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-source keep rates
+    derived in-plan from target shares and observed counts
+    (pipeline_ops/sampling.py)."""
+    from .pipeline_ops.sampling import domain_mix
+
+    docs = load_documents(spark, sf_dir)
+    return domain_mix(docs, MIX_TARGET, n_target=100).select(
+        "doc_id", "source"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing: each doc's global token
     offset and sequence assignment, bucket-parallel prefix sum
@@ -424,6 +439,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_ann_topk": q_media_ann_topk,
     "web_latest_snapshot": q_web_latest_snapshot,
     "web_domain_stats": q_web_domain_stats,
+    "domain_mix": q_domain_mix,
     "pack_sequences": q_pack_sequences,
     "packed_stats": q_packed_stats,
 }
@@ -460,6 +476,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "media_ann_topk": osqlo.sql_media_ann_topk(3, 50, 8),
     "web_latest_snapshot": osqlo.sql_web_latest_snapshot(),
     "web_domain_stats": osqlo.sql_web_domain_stats(),
+    "domain_mix": osqlo.sql_domain_mix(MIX_TARGET, 100),
     "pack_sequences": osqlo.sql_pack_sequences(2048),
     "packed_stats": osqlo.sql_packed_stats(2048),
 }
