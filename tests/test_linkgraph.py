@@ -69,3 +69,25 @@ def test_pagerank_deep_iterations_bounded_lineage(spark):
     want = pagerank_py(edges, list(range(20)), 0.85, 20)
     for v in pr:
         assert pr[v] == pytest.approx(want[v], rel=1e-12)
+
+
+def test_cocitation_and_bib_coupling(spark):
+    """Hand graph: docs 1 and 2 are both cited by 10 and 11 (co-citation
+    strength 2); docs 10 and 11 share references 1 and 2 (coupling 2);
+    weaker pairs fall below min_strength."""
+    from themis_search_engine_spark.linkgraph import bib_coupling, cocitation
+
+    edges = spark.createDataFrame(
+        [
+            (10, 1, 1), (10, 2, 1), (10, 3, 1),
+            (11, 1, 1), (11, 2, 1),
+            (12, 3, 1),
+        ],
+        "src long, dst long, weight long",
+    )
+    co = {(r.doc_a, r.doc_b): r.strength
+          for r in cocitation(edges, min_strength=2).collect()}
+    assert co == {(1, 2): 2}
+    bc = {(r.doc_a, r.doc_b): r.strength
+          for r in bib_coupling(edges, min_strength=2).collect()}
+    assert bc == {(10, 11): 2}

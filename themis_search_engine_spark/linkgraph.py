@@ -135,3 +135,37 @@ def pagerank_py(
             inflow[d] += ranks[s] * (w / outw[s])
         ranks = {v: base + damping * inflow[v] for v in nodes}
     return ranks
+
+
+def _shared_neighbor_pairs(
+    edges: DataFrame, key: str, val: str, min_strength: int
+) -> DataFrame:
+    """(doc_a, doc_b, strength) — unordered pairs of ``val``-side nodes
+    sharing >= min_strength common ``key``-side neighbors. The self-join
+    is keyed on ``key``, so the blow-up is bounded by per-key degree²
+    (citation out-degrees are small constants), and the strength rollup
+    is one map-side-combinable groupBy."""
+    a = edges.select(F.col(key).alias("_k"), F.col(val).alias("doc_a"))
+    b = edges.select(F.col(key).alias("_k"), F.col(val).alias("doc_b"))
+    return (
+        a.join(b, "_k")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("strength"))
+        .where(F.col("strength") >= min_strength)
+    )
+
+
+def cocitation(edges: DataFrame, *, min_strength: int = 2) -> DataFrame:
+    """(doc_a, doc_b, strength) — co-citation similarity (Small 1973):
+    docs cited TOGETHER by >= min_strength common citing docs. The
+    related-paper signal the reference's citation graph (Graph.java)
+    declares but never consumes."""
+    return _shared_neighbor_pairs(edges, "src", "dst", min_strength)
+
+
+def bib_coupling(edges: DataFrame, *, min_strength: int = 2) -> DataFrame:
+    """(doc_a, doc_b, strength) — bibliographic coupling (Kessler 1963):
+    citing docs sharing >= min_strength common references — the transpose
+    of co-citation."""
+    return _shared_neighbor_pairs(edges, "dst", "src", min_strength)

@@ -835,3 +835,21 @@ hashed AS (
 )
 SELECT doc_id, source FROM hashed
 WHERE h < floor(rate * 4294967296.0)::BIGINT"""
+
+
+def _sql_shared_neighbors(key: str, val: str, min_strength: int) -> str:
+    return f"""WITH {_EDGES_CTE}
+SELECT a.{val} AS doc_a, b.{val} AS doc_b, count(*)::BIGINT AS strength
+FROM edges a JOIN edges b ON a.{key} = b.{key} AND a.{val} < b.{val}
+GROUP BY 1, 2
+HAVING count(*) >= {min_strength}"""
+
+
+def sql_cocitation(min_strength: int = 2) -> str:
+    """Oracle twin of linkgraph.cocitation over the synthetic citations."""
+    return _sql_shared_neighbors("src", "dst", min_strength)
+
+
+def sql_bib_coupling(min_strength: int = 2) -> str:
+    """Oracle twin of linkgraph.bib_coupling."""
+    return _sql_shared_neighbors("dst", "src", min_strength)

@@ -278,6 +278,24 @@ def q_citation_edges(spark, sf_dir):
     return citation_edges(synthetic_citations(docs))
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation similarity pairs over the citation graph
+    (linkgraph.cocitation)."""
+    from .linkgraph import citation_edges, cocitation, synthetic_citations
+
+    edges = citation_edges(synthetic_citations(_docs(spark, sf_dir)))
+    return cocitation(edges, min_strength=2)
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic-coupling pairs (shared references) over the citation
+    graph (linkgraph.bib_coupling)."""
+    from .linkgraph import bib_coupling, citation_edges, synthetic_citations
+
+    edges = citation_edges(synthetic_citations(_docs(spark, sf_dir)))
+    return bib_coupling(edges, min_strength=2)
+
+
 def q_pagerank(spark, sf_dir):
     from .linkgraph import citation_edges, pagerank, synthetic_citations
 
@@ -435,6 +453,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
+    "cocitation": q_cocitation,
+    "bib_coupling": q_bib_coupling,
     "frame_sample": q_frame_sample,
     "media_ann_topk": q_media_ann_topk,
     "web_latest_snapshot": q_web_latest_snapshot,
@@ -472,6 +492,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
+    "cocitation": osqlo.sql_cocitation(2),
+    "bib_coupling": osqlo.sql_bib_coupling(2),
     "frame_sample": osqlo.sql_frame_sample(3),
     "media_ann_topk": osqlo.sql_media_ann_topk(3, 50, 8),
     "web_latest_snapshot": osqlo.sql_web_latest_snapshot(),
