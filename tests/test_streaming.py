@@ -262,3 +262,67 @@ def test_windowed_ingest_rate(spark, tmp_path):
     # synth warc_ts = epoch + i seconds → 300 docs span 5 one-minute windows
     assert got.count() == 5
     assert got.agg({"n_docs": "sum"}).collect()[0][0] == 300
+
+
+def test_streaming_event_window_counts_equals_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg: the stream (drained with late
+    events arriving in a later file) must produce the batch twin's exact
+    final state."""
+    import datetime as dt
+
+    from themis_search_engine_spark.pipeline_ops.sessions import (
+        windowed_event_counts,
+    )
+    from themis_search_engine_spark.streaming.windows import (
+        streaming_event_window_counts,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 3, f"t{i % 2}", 1.5 * i)
+        for i in range(40)
+    ]
+    # late stragglers for the FIRST hour arriving in the second file
+    rows2 = [
+        (100 + i, base + dt.timedelta(minutes=5 * i), 9, "t0", 2.0)
+        for i in range(6)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    in_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_event_window_counts(
+        stream, window_minutes=60, watermark_minutes=600
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = windowed_event_counts(
+        spark.read.parquet(in_dir), window_minutes=60
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 4

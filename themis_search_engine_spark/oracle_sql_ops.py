@@ -853,3 +853,18 @@ def sql_cocitation(min_strength: int = 2) -> str:
 def sql_bib_coupling(min_strength: int = 2) -> str:
     """Oracle twin of linkgraph.bib_coupling."""
     return _sql_shared_neighbors("dst", "src", min_strength)
+
+
+def sql_windowed_event_counts(window_minutes: int = 360) -> str:
+    """Oracle twin of sessions.windowed_event_counts: Spark's tumbling
+    window() is epoch-aligned, so window_start = floor-division of whole
+    epoch seconds (both engines floor to seconds first — see
+    sql_sessionize on the truncation convention)."""
+    w = window_minutes * 60
+    # parenthesize the integer division explicitly: DuckDB parses
+    # `x // {w} * {w}` surprisingly (NOT as (x // w) * w)
+    return f"""SELECT ((floor(epoch(ts))::BIGINT // {w}) * {w})::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2"""

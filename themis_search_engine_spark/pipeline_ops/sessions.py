@@ -84,3 +84,37 @@ def session_stats(
             F.round(F.sum(value_col), 6).alias("total_value"),
         )
     )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_minutes: int = 60,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(window_start, event_type, n_events, total_value) — tumbling
+    event-time windows (epoch-aligned, ``window_start`` in whole epoch
+    seconds so the grain is engine-independent).
+
+    The batch twin of :func:`streaming.windows.streaming_event_window_
+    counts` — identical aggregation expression, so stream≡batch is
+    pinned by construction plus the test. One map-side-combinable
+    groupBy; at 100 TB the (window, type) key space is tiny relative to
+    input, so partial aggregation collapses almost everything before the
+    shuffle."""
+    w = F.window(F.col(ts_col), f"{window_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -374,6 +374,16 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_event_window_counts(spark, sf_dir):
+    """Tumbling event-time window rollup over the events table (6 h
+    windows — pipeline_ops/sessions.py; streaming twin in
+    streaming/windows.py, stream≡batch pinned in tests)."""
+    from .pipeline_ops.sessions import windowed_event_counts
+
+    out = windowed_event_counts(_events(spark, sf_dir), window_minutes=360)
+    return out.withColumn("total_value", F.round("total_value", 6))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concatenate-and-chunk sequence packing: each doc's global token
     offset and sequence assignment, bucket-parallel prefix sum
@@ -460,6 +470,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_latest_snapshot": q_web_latest_snapshot,
     "web_domain_stats": q_web_domain_stats,
     "domain_mix": q_domain_mix,
+    "event_window_counts": q_event_window_counts,
     "pack_sequences": q_pack_sequences,
     "packed_stats": q_packed_stats,
 }
@@ -499,6 +510,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "web_latest_snapshot": osqlo.sql_web_latest_snapshot(),
     "web_domain_stats": osqlo.sql_web_domain_stats(),
     "domain_mix": osqlo.sql_domain_mix(MIX_TARGET, 100),
+    "event_window_counts": osqlo.sql_windowed_event_counts(360),
     "pack_sequences": osqlo.sql_pack_sequences(2048),
     "packed_stats": osqlo.sql_packed_stats(2048),
 }
