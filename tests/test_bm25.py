@@ -105,3 +105,30 @@ def test_bm25_rank_identical_testdata(spark):
         assert [d for d, _ in have] == [d for d, _ in want], (qid, q)
         for (d1, s1), (d2, s2) in zip(have, want):
             assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_doc_keywords_salience_rule(spark):
+    """doc_keywords: rank by cnt·idf desc (6-dp rounded), term-asc ties,
+    capped per doc."""
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.queryeng.mlt import doc_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare rare common"),
+            (1, "common zebra"),
+            (2, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, stem=False, use_arrow=False)
+    got = {
+        (r.doc_id, r.rank): r.term
+        for r in doc_keywords(idx.counts, idx.dictionary, top_terms=2).collect()
+    }
+    # doc 0: 'rare' cnt=2, df=1 → top; 'common' df=3 (negative idf) below
+    assert got[(0, 1)] == "rare" and got[(0, 2)] == "common"
+    # doc 1: 'zebra' (df=1) beats 'common' (df=3)
+    assert got[(1, 1)] == "zebra"
+    # every doc capped at 2
+    assert max(rank for _d, rank in got) <= 2

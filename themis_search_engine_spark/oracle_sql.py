@@ -1052,3 +1052,24 @@ SELECT p.qid,
        round(p.rel_ret * 1.0 / rq.r, 6) AS recall_at_k,
        round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr
 FROM perq p JOIN rq ON p.qid = rq.qid"""
+
+
+def sql_doc_keywords(top_terms: int = 3) -> str:
+    """Oracle twin of mlt.doc_keywords: corpus-wide top cnt·idf terms per
+    doc, BM25-idf salience, rounded-salience rank with term-asc ties."""
+    return f"""WITH {TOK_CTE},
+ranked AS (
+  SELECT c.doc_id, c.term,
+         round(c.cnt * log2((g.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+           AS salience,
+         row_number() OVER (
+           PARTITION BY c.doc_id
+           ORDER BY round(c.cnt * log2((g.n_docs - d.df + 0.5)
+                                       / (d.df + 0.5)), 6) DESC,
+                    c.term ASC) AS rank
+  FROM counts c
+  JOIN dict d ON c.term = d.term
+  CROSS JOIN gstats g
+)
+SELECT doc_id, term, salience, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {top_terms}"""

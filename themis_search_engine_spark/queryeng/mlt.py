@@ -77,3 +77,33 @@ def more_like_this(
         term_list=[r["term"] for r in qt.select("term").distinct().collect()],
     )
     return scored.where(F.col("qid") != F.col("doc_id"))
+
+
+def doc_keywords(
+    counts: DataFrame,
+    dictionary: DataFrame,
+    *,
+    top_terms: int = 3,
+) -> DataFrame:
+    """(doc_id, term, salience, rank) — every document's most
+    characteristic terms by cnt·idf (the MLT term-selection rule applied
+    corpus-wide): keyword extraction for tagging, clustering labels, and
+    training-data topic profiling.
+
+    Scale: one broadcast join (dictionary) + one per-doc window — the
+    window partitions by doc_id, so no key is larger than one document's
+    vocabulary. Salience rounds to 6 dp before ranking (the house
+    engine-independent ordering grain; ties break term asc)."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("cnt") * F.col("idf"), 6)), F.asc("term")
+    )
+    return (
+        counts.join(F.broadcast(dictionary.select("term", "idf")), "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_terms)
+        .select(
+            "doc_id", "term",
+            F.round(F.col("cnt") * F.col("idf"), 6).alias("salience"),
+            "rank",
+        )
+    )

@@ -613,6 +613,19 @@ QUERIES["more_like_this"] = q_more_like_this
 ORACLE_SQL["more_like_this"] = osql.sql_more_like_this(10, 5)
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Corpus-wide keyword extraction: top cnt·idf terms per document
+    (queryeng/mlt.py)."""
+    from .queryeng.mlt import doc_keywords
+
+    idx = get_index(spark, sf_dir)
+    return doc_keywords(idx.counts, idx.dictionary, top_terms=3)
+
+
+QUERIES["doc_keywords"] = q_doc_keywords
+ORACLE_SQL["doc_keywords"] = osql.sql_doc_keywords(3)
+
+
 def q_bm25f_topk(spark, sf_dir):
     """Field-weighted BM25F retrieval: title tokens (positional field
     view of the flat documents table) weighted 2×, body 1×
