@@ -516,3 +516,26 @@ def test_domain_mix_caps_and_rates(spark):
     assert "s2" not in srcs and "s3" not in srcs
     again = {(r.doc_id, r.source) for r in out.collect()}
     assert got == again
+
+
+def test_doc_lm_score_hand_computed(spark):
+    """Bigram cross-entropy on a 3-doc corpus, checked against a
+    hand-computed MLE model; a 1-token doc has no bigrams and is absent."""
+    import math
+
+    from themis_search_engine_spark.pipeline_ops.textstats import doc_lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    # model: c(a,b)=3 c(b,a)=1 c(b,c)=1 ; c(a,·)=3 c(b,·)=2
+    # doc0: bigrams ab, ba, ab → -(2·log2(3/3) + 1·log2(1/2))/3 = 1/3
+    # doc1: ab, bc → -(log2(1) + log2(1/2))/2 = 1/2
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in doc_lm_score(docs).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0][0] == 3 and math.isclose(got[0][1], 1 / 3, rel_tol=1e-12)
+    assert got[1][0] == 2 and math.isclose(got[1][1], 1 / 2, rel_tol=1e-12)

@@ -868,3 +868,34 @@ def sql_windowed_event_counts(window_minutes: int = 360) -> str:
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2"""
+
+
+def sql_doc_lm_score() -> str:
+    """Oracle twin of textstats.doc_lm_score: adjacent-position bigrams
+    over the normalized nonempty token stream, corpus MLE model, per-doc
+    average negative log2 probability."""
+    return f"""WITH tokarr AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+tokpos AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.term AS term
+  FROM tokarr,
+       unnest([{{'pos': i, 'term': toks[i]}}
+               for i in range(1, len(toks) + 1)]) u(s)
+),
+bg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM tokpos a JOIN tokpos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+model AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1
+)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       round(-sum(log2(m.c12 / c.c1)) / count(*), 6) AS cross_entropy
+FROM bg g JOIN model m USING (w1, w2) JOIN ctx c USING (w1)
+GROUP BY g.doc_id"""

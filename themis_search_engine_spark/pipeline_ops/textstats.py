@@ -151,3 +151,67 @@ def fingerprints(
             F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch"),
         )
     )
+
+
+def _bigram_stream(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) per adjacent token pair — extracted INSIDE the
+    row via array slicing + zip (no positional shuffle, no window): the
+    whole expansion happens in whole-stage codegen before the first
+    exchange."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", " ")),
+            r"\s+",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("_bg")
+    ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def doc_lm_score(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, cross_entropy) — per-doc average bigram
+    cross-entropy under the corpus's own MLE bigram model (the
+    perplexity-filter primitive: CCNet/Gopher-style quality scoring
+    without an external LM; docs whose word transitions are atypical for
+    the corpus score high and can be thresholded away).
+
+      P(w2|w1) = c(w1,w2) / c(w1,·)     (MLE; self-trained, so every
+                                         scored bigram has count ≥ 1)
+      cross_entropy(d) = -(1/|bigrams(d)|) Σ log2 P(w2|w1)
+
+    Docs with < 2 tokens have no bigrams and are omitted (nothing to
+    score). Scale: the bigram stream is row-local (no pre-shuffle
+    blow-up beyond the token count), the model is two combinable counts,
+    scoring is one co-partitioned join on (w1,w2) + a per-doc rollup —
+    all linear shuffles; model terms never collect to the driver."""
+    bg = _bigram_stream(docs, text_col, id_col)
+    per_doc = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    model = per_doc.groupBy("w1", "w2").agg(F.sum("_n").alias("_c12"))
+    ctx = model.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    return (
+        per_doc.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_bigrams"),
+            (
+                -F.sum(F.col("_n") * F.log2(F.col("_c12") / F.col("_c1")))
+                / F.sum("_n")
+            ).alias("cross_entropy"),
+        )
+    )

@@ -374,6 +374,15 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """Per-doc bigram cross-entropy under the corpus's own MLE model —
+    the perplexity-filter primitive (pipeline_ops/textstats.py)."""
+    from .pipeline_ops.textstats import doc_lm_score
+
+    out = doc_lm_score(_docs(spark, sf_dir))
+    return out.withColumn("cross_entropy", F.round("cross_entropy", 6))
+
+
 def q_event_window_counts(spark, sf_dir):
     """Tumbling event-time window rollup over the events table (6 h
     windows — pipeline_ops/sessions.py; streaming twin in
@@ -470,6 +479,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_latest_snapshot": q_web_latest_snapshot,
     "web_domain_stats": q_web_domain_stats,
     "domain_mix": q_domain_mix,
+    "doc_lm_score": q_doc_lm_score,
     "event_window_counts": q_event_window_counts,
     "pack_sequences": q_pack_sequences,
     "packed_stats": q_packed_stats,
@@ -510,6 +520,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "web_latest_snapshot": osqlo.sql_web_latest_snapshot(),
     "web_domain_stats": osqlo.sql_web_domain_stats(),
     "domain_mix": osqlo.sql_domain_mix(MIX_TARGET, 100),
+    "doc_lm_score": osqlo.sql_doc_lm_score(),
     "event_window_counts": osqlo.sql_windowed_event_counts(360),
     "pack_sequences": osqlo.sql_pack_sequences(2048),
     "packed_stats": osqlo.sql_packed_stats(2048),
