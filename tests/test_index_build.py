@@ -105,3 +105,26 @@ def test_save_load_roundtrip(spark, tiny_docs_df, tmp_path, idx):
     )
     assert a == b
     assert idx2.n_docs == idx.n_docs
+
+
+def test_prune_postings_keeps_top_impact(spark):
+    """Pruning keeps exactly per_term postings per term (tf desc, doc_id
+    ties) and is invariant to the salted two-phase decomposition."""
+    from themis_search_engine_spark.indexing.prune import prune_postings
+
+    rows = [
+        ("t", d, tf, 10) for d, tf in
+        [(0, 1.0), (1, 0.5), (2, 1.0), (3, 0.25), (4, 0.75)]
+    ] + [("u", 0, 1.0, 10)]
+    posts = spark.createDataFrame(
+        rows, "term string, doc_id long, tf double, length long"
+    )
+    got = {
+        (r.term, r.doc_id)
+        for r in prune_postings(posts, per_term=3).collect()
+    }
+    # t keeps tf-1.0 docs 0,2 then 0.75 doc 4; u keeps its only posting
+    assert got == {("t", 0), ("t", 2), ("t", 4), ("u", 0)}
+    # extra columns survive
+    cols = prune_postings(posts, per_term=3).columns
+    assert "length" in cols

@@ -1073,3 +1073,39 @@ ranked AS (
 )
 SELECT doc_id, term, salience, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {top_terms}"""
+
+
+def sql_bm25_topk_pruned(k: int = 10, per_term: int = 20) -> str:
+    """Oracle twin of prune.prune_postings + BM25 top-k: tfn restricted
+    to each term's top per_term postings by (tf desc, doc_id asc) — tf is
+    one IEEE division of identical ints on both engines, so the pruning
+    rank needs no rounding grain — then the standard scored/ranked tail."""
+    return f"""WITH {TOK_CTE},
+tfp AS (
+  SELECT doc_id, term, tf FROM (
+    SELECT doc_id, term, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS r
+    FROM tfn
+  ) WHERE r <= {per_term}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfp t
+  JOIN {_qterms_values(False)} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""

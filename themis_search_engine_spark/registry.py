@@ -626,6 +626,25 @@ QUERIES["doc_keywords"] = q_doc_keywords
 ORACLE_SQL["doc_keywords"] = osql.sql_doc_keywords(3)
 
 
+def q_bm25_topk_pruned(spark, sf_dir):
+    """BM25 top-k over a statically pruned index (each term keeps its 20
+    highest-impact postings — indexing/prune.py): the index-size/quality
+    serving knob, oracle replicates the pruning so values match."""
+    from .indexing.prune import prune_postings
+
+    idx = get_index(spark, sf_dir)
+    pruned = prune_postings(idx.postings_flat, per_term=20)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), pruned, idx.dictionary, idx.doc_stats,
+        idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25_topk_pruned"] = q_bm25_topk_pruned
+ORACLE_SQL["bm25_topk_pruned"] = osql.sql_bm25_topk_pruned(10, 20)
+
+
 def q_bm25f_topk(spark, sf_dir):
     """Field-weighted BM25F retrieval: title tokens (positional field
     view of the flat documents table) weighted 2×, body 1×
