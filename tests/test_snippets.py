@@ -93,3 +93,21 @@ def test_fetch_docs_in_pushdown(spark, tmp_path, sdocs):
     )
     plan = fetch_docs(hits, docs)._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "In(doc_id, [0,2])" in plan
+
+
+def test_correct_qterms_rewrite_rules(spark):
+    """known term passes through; unknown term rewrites to rank-1
+    correction; uncorrectable term stays verbatim."""
+    from themis_search_engine_spark.queryeng.spell import correct_qterms
+
+    dictionary = spark.createDataFrame(
+        [("spark", 10, 0.1), ("shuffle", 5, 0.2), ("sharle", 1, 0.3)],
+        "term string, df long, idf double",
+    )
+    qt = spark.createDataFrame(
+        [(1, "spark"), (1, "shufle"), (2, "zzzzzz")],
+        "qid int, term string",
+    )
+    got = {(r.qid, r.term) for r in correct_qterms(qt, dictionary).collect()}
+    # shufle → shuffle (df 5 beats sharle df 1); spark stays; zzzzzz stays
+    assert got == {(1, "spark"), (1, "shuffle"), (2, "zzzzzz")}

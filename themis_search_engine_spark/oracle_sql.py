@@ -1109,3 +1109,74 @@ ranked AS (
 )
 SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+MISSPELLED_QUERYSET: dict[int, str] = {
+    1: "spak shufle joim",
+    2: "windoq ordr group",
+    3: "merg",
+}
+
+
+def sql_did_you_mean_topk(k: int = 10, min_df: int = 1) -> str:
+    """Oracle twin of spell.correct_qterms ∘ BM25 top-k over the
+    misspelled query set: unknown terms rewrite to their rank-1
+    distance-1 correction (df desc, suggestion asc), known terms pass
+    through, then the standard scored/ranked tail."""
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in sorted(MISSPELLED_QUERYSET.items())
+        for t in sorted(set(q.split()))
+    )
+    keys = (
+        "list_append([substr({c}, 1, i-1) || substr({c}, i+1) "
+        "FOR i IN range(1, length({c}) + 1)], {c})"
+    )
+    return f"""WITH {TOK_CTE},
+q(qid, term) AS (VALUES {vals}),
+qk AS (SELECT DISTINCT term, unnest({keys.format(c='term')}) AS key FROM q),
+dk AS (
+  SELECT term AS suggestion, df, unnest({keys.format(c='term')}) AS key
+  FROM dict WHERE df >= {min_df}
+),
+cand AS (
+  SELECT DISTINCT qk.term, dk.suggestion, dk.df
+  FROM qk JOIN dk ON qk.key = dk.key
+  WHERE qk.term <> dk.suggestion
+),
+best AS (
+  SELECT term, suggestion FROM (
+    SELECT term, suggestion,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY df DESC, suggestion ASC) AS r
+    FROM cand WHERE levenshtein(term, suggestion) <= 1
+  ) WHERE r = 1
+),
+qc AS (
+  SELECT DISTINCT q.qid,
+         CASE WHEN d.term IS NOT NULL THEN q.term
+              ELSE coalesce(b.suggestion, q.term) END AS term
+  FROM q
+  LEFT JOIN dict d ON q.term = d.term
+  LEFT JOIN best b ON q.term = b.term
+),
+scored AS (
+  SELECT qc.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qc ON t.term = qc.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY qc.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""

@@ -899,3 +899,19 @@ SELECT g.doc_id,
        round(-sum(log2(m.c12 / c.c1)) / count(*), 6) AS cross_entropy
 FROM bg g JOIN model m USING (w1, w2) JOIN ctx c USING (w1)
 GROUP BY g.doc_id"""
+
+
+def sql_corpus_profile(group_col: str = "lang") -> str:
+    """Oracle twin of textstats.corpus_profile (quantile_cont::DOUBLE —
+    both engines interpolate with the (n-1)p rule)."""
+    return f"""WITH tokarr AS (
+  SELECT {group_col} AS grp, len({TOKS})::DOUBLE AS n FROM documents
+)
+SELECT grp,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_tokens,
+       round(avg(n), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.25), 6) AS p25_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n, 0.9), 6) AS p90_tokens
+FROM tokarr GROUP BY grp"""

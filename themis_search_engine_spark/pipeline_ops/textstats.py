@@ -215,3 +215,40 @@ def doc_lm_score(
             ).alias("cross_entropy"),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, total_tokens, mean_tokens, p25/p50/p90 token
+    length) — the corpus-composition report a data pipeline runs before
+    and after every cleaning stage.
+
+    Exact percentiles (interpolating, the (n-1)·p rule both Spark and
+    DuckDB implement): right for a per-group profile where groups are
+    few and the per-group sort is the point. At 10¹² docs swap in
+    percentile_approx — same plan shape, sketch-mergeable — and accept
+    the documented error bound; the profile is diagnostic, not an
+    oracle."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", " ")),
+            r"\s+",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.select(
+        F.col(group_col).alias("grp"), F.size(toks).cast("double").alias("_n")
+    )
+    pct = F.percentile("_n", F.lit([0.25, 0.5, 0.9]).cast("array<double>"))
+    return base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_tokens"),
+        F.avg("_n").alias("mean_tokens"),
+        pct[0].alias("p25_tokens"),
+        pct[1].alias("p50_tokens"),
+        pct[2].alias("p90_tokens"),
+    )

@@ -150,3 +150,40 @@ def autocomplete_terms(
         .where(F.col("rank") <= top_n)
         .select("prefix", "suggestion", "df", "rank")
     )
+
+
+def correct_qterms(
+    qterms: DataFrame,
+    dictionary: DataFrame,
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """(qid, term) — the did-you-mean rewrite: terms present in the
+    dictionary pass through unchanged; unknown terms are replaced by
+    their best distance-1 correction (df desc, suggestion asc — the
+    spell_suggest rank-1 row) or kept verbatim when nothing is within
+    distance 1 (they simply match no postings downstream).
+
+    Composes in front of any retrieval plan: the output is a qterms
+    frame, still query-batch-sized, so the whole rewrite is broadcast
+    territory — the dictionary side is the same deletion-key equi-join
+    spell_suggest uses (linear in |V|, no cross join)."""
+    q = qterms.select("qid", "term").distinct()
+    known = dictionary.select("term", F.lit(True).alias("_in_dict"))
+    best = (
+        spell_suggest(q.select("term").distinct(), dictionary, top_n=1,
+                      min_df=min_df)
+        .where(F.col("rank") == 1)
+        .select("term", "suggestion")
+    )
+    return (
+        q.join(known, "term", "left")
+        .join(best, "term", "left")
+        .select(
+            "qid",
+            F.when(F.col("_in_dict"), F.col("term"))
+            .otherwise(F.coalesce(F.col("suggestion"), F.col("term")))
+            .alias("term"),
+        )
+        .distinct()
+    )

@@ -641,6 +641,26 @@ def q_bm25_topk_pruned(spark, sf_dir):
     return _rounded_rank_topk(scored, 10)
 
 
+def q_did_you_mean_topk(spark, sf_dir):
+    """Did-you-mean retrieval end-to-end: unknown query terms rewrite to
+    their best distance-1 dictionary correction, then standard BM25
+    top-k (queryeng/spell.correct_qterms)."""
+    from .queryeng.spell import correct_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = qterms_df(spark, osql.MISSPELLED_QUERYSET, stem=False)
+    corrected = correct_qterms(qt, idx.dictionary)
+    scored = bm25_score_all(
+        corrected, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["did_you_mean_topk"] = q_did_you_mean_topk
+ORACLE_SQL["did_you_mean_topk"] = osql.sql_did_you_mean_topk(10)
+
+
 QUERIES["bm25_topk_pruned"] = q_bm25_topk_pruned
 ORACLE_SQL["bm25_topk_pruned"] = osql.sql_bm25_topk_pruned(10, 20)
 

@@ -383,6 +383,21 @@ def q_doc_lm_score(spark, sf_dir):
     return out.withColumn("cross_entropy", F.round("cross_entropy", 6))
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-lang corpus composition report with exact token-length
+    quantiles (pipeline_ops/textstats.py)."""
+    from .pipeline_ops.textstats import corpus_profile
+
+    out = corpus_profile(load_documents(spark, sf_dir), group_col="lang")
+    return out.select(
+        "grp", "n_docs", "total_tokens",
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+        F.round("p25_tokens", 6).alias("p25_tokens"),
+        F.round("p50_tokens", 6).alias("p50_tokens"),
+        F.round("p90_tokens", 6).alias("p90_tokens"),
+    )
+
+
 def q_event_window_counts(spark, sf_dir):
     """Tumbling event-time window rollup over the events table (6 h
     windows — pipeline_ops/sessions.py; streaming twin in
@@ -480,6 +495,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_stats": q_web_domain_stats,
     "domain_mix": q_domain_mix,
     "doc_lm_score": q_doc_lm_score,
+    "corpus_profile": q_corpus_profile,
     "event_window_counts": q_event_window_counts,
     "pack_sequences": q_pack_sequences,
     "packed_stats": q_packed_stats,
@@ -521,6 +537,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "web_domain_stats": osqlo.sql_web_domain_stats(),
     "domain_mix": osqlo.sql_domain_mix(MIX_TARGET, 100),
     "doc_lm_score": osqlo.sql_doc_lm_score(),
+    "corpus_profile": osqlo.sql_corpus_profile("lang"),
     "event_window_counts": osqlo.sql_windowed_event_counts(360),
     "pack_sequences": osqlo.sql_pack_sequences(2048),
     "packed_stats": osqlo.sql_packed_stats(2048),
