@@ -57,6 +57,7 @@ def pack_sequences(
     *,
     budget: int = 2048,
     bucket_size: int = 65_536,
+    cache: bool = True,
 ) -> DataFrame:
     """(doc_id, n_tokens, start_pos, seq_id, end_seq) — deterministic
     concatenate-and-chunk packing in doc_id order.
@@ -64,10 +65,17 @@ def pack_sequences(
     ``bucket_size`` controls prefix-sum parallelism: each bucket of
     doc_ids cumulates independently; only the #buckets-row totals frame
     passes through a single-task window. Results are bucket-invariant —
-    any bucket_size yields the identical packing."""
+    any bucket_size yields the identical packing.
+
+    ``cache``: the counts feed both the per-bucket cumsum and the bucket
+    totals — uncached, an upstream tokenization (token_counts_raw) would
+    run twice per action. Caller owns the cache lifecycle (see
+    bm25f_score_all)."""
     b = token_counts.withColumn(
         "_bkt", (F.col("doc_id") / F.lit(int(bucket_size))).cast("long")
     )
+    if cache:
+        b = b.cache()
     in_bucket = Window.partitionBy("_bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

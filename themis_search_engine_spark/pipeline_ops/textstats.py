@@ -181,6 +181,7 @@ def doc_lm_score(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """(doc_id, n_bigrams, cross_entropy) — per-doc average bigram
     cross-entropy under the corpus's own MLE bigram model (the
@@ -196,11 +197,17 @@ def doc_lm_score(
     score). Scale: the bigram stream is row-local (no pre-shuffle
     blow-up beyond the token count), the model is two combinable counts,
     scoring is one co-partitioned join on (w1,w2) + a per-doc rollup —
-    all linear shuffles; model terms never collect to the driver."""
+    all linear shuffles; model terms never collect to the driver.
+
+    ``cache``: the per-doc bigram counts feed the model derivation AND
+    the scoring join — uncached, the corpus would tokenize twice per
+    action. Caller owns the cache lifecycle (see bm25f_score_all)."""
     bg = _bigram_stream(docs, text_col, id_col)
     per_doc = bg.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("_n")
     )
+    if cache:
+        per_doc = per_doc.cache()
     model = per_doc.groupBy("w1", "w2").agg(F.sum("_n").alias("_c12"))
     ctx = model.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     return (

@@ -94,6 +94,7 @@ def bm25f_score_all(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    cache: bool = True,
 ) -> DataFrame:
     """(qid, doc_id, score) — BM25F over a fielded counts table.
 
@@ -102,7 +103,17 @@ def bm25f_score_all(
     rule (Indexer.java:423-443). Plan: wtf/wdl are linear combinable
     aggregates of fcounts; N/avgwdl collapse to driver scalars (one
     2-column scan); dictionary + qterms broadcast into the postings-shaped
-    wtf table; score arithmetic is whole-stage-codegen Column math."""
+    wtf table; score arithmetic is whole-stage-codegen Column math.
+
+    ``cache``: fcounts feeds THREE plan legs (wtf, wdl, dictionary) plus
+    the N/avgwdl collect — uncached, the tokenization pass would run four
+    times per action. The default caches it (the collect below populates
+    the cache); the cached blocks live until the session evicts them, so
+    a long-lived caller that builds fcounts repeatedly should pass
+    ``cache=False`` and manage persistence itself (the same lifecycle
+    contract as expansion.embedding_synonyms)."""
+    if cache:
+        fcounts = fcounts.cache()
     w = _weight_expr(weights or DEFAULT_WEIGHTS)
     weighted = fcounts.select(
         "doc_id", "term", (F.col("cnt") * w).alias("_wcnt")
