@@ -132,3 +132,58 @@ def test_doc_keywords_salience_rule(spark):
     assert got[(1, 1)] == "zebra"
     # every doc capped at 2
     assert max(rank for _d, rank in got) <= 2
+
+
+def test_explain_parts_sum_to_score_and_pagination_continues(spark):
+    """explain: per-term parts sum exactly to the scorer's score;
+    search_after: page 2 = canonical ranks k+1..2k, disjoint from page 1."""
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.queryeng import qterms_df
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+    from themis_search_engine_spark.queryeng.explain import (
+        explain_scores,
+        search_after,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} common w{i % 7}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, stem=False, use_arrow=False)
+    qt = qterms_df(spark, {1: "common w1", 2: "w2"}, stem=False)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    pairs = scored.limit(8).select("qid", "doc_id")
+    parts = explain_scores(
+        qt, pairs, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl,
+    )
+    want = {(r.qid, r.doc_id): r.score for r in scored.join(
+        pairs, ["qid", "doc_id"], "left_semi").collect()}
+    got = {}
+    for r in parts.collect():
+        got[(r.qid, r.doc_id)] = got.get((r.qid, r.doc_id), 0.0) + r.part
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-9
+
+    from pyspark.sql import functions as F
+
+    from themis_search_engine_spark.registry import _rounded_rank_topk
+
+    k = 5
+    page1 = _rounded_rank_topk(scored, k)
+    cursors = page1.where(F.col("rank") == k).select(
+        "qid",
+        F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc_id"),
+    )
+    page2 = search_after(scored, cursors, k)
+    p1 = {(r.qid, r.doc_id) for r in page1.collect()}
+    p2 = {(r.qid, r.doc_id) for r in page2.collect()}
+    assert p1 and p2 and not (p1 & p2)
+    # page2 == canonical ranks 6..10
+    full = _rounded_rank_topk(scored, 2 * k)
+    want2 = {(r.qid, r.doc_id) for r in full.collect() if r.rank > k}
+    assert p2 == want2

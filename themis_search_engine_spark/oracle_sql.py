@@ -1180,3 +1180,47 @@ ranked AS (
 )
 SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_bm25_explain_topk(pairs_k: int = 3) -> str:
+    """Oracle twin of explain.explain_scores over each query's top
+    ``pairs_k`` docs: per-term BM25 contributions with their inputs."""
+    return f"""{_bm25_scored_cte()},
+pairs AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {pairs_k}
+)
+SELECT p.qid, p.doc_id, t.term,
+       round(t.tf, 6) AS tf,
+       d.df,
+       round(log2((g.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       s.length,
+       round( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)), 6)
+         AS part
+FROM tfn t
+JOIN (SELECT DISTINCT qid, term FROM {_qterms_values(False)}) q
+  ON t.term = q.term
+JOIN pairs p ON p.qid = q.qid AND p.doc_id = t.doc_id
+JOIN dict d ON t.term = d.term
+JOIN docstat s ON t.doc_id = s.doc_id
+CROSS JOIN gstats g"""
+
+
+def sql_search_after_topk(k: int = 10) -> str:
+    """Oracle twin of explain.search_after: page 2 must be EXACTLY ranks
+    k+1..2k of the canonical ordering, re-ranked 1..k within the page."""
+    return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, (rank - {k})::BIGINT AS rank
+FROM ranked WHERE rank > {k} AND rank <= {2 * k}"""

@@ -657,6 +657,62 @@ def q_did_you_mean_topk(spark, sf_dir):
     return _rounded_rank_topk(scored, 10)
 
 
+def q_bm25_explain_topk(spark, sf_dir):
+    """Per-term score breakdown (Lucene-style explain) for each query's
+    top-3 docs (queryeng/explain.py); Σ part == the scorer's score."""
+    from .queryeng.explain import explain_scores
+
+    idx = get_index(spark, sf_dir)
+    qt = _qt(spark, stem=False)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    pairs = _rounded_rank_topk(scored, 3).select("qid", "doc_id")
+    out = explain_scores(
+        qt, pairs, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl,
+    )
+    return out.select(
+        "qid", "doc_id", "term",
+        F.round("tf", 6).alias("tf"),
+        "df",
+        F.round("idf", 6).alias("idf"),
+        "length",
+        F.round("part", 6).alias("part"),
+    )
+
+
+QUERIES["bm25_explain_topk"] = q_bm25_explain_topk
+ORACLE_SQL["bm25_explain_topk"] = osql.sql_bm25_explain_topk(3)
+
+
+def q_search_after_topk(spark, sf_dir):
+    """Cursor pagination: page 2 via the search_after filter under the
+    salted top-k (queryeng/explain.py) — must equal ranks 11..20 of the
+    canonical ordering exactly."""
+    from .queryeng.explain import search_after
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    page1 = _rounded_rank_topk(scored, 10)
+    cursors = page1.where(F.col("rank") == 10).select(
+        "qid",
+        F.col("score").alias("after_score"),
+        F.col("doc_id").alias("after_doc_id"),
+    )
+    page2 = search_after(scored, cursors, 10)
+    return page2.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+QUERIES["search_after_topk"] = q_search_after_topk
+ORACLE_SQL["search_after_topk"] = osql.sql_search_after_topk(10)
+
+
 QUERIES["did_you_mean_topk"] = q_did_you_mean_topk
 ORACLE_SQL["did_you_mean_topk"] = osql.sql_did_you_mean_topk(10)
 
