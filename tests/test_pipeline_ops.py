@@ -539,3 +539,109 @@ def test_doc_lm_score_hand_computed(spark):
     assert set(got) == {0, 1}
     assert got[0][0] == 3 and math.isclose(got[0][1], 1 / 3, rel_tol=1e-12)
     assert got[1][0] == 2 and math.isclose(got[1][1], 1 / 2, rel_tol=1e-12)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from themis_search_engine_spark.pipeline_ops.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # 4 tokens, 1 distinct; bigrams all "a a"
+            (1, "x y x y x"),        # bigrams: xy yx xy yx -> 2 distinct of 4
+            (2, "one"),              # no bigrams
+            (3, ""),                 # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["dup_token_frac"] == 0.75
+    assert rows[0]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert rows[0]["top_bigram_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 0.5
+    assert rows[1]["top_bigram_frac"] == 0.5
+    assert rows[2]["n_tokens"] == 1
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["dup_token_frac"] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from themis_search_engine_spark.pipeline_ops.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b-c@host.example.org then 192.168.0.1 and "
+                "+44-123-4567 done"),
+            (1, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[0]["n_emails"] == 1
+    assert rows[0]["n_ips"] == 1
+    assert rows[0]["n_phones"] == 1
+    assert rows[0]["clean_text"] == (
+        "mail <EMAIL> then <IP> and <PHONE> done"
+    )
+    assert rows[1]["clean_text"] == "no pii here at all"
+    assert rows[1]["n_emails"] == 0
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from themis_search_engine_spark.pipeline_ops.dedup import span_dedup
+
+    span = "w1 w2 w3 w4"  # span_tokens=4 for the test
+    df = spark.createDataFrame(
+        [
+            (0, f"{span} unique tail of doc zero"),
+            (1, f"{span} different ending here now"),   # dup of doc 0 span 0
+            (2, f"{span} {span}"),                      # in-doc duplicate
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_tokens=4).collect()
+    }
+    # doc 0 is the first occurrence everywhere: nothing removed
+    assert rows[0]["n_dup_spans"] == 0
+    assert rows[0]["clean_text"].startswith(span)
+    # doc 1 loses its leading span but keeps its tail
+    assert rows[1]["n_spans"] == 2
+    assert rows[1]["n_dup_spans"] == 1
+    assert rows[1]["clean_text"] == "different ending here now"
+    # doc 2: both spans are duplicates (of doc 0's and of each other)
+    assert rows[2]["n_dup_spans"] == 2
+    assert rows[2]["clean_text"] == ""
+
+
+def test_anchor_texts_counts_and_floor(spark):
+    from themis_search_engine_spark.linkgraph import anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma rest of zero"),
+            (1, "alpha beta delta rest of one"),
+            (2, "epsilon zeta eta rest of two"),
+            (3, "target page body text here"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 3, 1), (1, 3, 1), (2, 3, 1), (0, 2, 1)],
+        "src long, dst long, weight long",
+    )
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in anchor_texts(edges, docs, title_tokens=3, min_cnt=2).collect()
+    }
+    # 'alpha' and 'beta' arrive at doc 3 from both src 0 and src 1
+    assert out[(3, "alpha")]["anchor_cnt"] == 2
+    assert out[(3, "alpha")]["n_srcs"] == 2
+    assert out[(3, "beta")]["anchor_cnt"] == 2
+    # hapax anchors (gamma, delta, epsilon...) are floored out by min_cnt=2
+    assert (3, "gamma") not in out
+    assert (2, "alpha") not in out  # single link 0->2

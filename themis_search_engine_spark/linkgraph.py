@@ -169,3 +169,50 @@ def bib_coupling(edges: DataFrame, *, min_strength: int = 2) -> DataFrame:
     citing docs sharing >= min_strength common references — the transpose
     of co-citation."""
     return _shared_neighbor_pairs(edges, "dst", "src", min_strength)
+
+
+def anchor_texts(
+    edges: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_tokens: int = 3,
+    min_cnt: int = 2,
+) -> DataFrame:
+    """(doc_id, term, anchor_cnt, n_srcs) — in-link anchor-text
+    aggregation, the classic web-ranking signal (Brin & Page 1998 §2.2:
+    anchor words describe the TARGET page better than its own body).
+    The corpus has no literal <a> text, so the anchor surrogate is the
+    source doc's leading ``title_tokens`` normalized tokens — the same
+    stand-in the reference uses for titles (S2 'title' concat,
+    S2JsonEntryReader.java:66-70); the plan is anchor-source-agnostic.
+
+    Plan shape: anchors materialize in-row on the source side (slice of
+    the token array — no per-token explode of whole documents), then ONE
+    shuffle joins edges to source anchors on src, explode of a
+    ``title_tokens``-length array, and a combinable groupBy on
+    (dst, term). Per-group size is bounded by a page's in-degree × title
+    length; at web scale the dst-key skew of celebrity pages is absorbed
+    by the map-side partial aggregation (sum/count_distinct of longs).
+    ``min_cnt`` floors hapax anchors, mirroring how production anchor
+    fields drop single-link noise. Output feeds BM25F as an extra field.
+    """
+    from .pipeline_ops.dedup import _tok_array
+
+    anchors = docs.select(
+        F.col(id_col).alias("src"),
+        F.slice(_tok_array(F.col(text_col)), 1, title_tokens).alias(
+            "_title"
+        ),
+    )
+    return (
+        edges.join(anchors, "src")
+        .select("dst", "src", F.explode("_title").alias("term"))
+        .groupBy(F.col("dst").alias("doc_id"), "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("anchor_cnt"),
+            F.count_distinct(F.col("src")).cast("long").alias("n_srcs"),
+        )
+        .where(F.col("anchor_cnt") >= min_cnt)
+    )

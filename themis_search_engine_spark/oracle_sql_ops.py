@@ -915,3 +915,116 @@ SELECT grp,
        round(quantile_cont(n, 0.5), 6) AS p50_tokens,
        round(quantile_cont(n, 0.9), 6) AS p90_tokens
 FROM tokarr GROUP BY grp"""
+
+
+def sql_repetition_stats() -> str:
+    """Oracle twin of textstats.repetition_stats (adjacent-token bigrams
+    via a 1-based range comprehension — range(1, len) pairs (i, i+1))."""
+    return f"""WITH tokarr AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, toks,
+         [toks[i] || ' ' || toks[i + 1]
+          for i in range(1, len(toks))] AS bgs
+  FROM tokarr
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN 1.0 - len(list_distinct(toks)) / len(toks)
+             ELSE 0.0 END, 6) AS dup_token_frac,
+       round(CASE WHEN len(bgs) > 0
+             THEN 1.0 - len(list_distinct(bgs)) / len(bgs)
+             ELSE 0.0 END, 6) AS dup_bigram_frac,
+       round(CASE WHEN len(bgs) > 0
+             THEN list_max(list_transform(list_distinct(bgs),
+                  b -> len(list_filter(bgs, x -> x = b)))) * 1.0 / len(bgs)
+             ELSE 0.0 END, 6) AS top_bigram_frac
+FROM bg"""
+
+
+# bit-for-bit twin of textstats.pii_view (the deterministic PII fixture)
+_PII_CTE = """pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact u' || doc_id::VARCHAR
+                || '@mail' || (doc_id % 7)::VARCHAR
+                || '.example.com from 10.' || (doc_id % 200)::VARCHAR
+                || '.' || ((doc_id * 7) % 250)::VARCHAR
+                || '.4 call +1-555-'
+                || lpad(((doc_id * 13) % 10000)::VARCHAR, 4, '0')
+         ELSE text END AS text
+  FROM documents
+)"""
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def sql_pii_scrub() -> str:
+    """Oracle twin of textstats.pii_scrub over the pii_view fixture.
+    Same regexes (Java-regex ∩ RE2 subset), same email→ip→phone order."""
+    return f"""WITH {_PII_CTE}
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones
+FROM pii"""
+
+
+def sql_span_dedup(span_tokens: int = 8) -> str:
+    """Oracle twin of dedup.span_dedup: same fixed-window spans, same
+    first-occurrence-by-(doc_id, span_idx) keep rule."""
+    st = span_tokens
+    return f"""WITH tokarr AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, cast(ceil(len(toks) / {st}.0) AS BIGINT))) AS i
+  FROM tokarr WHERE len(toks) > 0
+),
+spans AS (
+  SELECT doc_id, i::BIGINT AS span_idx,
+         array_to_string(toks[(i * {st} + 1):(i * {st} + {st})], ' ')
+           AS span_text
+  FROM idx
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))::BIGINT
+         AS n_dup_spans,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+                           ORDER BY span_idx), '') AS clean_text
+FROM ranked GROUP BY doc_id"""
+
+
+def sql_anchor_texts(title_tokens: int = 3, min_cnt: int = 2) -> str:
+    """Oracle twin of linkgraph.anchor_texts over the synthetic citation
+    edges (_EDGES_CTE) — anchors = source doc's leading title tokens."""
+    return f"""WITH {_EDGES_CTE},
+titles AS (
+  SELECT doc_id AS src, ({TOKS})[1:{title_tokens}] AS title FROM documents
+),
+joined AS (
+  SELECT e.dst, e.src, t.title FROM edges e JOIN titles t USING (src)
+),
+terms AS (
+  SELECT dst, src, unnest(title) AS term FROM joined
+)
+SELECT dst AS doc_id, term,
+       count(*)::BIGINT AS anchor_cnt,
+       count(DISTINCT src)::BIGINT AS n_srcs
+FROM terms GROUP BY dst, term
+HAVING count(*) >= {min_cnt}"""

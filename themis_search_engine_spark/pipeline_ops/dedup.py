@@ -430,3 +430,97 @@ def connected_components(
         f"connected_components did not converge in {max_iterations} rounds "
         "(diameter > ~2^iterations is not a near-dup graph)"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style span dedup: remove repeated token spans corpus-wide, keep first
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, clean_text) — corpus-wide exact span
+    deduplication: C4 (Raffel et al. 2020 §2.2) drops any three-sentence
+    span that occurs more than once in the corpus, keeping the FIRST
+    occurrence. The fixture corpus is single-line token streams, so the
+    span unit here is a fixed window of ``span_tokens`` normalized tokens
+    (the sentence surrogate); the plan is unit-agnostic.
+
+    Plan shape (explain-audited), built to survive a boilerplate span
+    repeated 10^9 times (the cookie-banner key every web corpus has):
+      1. spans AND the per-doc span count materialize IN-ROW (transform
+         over an index sequence + slice — no shuffle to build them);
+      2. the kept spans are exactly the per-span-text winners
+         ``min(struct(doc_id, span_idx))`` — ONE map-side-combinable
+         groupBy on span text, so the hot key collapses to one row per
+         map task BEFORE the exchange. No window, no per-group sort:
+         a row_number()==1 flag would sort the hot group in one task;
+      3. winners roll up per doc (ONE doc_id shuffle, array_sort over
+         (span_idx, text) structs — leading-field order, deterministic)
+         and join back to the in-row totals on doc_id (skew-free key).
+
+    Docs whose token array is empty have no spans and drop out (the
+    DuckDB twin does the same). At 10^12 docs swap the raw span text for
+    its 128-bit hash as the shuffle key (documented knob) — kept raw here
+    so the oracle compares human-readable values.
+    """
+    toks = _tok_array(F.col(text_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("span_idx"),
+                F.concat_ws(
+                    " ",
+                    F.slice(toks, i * span_tokens + 1, span_tokens),
+                ).alias("span_text"),
+            ),
+        ),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_spans.cast("long").alias("n_spans"),
+        spans.alias("_spans"),
+    ).where(F.col("n_spans") > 0)
+    ex = base.select(
+        "doc_id", F.explode("_spans").alias("s")
+    ).select("doc_id", "s.span_idx", "s.span_text")
+    winners = ex.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("w")
+    )
+    kept = winners.select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.span_idx").alias("span_idx"),
+        "span_text",
+    )
+    kept_per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span_text"))
+                ),
+                lambda s: s["span_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", "n_spans")
+        .join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -259,3 +259,117 @@ def corpus_profile(
         pct[1].alias("p50_tokens"),
         pct[2].alias("p90_tokens"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, dup_bigram_frac, top_bigram_frac)
+    — Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 use duplicate-n-gram fractions as the strongest low-quality /
+    machine-generated-text markers; the reference engine has no quality
+    filtering at all).
+
+    Everything is in-row Column arithmetic — a narrow projection with NO
+    shuffle, so at 10^12 docs it runs at scan speed beside token_stats.
+    ``top_bigram_frac`` counts each distinct bigram inside the row
+    (O(distinct·n) per doc); for multi-MB documents cap the token array
+    with ``slice`` before the transform — web docs post-extraction are
+    ~1k tokens, where this is microseconds.
+    """
+    toks = _tok_array(F.col(text_col))
+    n = F.size(toks)
+    # adjacent-pair bigrams; sequence() is guarded (start > stop would
+    # yield a DESCENDING sequence, not an empty array)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(nb > 0, 1.0 - F.size(F.array_distinct(bigrams)) / nb)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.when(nb > 0, top_cnt / nb).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns — kept to the Java-regex ∩ RE2 common subset so the Spark
+# plan and the DuckDB oracle compile the SAME expression. Deliberately
+# conservative (no lookahead/backrefs): a production scrubber swaps in a
+# richer ruleset; the ENGINE shape (count + global replace in one narrow
+# projection) is what's being built here.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_phones) — regex PII
+    redaction, the mandatory pre-training scrub pass (C4 removed pages on
+    a blocklist; modern pipelines redact in place to keep the prose).
+
+    Counts are taken on the raw text, then categories are replaced in
+    order email → ip → phone (email first so its host part is never
+    re-matched as a bare pattern). Pure ``regexp_*`` Column expressions:
+    whole-stage codegen, no shuffle, scan-speed at 10^12 docs.
+    """
+    t = F.col(text_col)
+    cnt = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(t, F.lit(pat), 0)
+    ).cast("long")
+    clean = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        cnt(PII_EMAIL_RE).alias("n_emails"),
+        cnt(PII_IPV4_RE).alias("n_ips"),
+        cnt(PII_PHONE_RE).alias("n_phones"),
+    )
+
+
+def pii_view(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PII-bearing view of the driver's ``documents`` table
+    (the test-fixture mapping, replicated bit-for-bit by the DuckDB twin
+    oracle_sql_ops._PII_CTE): every third doc gets an email + IPv4 +
+    phone appended, derived from doc_id — so the scrub has real work and
+    exact expected counts at every scale factor."""
+    d = F.col(id_col)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com from 10."), (d % 200).cast("string"),
+        F.lit("."), ((d * 7) % 250).cast("string"),
+        F.lit(".4 call +1-555-"),
+        F.lpad(((d * 13) % 10000).cast("string"), 4, "0"),
+    )
+    return docs.withColumn(
+        "text", F.when(d % 3 == 0, injected).otherwise(F.col("text"))
+    )

@@ -459,6 +459,40 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals
+    (textstats.repetition_stats) — in-row only, no shuffle."""
+    from .pipeline_ops.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Regex PII redaction + counts (textstats.pii_scrub) over the
+    deterministic PII fixture view (textstats.pii_view)."""
+    from .pipeline_ops.textstats import pii_scrub, pii_view
+
+    return pii_scrub(pii_view(_docs(spark, sf_dir)))
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style corpus-wide span dedup (dedup.span_dedup): drop repeated
+    8-token spans, keep first occurrence, reassemble docs."""
+    from .pipeline_ops.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span_tokens=8)
+
+
+def q_anchor_texts(spark, sf_dir):
+    """In-link anchor-term aggregation per destination doc
+    (linkgraph.anchor_texts) over the synthetic citation graph."""
+    from .linkgraph import anchor_texts, citation_edges, synthetic_citations
+
+    docs = _docs(spark, sf_dir)
+    edges = citation_edges(synthetic_citations(docs))
+    return anchor_texts(edges, docs, title_tokens=3, min_cnt=2)
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -499,6 +533,10 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_window_counts": q_event_window_counts,
     "pack_sequences": q_pack_sequences,
     "packed_stats": q_packed_stats,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "span_dedup": q_span_dedup,
+    "anchor_texts": q_anchor_texts,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -541,4 +579,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "event_window_counts": osqlo.sql_windowed_event_counts(360),
     "pack_sequences": osqlo.sql_pack_sequences(2048),
     "packed_stats": osqlo.sql_packed_stats(2048),
+    "repetition_stats": osqlo.sql_repetition_stats(),
+    "pii_scrub": osqlo.sql_pii_scrub(),
+    "span_dedup": osqlo.sql_span_dedup(8),
+    "anchor_texts": osqlo.sql_anchor_texts(3, 2),
 }
