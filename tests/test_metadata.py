@@ -360,3 +360,42 @@ def test_autocomplete_range_form_equals_join_form(spark, tmp_path):
     assert a == b and a
     plan = autocomplete_terms(stored, ["sp"], 3)._jdf.queryExecution().toString()
     assert "GreaterThanOrEqual(term,sp)" in plan and "LessThan(term,sq)" in plan
+
+
+def test_negated_scores_excludes_matching_docs(spark, docs_df, midx):
+    from themis_search_engine_spark.queryeng.metadata import negated_scores
+
+    qt = qterms_df(spark, {1: "spark shuffle join", 2: "spark"})
+    base = negated_scores(
+        qt, qterms_df(spark, {}), midx.postings_flat, midx.dictionary,
+        midx.doc_stats, midx.avgdl,
+    ).collect()
+    # no negations: identical doc set to the OR scorer
+    base_docs = {(r["qid"], r["doc_id"]) for r in base}
+
+    neg = qterms_df(spark, {1: "shuffle"})
+    out = negated_scores(
+        qt, neg, midx.postings_flat, midx.dictionary,
+        midx.doc_stats, midx.avgdl,
+    ).collect()
+    out_docs = {(r["qid"], r["doc_id"]) for r in out}
+    # qid 1 loses every doc containing 'shuffle' (as processed by the
+    # same query pipeline the index was built with)
+    neg_terms = [r["term"] for r in neg.select("term").collect()]
+    shuffled = {
+        r["doc_id"]
+        for r in midx.postings_flat.where(
+            F.col("term").isin(neg_terms)
+        ).collect()
+    }
+    assert shuffled  # fixture sanity
+    assert not {(1, d) for d in shuffled} & out_docs
+    assert {(1, d) for d in shuffled} <= base_docs
+    # qid 2 (no negations) untouched
+    assert {p for p in out_docs if p[0] == 2} == {
+        p for p in base_docs if p[0] == 2
+    }
+    # scores of surviving docs identical to the un-negated plan
+    base_s = {(r["qid"], r["doc_id"]): r["score"] for r in base}
+    for r in out:
+        assert abs(base_s[(r["qid"], r["doc_id"])] - r["score"]) < 1e-12

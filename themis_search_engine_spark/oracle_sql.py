@@ -1224,3 +1224,47 @@ ranked AS (
 )
 SELECT qid, doc_id, score, (rank - {k})::BIGINT AS rank
 FROM ranked WHERE rank > {k} AND rank <= {2 * k}"""
+
+
+# negated-term query set: qid -> space-separated terms whose presence
+# EXCLUDES a doc from that qid's results (metadata.negated_scores twin).
+# Chosen so each negation removes real top-k rows at every sf.
+NEG_QUERYSET: dict[int, str] = {
+    1: "merge",
+    3: "window",
+    5: "table scan",
+}
+
+
+def sql_bm25_topk_negated(k: int = 10) -> str:
+    """Oracle twin of metadata.negated_scores + rounded-rank top-k:
+    standard OR-scored frame minus docs containing any of the qid's
+    NEG_QUERYSET terms (tok-level existential, like the Spark
+    matching_docs anti side)."""
+    neg_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in NEG_QUERYSET.items()
+        for t in terms.split()
+    )
+    return f"""{_bm25_scored_cte()},
+negq(qid, term) AS (VALUES {neg_vals}),
+excl AS (
+  SELECT DISTINCT n.qid, t.doc_id
+  FROM tfn t JOIN negq n ON t.term = n.term
+),
+kept AS (
+  SELECT sc.qid, sc.doc_id, sc.score
+  FROM scored sc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM excl e
+    WHERE e.qid = sc.qid AND e.doc_id = sc.doc_id
+  )
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM kept
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""

@@ -229,3 +229,36 @@ def facet_counts(
         .groupBy("qid", *facet_cols)
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def negated_scores(
+    qterms: DataFrame,
+    neg_qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+) -> DataFrame:
+    """BM25 scores with NOT semantics ("spark join -merge"): positive
+    terms score exactly as the standard OR plan; any doc containing ANY
+    of the query's negated terms is excluded from that query's results.
+
+    The reference has no negation (QueryProcessor.java walks positive
+    bags only); '-term' is the remaining boolean web-search staple after
+    AND (conjunctive_scores) and OR (the default).
+
+    Plan: the scored frame left_anti-joins the negated existential match
+    set (matching_docs: IN-pushed scan + broadcast neg-qterms + partial-
+    agg distinct) on (qid, doc_id). Both sides already hash-partition on
+    that key; anti join is linear and skew follows document frequency —
+    a stopword negation is as expensive as a stopword query, no worse.
+    Queries with no negated terms pass through untouched (empty anti
+    side).
+    """
+    from .bm25 import bm25_score_all
+
+    scored = bm25_score_all(
+        qterms, postings_flat, dictionary, doc_stats, avgdl
+    )
+    excl = matching_docs(neg_qterms, postings_flat)
+    return scored.join(excl, ["qid", "doc_id"], "left_anti")

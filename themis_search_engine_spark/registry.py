@@ -785,6 +785,25 @@ QUERIES["bm25_topk_conjunctive"] = q_bm25_topk_conjunctive
 ORACLE_SQL["bm25_topk_conjunctive"] = osql.sql_bm25_topk_conjunctive(10)
 
 
+def q_bm25_topk_negated(spark, sf_dir):
+    """NOT-semantics retrieval: standard BM25 top-10 minus docs matching
+    any of the qid's negated terms (queryeng/metadata.negated_scores)."""
+    from .queryeng.metadata import negated_scores
+    from .queryeng.pipeline import qterms_df
+
+    idx = get_index(spark, sf_dir)
+    neg = qterms_df(spark, osql.NEG_QUERYSET, stem=False)
+    scored = negated_scores(
+        _qt(spark, stem=False), neg, idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25_topk_negated"] = q_bm25_topk_negated
+ORACLE_SQL["bm25_topk_negated"] = osql.sql_bm25_topk_negated(10)
+
+
 # distance-1 misspellings of corpus vocabulary + one unmatchable term
 SPELL_TERMS = ("spak", "shufle", "joim", "windoq", "merg", "zzzz")
 AUTOCOMPLETE_PREFIXES = ("sp", "wi", "qu")
