@@ -645,3 +645,23 @@ def test_anchor_texts_counts_and_floor(spark):
     # hapax anchors (gamma, delta, epsilon...) are floored out by min_cnt=2
     assert (3, "gamma") not in out
     assert (2, "alpha") not in out  # single link 0->2
+
+
+def test_url_canon_rules(spark):
+    from themis_search_engine_spark.pipeline_ops.websnap import url_canon
+
+    cases = [
+        (0, "HTTP://WWW.Host.COM:80/a/b/?utm_source=x&q=1#frag",
+            "http://host.com/a/b?q=1"),
+        (1, "https://host.com:443/a", "https://host.com/a"),
+        (2, "https://host.com:8443/a", "https://host.com:8443/a"),
+        (3, "http://host.com/?utm_a=1&utm_b=2", "http://host.com"),
+        (4, "http://www.host.com/path/", "http://host.com/path"),
+        (5, "http://host.com/p?id=3&utm_c=9", "http://host.com/p?id=3"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r["canon_url"] for r in url_canon(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)

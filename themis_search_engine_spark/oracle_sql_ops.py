@@ -1028,3 +1028,58 @@ SELECT dst AS doc_id, term,
        count(DISTINCT src)::BIGINT AS n_srcs
 FROM terms GROUP BY dst, term
 HAVING count(*) >= {min_cnt}"""
+
+
+def sql_url_canon() -> str:
+    """Oracle twin of websnap.url_canon over the messy_url_view fixture —
+    same synthesis, same rule order, same regexes."""
+    return """WITH messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0
+             THEN 'WWW.src' || (doc_id % 5)::VARCHAR || '.Example.ORG'
+             ELSE 'src' || (doc_id % 5)::VARCHAR || '.example.org' END)
+         || (CASE WHEN doc_id % 4 = 0
+             THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+             ELSE '' END)
+         || '/P' || (doc_id % 7)::VARCHAR
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=feed&id=' || doc_id::VARCHAR
+                  || '&utm_campaign=c' || (doc_id % 2)::VARCHAR
+             WHEN doc_id % 3 = 1 THEN '?id=' || doc_id::VARCHAR
+             ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+             THEN '#sec' || (doc_id % 3)::VARCHAR ELSE '' END) AS url
+  FROM documents
+),
+defrag AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS u FROM messy
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+         regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS rest
+  FROM defrag
+),
+canon AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https'
+                THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END,
+           '^www\\.', '') AS host,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           rest, 'utm_[^&]*&', '', 'g'),
+           '[?&]utm_[^&]*$', ''),
+           '/\\?', '?'),
+           '/$', '') AS rest
+  FROM parts
+)
+SELECT doc_id, url, scheme || '://' || host || rest AS canon_url
+FROM canon"""

@@ -111,3 +111,82 @@ def snapshot_view(docs: DataFrame) -> DataFrame:
             + ((F.col("doc_id") * 37) % 1000) * 3600
         ).cast("long").alias("warc_ts"),
     )
+
+
+def messy_url_view(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic raw-crawl URL view of the ``documents`` table (the
+    test-fixture mapping, replicated bit-for-bit by the DuckDB twin in
+    oracle_sql_ops.sql_url_canon): scheme case, www prefix, default
+    ports, trailing slashes, utm_* params, and fragments all vary with
+    doc_id so every canonicalization rule fires at every scale factor."""
+    d = F.col(id_col)
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("WWW.src"), (d % 5).cast("string"),
+                 F.lit(".Example.ORG")),
+    ).otherwise(
+        F.concat(F.lit("src"), (d % 5).cast("string"),
+                 F.lit(".example.org"))
+    )
+    port = F.when(
+        d % 4 == 0,
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/P"), (d % 7).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("?utm_source=feed&id="), d.cast("string"),
+                 F.lit("&utm_campaign=c"), (d % 2).cast("string")),
+    ).when(
+        d % 3 == 1,
+        F.concat(F.lit("?id="), d.cast("string")),
+    ).otherwise(F.lit(""))
+    frag = F.when(
+        d % 5 == 0, F.concat(F.lit("#sec"), (d % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+        .alias("url"),
+    )
+
+
+def url_canon(
+    pages: DataFrame, *, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, url, canon_url) — URL canonicalization, the first web-
+    ingestion rule set (a crawl stores the same page under
+    http/https × www × :80 × utm-tagged × fragment variants; URL-keyed
+    dedup — latest_snapshot_per_url — is only sound AFTER this collapse).
+
+    Rules, in order: drop the #fragment; lowercase scheme and host; strip
+    the scheme's default port and a leading www.; strip utm_* query
+    params; strip a trailing path slash. All pure ``regexp_*`` Column
+    expressions in the Java-regex ∩ RE2 subset (no lookahead, no
+    backrefs — the trailing-slash-before-query case is a literal '/?' →
+    '?' replace), so the plan is one codegen projection: scan-speed at
+    10^12 rows, and the DuckDB twin runs the same regexes verbatim.
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    rest = F.regexp_replace(u, "^[^:/?#]+://[^/?#]*", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(rest, "utm_[^&]*&", "")
+    rest = F.regexp_replace(rest, "[?&]utm_[^&]*$", "")
+    rest = F.regexp_replace(rest, r"/\?", "?")
+    rest = F.regexp_replace(rest, "/$", "")
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.concat(scheme, F.lit("://"), host, rest).alias("canon_url"),
+    )

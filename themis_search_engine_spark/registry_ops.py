@@ -459,6 +459,14 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (websnap.url_canon) over the deterministic
+    raw-crawl URL fixture (websnap.messy_url_view)."""
+    from .pipeline_ops.websnap import messy_url_view, url_canon
+
+    return url_canon(messy_url_view(_docs(spark, sf_dir)))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition signals
     (textstats.repetition_stats) — in-row only, no shuffle."""
@@ -537,6 +545,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "span_dedup": q_span_dedup,
     "anchor_texts": q_anchor_texts,
+    "url_canon": q_url_canon,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -583,4 +592,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "pii_scrub": osqlo.sql_pii_scrub(),
     "span_dedup": osqlo.sql_span_dedup(8),
     "anchor_texts": osqlo.sql_anchor_texts(3, 2),
+    "url_canon": osqlo.sql_url_canon(),
 }
