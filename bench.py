@@ -230,6 +230,21 @@ def main() -> None:
             tag = name.replace("->", "_")
             extra[f"scaling_build_eff_{tag}"] = rec["build_efficiency"]
             extra[f"scaling_query_eff_{tag}"] = rec["query_efficiency"]
+        # layout-controlled sharded pairs (chunk layout sized so the
+        # bench corpus has enough shard atoms at the high core count —
+        # the configuration a production index at any real corpus size
+        # is in; see BASELINE.md)
+        if sc_rec.get(
+            "sharded_query_efficiency_layout_controlled"
+        ) is not None:
+            extra["scaling_sharded_query_eff_layout_controlled"] = sc_rec[
+                "sharded_query_efficiency_layout_controlled"
+            ]
+        for name, rec in sc_rec.get("sharded_layout_pairs", {}).items():
+            tag = name.replace("->", "_")
+            extra[f"scaling_sharded_eff_layout_{tag}"] = rec[
+                "sharded_query_efficiency"
+            ]
     except (OSError, KeyError, ValueError):
         pass
 
