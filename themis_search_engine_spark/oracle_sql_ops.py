@@ -1083,3 +1083,32 @@ canon AS (
 )
 SELECT doc_id, url, scheme || '://' || host || rest AS canon_url
 FROM canon"""
+
+
+def sql_corpus_clean_web(
+    quality_tau: float = 0.5, rep_tau: float = 0.2
+) -> str:
+    """The web-corpus ingestion composition: URL canonicalization →
+    latest-snapshot-per-canonical-URL → quality + repetition gates.
+    Composes the url_canon, quality_score, and repetition_stats oracles
+    as nested CTE subqueries (same rule code, same thresholds)."""
+    return f"""WITH canonized AS ({sql_url_canon()}),
+ts AS (
+  SELECT doc_id, canon_url,
+         1546300800 + ((doc_id * 37) % 1000) * 3600 AS warc_ts
+  FROM canonized
+),
+latest AS (
+  SELECT doc_id, canon_url FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY canon_url ORDER BY warc_ts DESC, doc_id DESC) AS rn
+    FROM ts
+  ) WHERE rn = 1
+),
+qual AS ({sql_quality_score()}),
+rep AS ({sql_repetition_stats()})
+SELECT l.doc_id, l.canon_url, q.quality, r.dup_bigram_frac
+FROM latest l
+JOIN qual q USING (doc_id)
+JOIN rep r USING (doc_id)
+WHERE q.quality >= {quality_tau} AND r.dup_bigram_frac <= {rep_tau}"""

@@ -467,6 +467,40 @@ def q_url_canon(spark, sf_dir):
     return url_canon(messy_url_view(_docs(spark, sf_dir)))
 
 
+def q_corpus_clean_web(spark, sf_dir):
+    """End-to-end web ingestion pass: canonicalize URLs, keep the latest
+    snapshot per CANONICAL url (dedup is only sound after the collapse),
+    then gate on quality >= 0.5 and dup_bigram_frac <= 0.2 — the
+    C4/Gopher cleaning composition over webtext, each stage individually
+    oracled (url_canon, web_latest_snapshot, quality_score,
+    repetition_stats)."""
+    from .pipeline_ops.textstats import quality_score as _qscore
+    from .pipeline_ops.textstats import repetition_stats
+    from .pipeline_ops.websnap import (
+        latest_snapshot_per_url,
+        messy_url_view,
+        url_canon,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pages = url_canon(messy_url_view(docs)).withColumn(
+        "warc_ts",
+        (F.lit(1546300800) + (F.col("doc_id") * 37 % 1000) * 3600)
+        .cast("long"),
+    )
+    latest = latest_snapshot_per_url(
+        pages, url_col="canon_url", ts_col="warc_ts"
+    ).select("doc_id", "canon_url")
+    qual = _qscore(docs).select("doc_id", "quality")
+    rep = repetition_stats(docs).select("doc_id", "dup_bigram_frac")
+    return (
+        latest.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("dup_bigram_frac") <= 0.2))
+        .select("doc_id", "canon_url", "quality", "dup_bigram_frac")
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-doc repetition signals
     (textstats.repetition_stats) — in-row only, no shuffle."""
@@ -546,6 +580,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "anchor_texts": q_anchor_texts,
     "url_canon": q_url_canon,
+    "corpus_clean_web": q_corpus_clean_web,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -593,4 +628,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "span_dedup": osqlo.sql_span_dedup(8),
     "anchor_texts": osqlo.sql_anchor_texts(3, 2),
     "url_canon": osqlo.sql_url_canon(),
+    "corpus_clean_web": osqlo.sql_corpus_clean_web(0.5, 0.2),
 }
