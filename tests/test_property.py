@@ -105,3 +105,69 @@ def test_phrase_occurrence_count_matches_scan(tokens, phrase):
         if tokens[i : i + len(phrase)] == phrase
     )
     assert len(starts) == scan
+
+
+def test_url_canon_idempotent(spark):
+    """canon(canon(u)) == canon(u) over the full messy fixture — the rule
+    set is a projection onto canonical space, so re-applying it must be
+    a no-op (a rule that keeps firing would mean ambiguous keys for the
+    URL-keyed dedup built on top)."""
+    from pyspark.sql import functions as F
+
+    from themis_search_engine_spark.pipeline_ops.websnap import (
+        messy_url_view,
+        url_canon,
+    )
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    once = url_canon(messy_url_view(docs))
+    twice = url_canon(
+        once.select("doc_id", F.col("canon_url").alias("url"))
+    )
+    diff = (
+        once.select("doc_id", "canon_url")
+        .join(
+            twice.select("doc_id", F.col("canon_url").alias("c2")),
+            "doc_id",
+        )
+        .where(F.col("canon_url") != F.col("c2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_span_dedup_kept_spans_globally_distinct(spark):
+    """Corpus-level invariant: the kept-span count equals the corpus's
+    distinct-span count exactly — every distinct span survives exactly
+    once (nothing lost, nothing kept twice)."""
+    from pyspark.sql import functions as F
+
+    from themis_search_engine_spark.corpus import load_documents
+    from themis_search_engine_spark.pipeline_ops.dedup import (
+        _tok_array,
+        span_dedup,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    out = span_dedup(docs, span_tokens=8).cache()
+    toks = _tok_array(F.col("text"))
+    n = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+        ),
+    )
+    distinct_corpus_spans = (
+        docs.select(F.explode(spans).alias("s")).distinct().count()
+    )
+    kept_total = out.agg(
+        F.sum(F.col("n_spans") - F.col("n_dup_spans"))
+    ).first()[0]
+    assert kept_total == distinct_corpus_spans
+    out.unpersist()
