@@ -469,7 +469,14 @@ def span_dedup(
     its 128-bit hash as the shuffle key (documented knob) — kept raw here
     so the oracle compares human-readable values.
     """
-    toks = _tok_array(F.col(text_col))
+    # stage the token array first: Spark does no CSE across lambda
+    # bodies, so an inlined _tok_array would re-tokenize the doc once
+    # PER SPAN inside the transform (see repetition_stats' docstring)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tok_array(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
     spans = F.when(
         F.size(toks) > 0,
@@ -484,8 +491,8 @@ def span_dedup(
             ),
         ),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
+    base = staged.select(
+        "doc_id",
         n_spans.cast("long").alias("n_spans"),
         spans.alias("_spans"),
     ).where(F.col("n_spans") > 0)
