@@ -51,8 +51,17 @@ def shingles(
 
     Docs with fewer than n tokens yield no shingles — the size guard
     matters because sequence(1, 0) DESCENDS to [1, 0] and slice(…, 0, …)
-    is an error, not an empty array."""
-    toks = _tok_array(F.col(text_col))
+    is an error, not an empty array.
+
+    The token array is staged as its own projection before the transform
+    consumes it: Spark does no CSE across lambda bodies, so an inlined
+    _tok_array would re-tokenize the doc once PER SHINGLE — O(tokens²)
+    per row (see repetition_stats for the measured blowup)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tok_array(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -61,7 +70,7 @@ def shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        staged.select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
