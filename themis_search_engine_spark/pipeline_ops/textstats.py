@@ -277,32 +277,30 @@ def repetition_stats(
     with ``slice`` before the transform — web docs post-extraction are
     ~1k tokens, where this is microseconds.
 
-    The token and bigram arrays are STAGED as materialized columns in
-    their own projections before anything consumes them: Spark performs
-    no common-subexpression elimination across lambda bodies, so an
-    inlined ``bigrams`` tree would be rebuilt for every element the
-    nested filter/transform touches — measured 400× slower on this exact
-    operator (CollapseProject keeps the stages separate because the
-    aliases are non-cheap and multiply referenced, SPARK-36718).
+    Two defenses against expression re-evaluation (Spark performs no CSE
+    across lambda bodies, and predicate pushdown substitutes project
+    aliases into filters, re-inlining them):
+      1. the token/bigram arrays are STAGED as materialized columns in
+         their own projections (CollapseProject keeps non-cheap,
+         multiply-referenced aliases staged — SPARK-36718);
+      2. bigrams are built with zip_with over two SLICES — the token
+         array is a slice argument (evaluated once per evaluation),
+         never referenced inside a per-element lambda, so even a fully
+         re-inlined copy (e.g. a filter pushed through the projection by
+         a downstream join) evaluates in O(n), not O(n²). The original
+         transform(sequence, i -> element_at(toks, i)) form measured
+         143 s for 500 tiny docs; this form is ~1 s.
     """
     toks = _tok_array(F.col(text_col))
     staged = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks")
     )
     n = F.size(F.col("_toks"))
-    # adjacent-pair bigrams; sequence() is guarded (start > stop would
-    # yield a DESCENDING sequence, not an empty array)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("_toks"), i),
-                F.element_at(F.col("_toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
     staged = staged.select("doc_id", "_toks", bigrams.alias("_bgs"))
     bg = F.col("_bgs")
     nb = F.size(bg)
