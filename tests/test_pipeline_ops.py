@@ -665,3 +665,29 @@ def test_url_canon_rules(spark):
     got = {r["doc_id"]: r["canon_url"] for r in url_canon(df).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_containment_asymmetric(spark):
+    from themis_search_engine_spark.pipeline_ops.dedup import (
+        containment_pairs,
+    )
+
+    quote = "to be or not to be that is the question"
+    df = spark.createDataFrame(
+        [
+            (0, quote),
+            (1, f"he wrote {quote} and then much more entirely new text "
+                "follows here with many other words"),
+            (2, "completely unrelated content about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, n=2, tau=0.9).collect()
+    }
+    # the quote (doc 0) is fully contained in the article (doc 1)...
+    assert out[(0, 1)] == 1.0
+    # ...but NOT vice versa (article >> quote), and Jaccard would miss it
+    assert (1, 0) not in out
+    assert not any(2 in p for p in out)

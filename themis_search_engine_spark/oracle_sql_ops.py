@@ -1112,3 +1112,19 @@ FROM latest l
 JOIN qual q USING (doc_id)
 JOIN rep r USING (doc_id)
 WHERE q.quality >= {quality_tau} AND r.dup_bigram_frac <= {rep_tau}"""
+
+
+def sql_containment_pairs(n: int = 2, tau: float = 0.9) -> str:
+    """Oracle twin of dedup.containment_pairs (directed, asymmetric
+    denominator |shingles(doc_a)|)."""
+    return f"""WITH {_shingle_cte(n)},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / x.n_sh, 6) AS containment
+FROM inter JOIN sz x ON x.doc_id = doc_a
+WHERE n_inter * 1.0 / x.n_sh >= {tau}"""

@@ -540,3 +540,66 @@ def span_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    tau: float = 0.9,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — DIRECTED pairs where
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| >= tau: doc_a is
+    (near-)contained in doc_b. Broder's containment coefficient — the
+    near-dup class Jaccard structurally misses (a tweet quoted inside an
+    article has Jaccard ≈ |a|/|b| ≈ 0 but containment 1.0); every
+    boilerplate-wrapper and quote-inclusion family in a web corpus is
+    this shape.
+
+    Same plan skeleton as :func:`jaccard_pairs` (shared-shingle
+    candidate join, per-pair intersection count, broadcast-size join to
+    per-doc set sizes), with an asymmetric denominator and BOTH
+    directions kept (containment is not symmetric). ``candidates``
+    bounds the verify exactly as in jaccard_pairs; without it this is
+    the all-pairs small-scale oracle shape. MinHash estimates Jaccard,
+    not containment — the scale path pairs this verify with the SAME
+    LSH candidates (a containing pair shares bands unless |a| ≪ |b|;
+    for the extreme-ratio case use the span_dedup lane instead).
+    """
+    sh = shingles(docs, n, text_col=text_col, id_col=id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter") / F.col("na")).alias("containment"),
+        )
+        .where(F.col("containment") >= tau)
+    )

@@ -459,6 +459,17 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs (dedup.containment_pairs): doc_a's
+    shingle set >= 90% inside doc_b's — the quote-inclusion /
+    boilerplate-wrapper near-dup class Jaccard misses."""
+    from .pipeline_ops.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), n=2, tau=0.9).select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (websnap.url_canon) over the deterministic
     raw-crawl URL fixture (websnap.messy_url_view)."""
@@ -581,6 +592,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_texts": q_anchor_texts,
     "url_canon": q_url_canon,
     "corpus_clean_web": q_corpus_clean_web,
+    "dedup_containment": q_dedup_containment,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -629,4 +641,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "anchor_texts": osqlo.sql_anchor_texts(3, 2),
     "url_canon": osqlo.sql_url_canon(),
     "corpus_clean_web": osqlo.sql_corpus_clean_web(0.5, 0.2),
+    "dedup_containment": osqlo.sql_containment_pairs(2, 0.9),
 }
