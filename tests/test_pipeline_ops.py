@@ -691,3 +691,29 @@ def test_containment_asymmetric(spark):
     # ...but NOT vice versa (article >> quote), and Jaccard would miss it
     assert (1, 0) not in out
     assert not any(2 in p for p in out)
+
+
+def test_containment_lsh_matches_allpairs_on_fixture(spark):
+    """On the sf0.001 fixture the banded path reproduces the all-pairs
+    containment set exactly (recall 1.0 — comparable-size near-dups all
+    share bands); pins the candidate→verify plumbing."""
+    from themis_search_engine_spark.corpus import load_documents
+    from themis_search_engine_spark.pipeline_ops.dedup import (
+        containment_lsh_pairs,
+        containment_pairs,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    allp = {
+        (r["doc_a"], r["doc_b"]): round(r["containment"], 6)
+        for r in containment_pairs(docs, n=2, tau=0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): round(r["containment"], 6)
+        for r in containment_lsh_pairs(
+            docs, n=2, k=16, bands=8, tau=0.9
+        ).collect()
+    }
+    assert lsh == allp and allp

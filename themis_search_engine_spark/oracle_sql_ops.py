@@ -1128,3 +1128,48 @@ SELECT doc_a, doc_b,
        round(n_inter * 1.0 / x.n_sh, 6) AS containment
 FROM inter JOIN sz x ON x.doc_id = doc_a
 WHERE n_inter * 1.0 / x.n_sh >= {tau}"""
+
+
+def sql_containment_lsh_pairs(
+    n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.9
+) -> str:
+    """Oracle twin of dedup.containment_lsh_pairs: SAME banding generates
+    the (undirected) candidates, verified directionally by exact
+    containment — Spark and DuckDB agree even where LSH recall < 1."""
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_rows = ", ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_shingle_cte(n)},
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bandkeys AS (
+  SELECT doc_id, bk.* FROM sigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / x.n_sh, 6) AS containment
+FROM inter JOIN sz x ON x.doc_id = doc_a
+WHERE n_inter * 1.0 / x.n_sh >= {tau}"""

@@ -603,3 +603,39 @@ def containment_pairs(
         )
         .where(F.col("containment") >= tau)
     )
+
+
+def containment_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 16,
+    bands: int = 8,
+    tau: float = 0.9,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path for :func:`containment_pairs`: banded-MinHash candidates
+    (one linear band-keyed shuffle, as in minhash_lsh_pairs) verified by
+    candidate-bounded exact containment. Candidates are undirected (a<b);
+    containment is directed, so each candidate is checked in BOTH
+    directions — doubling a candidate list, never enumerating pairs.
+
+    Recall caveat, inherited from MinHash: band collision probability
+    tracks JACCARD, so an extreme-ratio containment (tiny a inside huge
+    b, jaccard ≈ |a|/|b| → 0) can miss. That class is exactly what
+    span_dedup catches span-by-span; this lane is for comparable-size
+    wrapper/near-copy containment.
+    """
+    cand = minhash_lsh_pairs(
+        docs, n, k, bands, tau, text_col=text_col, id_col=id_col,
+        verify=False,
+    )
+    both = cand.union(
+        cand.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    return containment_pairs(
+        docs, n, tau, text_col=text_col, id_col=id_col, candidates=both
+    )

@@ -470,6 +470,19 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_dedup_containment_lsh(spark, sf_dir):
+    """Scale-path containment: banded-MinHash candidates, directionally
+    verified by candidate-bounded exact containment
+    (dedup.containment_lsh_pairs)."""
+    from .pipeline_ops.dedup import containment_lsh_pairs
+
+    return containment_lsh_pairs(
+        _docs(spark, sf_dir), n=2, k=16, bands=8, tau=0.9
+    ).select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (websnap.url_canon) over the deterministic
     raw-crawl URL fixture (websnap.messy_url_view)."""
@@ -593,6 +606,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canon": q_url_canon,
     "corpus_clean_web": q_corpus_clean_web,
     "dedup_containment": q_dedup_containment,
+    "dedup_containment_lsh": q_dedup_containment_lsh,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -642,4 +656,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "url_canon": osqlo.sql_url_canon(),
     "corpus_clean_web": osqlo.sql_corpus_clean_web(0.5, 0.2),
     "dedup_containment": osqlo.sql_containment_pairs(2, 0.9),
+    "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
 }
