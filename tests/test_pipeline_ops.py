@@ -717,3 +717,34 @@ def test_containment_lsh_matches_allpairs_on_fixture(spark):
         ).collect()
     }
     assert lsh == allp and allp
+
+
+def test_snapshot_diff_statuses(spark):
+    from themis_search_engine_spark.pipeline_ops.websnap import snapshot_diff
+
+    pages = spark.createDataFrame(
+        [
+            # u1: two snapshots, text changed
+            (0, "u1", 100, "old text"),
+            (1, "u1", 200, "new text"),
+            # u2: two snapshots, identical text (recrawl, no change)
+            (2, "u2", 100, "same"),
+            (3, "u2", 200, "same"),
+            # u3: single snapshot (first crawl)
+            (4, "u3", 100, "fresh"),
+            # u4: three snapshots — only the two latest compared
+            (5, "u4", 100, "v1"),
+            (6, "u4", 200, "v2"),
+            (7, "u4", 300, "v2"),
+        ],
+        "doc_id long, url string, warc_ts long, text string",
+    )
+    out = {r["url"]: r for r in snapshot_diff(pages).collect()}
+    assert out["u1"]["status"] == "changed"
+    assert (out["u1"]["cur_doc_id"], out["u1"]["prev_doc_id"]) == (1, 0)
+    assert out["u2"]["status"] == "unchanged"
+    assert out["u3"]["status"] == "new"
+    assert out["u3"]["prev_doc_id"] is None
+    # u4: v2 vs v2 — the v1 snapshot is beyond the rank-2 horizon
+    assert out["u4"]["status"] == "unchanged"
+    assert (out["u4"]["cur_doc_id"], out["u4"]["prev_doc_id"]) == (7, 6)

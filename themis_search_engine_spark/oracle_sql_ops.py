@@ -1173,3 +1173,34 @@ SELECT doc_a, doc_b,
        round(n_inter * 1.0 / x.n_sh, 6) AS containment
 FROM inter JOIN sz x ON x.doc_id = doc_a
 WHERE n_inter * 1.0 / x.n_sh >= {tau}"""
+
+
+def sql_snapshot_diff() -> str:
+    """Oracle twin of websnap.snapshot_diff over snapshot_view (+text):
+    same rank-2 window, same md5 comparison, same tiebreak."""
+    return """WITH pages AS (
+  SELECT doc_id, text,
+         'https://' || source || '.example.org/p/'
+           || CAST(doc_id % 7 AS VARCHAR) AS url,
+         (1546300800 + ((doc_id * 37) % 1000) * 3600)::BIGINT AS warc_ts
+  FROM documents
+),
+ranked AS (
+  SELECT url, doc_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM pages
+),
+piv AS (
+  SELECT url,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS cur_doc_id,
+         max(CASE WHEN rn = 2 THEN doc_id END) AS prev_doc_id,
+         max(CASE WHEN rn = 1 THEN h END) AS ch,
+         max(CASE WHEN rn = 2 THEN h END) AS ph
+  FROM ranked WHERE rn <= 2 GROUP BY url
+)
+SELECT url, cur_doc_id, prev_doc_id,
+       CASE WHEN ph IS NULL THEN 'new'
+            WHEN ch <> ph THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM piv"""

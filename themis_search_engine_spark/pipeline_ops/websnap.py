@@ -190,3 +190,55 @@ def url_canon(
         F.col(url_col).alias("url"),
         F.concat(scheme, F.lit("://"), host, rest).alias("canon_url"),
     )
+
+
+def snapshot_diff(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(url, cur_doc_id, prev_doc_id, status) — per-URL diff of the two
+    latest snapshots: 'new' (first crawl of the URL), 'changed'
+    (md5(text) differs), 'unchanged'. The incremental-crawl primitive:
+    only 'changed'/'new' pages need re-extraction, re-embedding, and a
+    merge_serving_delta segment — at 10^12 pages that is the difference
+    between reprocessing a crawl and reprocessing a corpus.
+
+    Plan: ONE url-keyed shuffle. The rank<=2 filter executes as
+    WindowGroupLimit (each map task pre-selects two candidates per URL —
+    a hot URL's recrawl history never sorts in one task), and the
+    two-row pivot groupBy reuses the SAME url partitioning, so no second
+    exchange. Text comparison is by md5 so only 32-byte digests survive
+    the window, not page bodies.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("_ts"), F.desc("_id"))
+    ranked = (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+    )
+    pivoted = ranked.groupBy("url").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_id"))).alias("cur_doc_id"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_id"))).alias("prev_doc_id"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_h"))).alias("_ch"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_h"))).alias("_ph"),
+    )
+    return pivoted.select(
+        "url",
+        "cur_doc_id",
+        "prev_doc_id",
+        F.when(F.col("_ph").isNull(), F.lit("new"))
+        .when(F.col("_ch") != F.col("_ph"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -483,6 +483,17 @@ def q_dedup_containment_lsh(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Per-URL diff of the two latest crawl snapshots
+    (websnap.snapshot_diff) — the incremental-crawl primitive feeding
+    merge_serving_delta with only changed/new pages."""
+    from .pipeline_ops.websnap import snapshot_diff, snapshot_view
+
+    d = _docs(spark, sf_dir)
+    pages = snapshot_view(load_documents(spark, sf_dir)).join(d, "doc_id")
+    return snapshot_diff(pages)
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (websnap.url_canon) over the deterministic
     raw-crawl URL fixture (websnap.messy_url_view)."""
@@ -607,6 +618,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean_web": q_corpus_clean_web,
     "dedup_containment": q_dedup_containment,
     "dedup_containment_lsh": q_dedup_containment_lsh,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -657,4 +669,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "corpus_clean_web": osqlo.sql_corpus_clean_web(0.5, 0.2),
     "dedup_containment": osqlo.sql_containment_pairs(2, 0.9),
     "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
+    "snapshot_diff": osqlo.sql_snapshot_diff(),
 }
