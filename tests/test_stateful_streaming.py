@@ -86,3 +86,58 @@ def test_streaming_sessionize_equals_batch(spark, tmp_path):
         for r in sessionize(events, gap_minutes=30).collect()
     }
     assert got == want and len(got) == len(rows)
+
+
+def test_streaming_snapshot_diff_equals_batch(spark, tmp_path):
+    """Stream ≡ batch: fed ts-ordered crawl files, each url's FINAL
+    emitted row equals the batch snapshot_diff verdict, and every
+    arriving snapshot emits exactly one change-data row."""
+    from themis_search_engine_spark.pipeline_ops.websnap import snapshot_diff
+    from themis_search_engine_spark.streaming.stateful import (
+        streaming_snapshot_diff,
+    )
+
+    rows = [
+        # (doc_id, url, warc_ts, text) — two crawl waves
+        (0, "u1", 100, "alpha"), (1, "u2", 100, "beta"),
+        (2, "u3", 100, "gamma"),
+        (3, "u1", 200, "alpha CHANGED"), (4, "u2", 200, "beta"),
+        (5, "u4", 200, "delta"),
+    ]
+    schema = "doc_id long, url string, warc_ts long, text string"
+    wave1 = spark.createDataFrame(rows[:3], schema)
+    wave2 = spark.createDataFrame(rows[3:], schema)
+    in_dir = str(tmp_path / "in")
+    wave1.coalesce(1).write.parquet(in_dir)
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        streaming_snapshot_diff(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("snapdiff_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM snapdiff_out").collect()
+    assert len(got) == len(rows)  # one change-data row per snapshot
+    final = {}
+    for r in sorted(got, key=lambda r: r["doc_id"]):
+        final[r["url"]] = r
+    batch = {
+        r["url"]: r
+        for r in snapshot_diff(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for url, b in batch.items():
+        s = final[url]
+        assert (s["doc_id"], s["prev_doc_id"], s["status"]) == (
+            b["cur_doc_id"], b["prev_doc_id"], b["status"]
+        ), url

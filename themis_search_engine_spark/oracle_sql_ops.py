@@ -1204,3 +1204,31 @@ SELECT url, cur_doc_id, prev_doc_id,
             WHEN ch <> ph THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM piv"""
+
+
+def sql_domain_quality(
+    min_quality: float = 0.5, min_en_frac: float = 0.5
+) -> str:
+    """Oracle twin of websnap.domain_quality over snapshot_view +
+    quality_score + lang_id (composed as nested CTEs)."""
+    return f"""WITH {_PAGES_CTE},
+qual AS ({sql_quality_score()}),
+lang AS ({sql_lang_id()}),
+joined AS (
+  SELECT regexp_extract(p.url, '^https?://([^/]+)', 1) AS host,
+         q.quality, l.pred_lang
+  FROM pages p
+  JOIN qual q ON q.doc_id = p.doc_id
+  JOIN lang l ON l.doc_id = p.doc_id
+),
+agg AS (
+  SELECT host, count(*)::BIGINT AS n_pages,
+         round(avg(quality), 6) AS mean_quality,
+         round(avg(CASE WHEN pred_lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+           AS en_frac
+  FROM joined GROUP BY host
+)
+SELECT host, n_pages, mean_quality, en_frac,
+       (mean_quality >= {min_quality} AND en_frac >= {min_en_frac})
+         AS keep
+FROM agg"""

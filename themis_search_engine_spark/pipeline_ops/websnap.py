@@ -242,3 +242,49 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def domain_quality(
+    pages: DataFrame,
+    quality: DataFrame,
+    langs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    min_en_frac: float = 0.5,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(host, n_pages, mean_quality, en_frac, keep) — host-level quality
+    rollup, the domain-filter stage of C4/Gopher pipelines (a spam farm
+    is cheaper to drop as a HOST than page by page; MassiveWeb filters
+    whole domains before any per-document gate).
+
+    Inputs are the per-doc signal frames the standalone queries already
+    produce (quality_score, lang_id) — the rollup is one combinable
+    groupBy on host after two doc_id joins; host-key skew (a single
+    giant host) lands on map-side partial aggregation of four longs/
+    doubles. ``keep`` = mean quality AND English fraction above their
+    floors; the thresholds are explicit parameters, not magic.
+    """
+    hosted = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("host"),
+    )
+    joined = (
+        hosted.join(quality.select("doc_id", "quality"), "doc_id")
+        .join(langs.select("doc_id", "pred_lang"), "doc_id")
+    )
+    agg = joined.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(
+            F.avg((F.col("pred_lang") == "en").cast("double")), 6
+        ).alias("en_frac"),
+    )
+    return agg.select(
+        "host", "n_pages", "mean_quality", "en_frac",
+        (
+            (F.col("mean_quality") >= min_quality)
+            & (F.col("en_frac") >= min_en_frac)
+        ).alias("keep"),
+    )

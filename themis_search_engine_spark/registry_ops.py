@@ -494,6 +494,18 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(pages)
 
 
+def q_domain_quality(spark, sf_dir):
+    """Host-level quality rollup + keep/drop flag
+    (websnap.domain_quality) — the domain-filter stage of C4/Gopher
+    pipelines, composed from the oracled quality_score and lang_id."""
+    from .pipeline_ops.textstats import quality_score as _qs
+    from .pipeline_ops.websnap import domain_quality, snapshot_view
+
+    d = _docs(spark, sf_dir)
+    pages = snapshot_view(load_documents(spark, sf_dir))
+    return domain_quality(pages, _qs(d), lang_id(d))
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (websnap.url_canon) over the deterministic
     raw-crawl URL fixture (websnap.messy_url_view)."""
@@ -619,6 +631,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_containment_lsh": q_dedup_containment_lsh,
     "snapshot_diff": q_snapshot_diff,
+    "domain_quality": q_domain_quality,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -670,4 +683,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "dedup_containment": osqlo.sql_containment_pairs(2, 0.9),
     "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
     "snapshot_diff": osqlo.sql_snapshot_diff(),
+    "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
 }

@@ -192,3 +192,84 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SNAPDIFF_OUT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("prev_doc_id", LongType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+# state = (doc_id, md5(text)) of the url's last-seen snapshot
+_SNAP_STATE_SCHEMA = StructType(
+    [
+        StructField("last_id", LongType(), True),
+        StructField("last_hash", StringType(), True),
+    ]
+)
+
+
+def _snapdiff_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_id, last_hash = state.get if state.exists else (None, None)
+    url = key[0]
+    out: list[tuple] = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["warc_ts", "doc_id"])
+        for r in pdf.itertuples():
+            if last_hash is None:
+                status = "new"
+            elif r.h != last_hash:
+                status = "changed"
+            else:
+                status = "unchanged"
+            out.append((url, int(r.doc_id), last_id, status))
+            last_id, last_hash = int(r.doc_id), r.h
+    state.update((last_id, last_hash))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["url", "doc_id", "prev_doc_id", "status"]
+        )
+
+
+def streaming_snapshot_diff(
+    pages_stream: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of websnap.snapshot_diff: a LIVE crawl stream →
+    a change-data stream, one (url, doc_id, prev_doc_id, status) row per
+    ARRIVING snapshot. Per-url keyed state carries only (last doc_id,
+    last md5) — constant bytes per URL, not per snapshot — so the state
+    store holds one small row per distinct URL; downstream, the
+    'changed'/'new' rows are exactly the delta a merge_serving_delta /
+    re-embedding job consumes.
+
+    stream≡batch contract (pinned in tests): fed snapshots in warc_ts
+    order, each url's FINAL emitted row carries the same
+    (cur, prev, status) the batch op reports for its two latest
+    snapshots. The same arrival-order caveat as streaming_sessionize
+    applies and is the honest contract for a crawl-log source.
+    """
+    hashed = pages_stream.select(
+        F.col(url_col).alias("url"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col).cast("long").alias("warc_ts"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    return hashed.groupBy("url").applyInPandasWithState(
+        _snapdiff_group,
+        outputStructType=SNAPDIFF_OUT_SCHEMA,
+        stateStructType=_SNAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
