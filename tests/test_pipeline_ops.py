@@ -658,6 +658,18 @@ def test_url_canon_rules(spark):
         (3, "http://host.com/?utm_a=1&utm_b=2", "http://host.com"),
         (4, "http://www.host.com/path/", "http://host.com/path"),
         (5, "http://host.com/p?id=3&utm_c=9", "http://host.com/p?id=3"),
+        # utm_ inside a path segment is NOT a query param — untouched
+        (6, "http://host.com/utm_x/page?a=1&b=2",
+            "http://host.com/utm_x/page?a=1&b=2"),
+        # a param merely CONTAINING 'utm_' keeps its value
+        (7, "http://host.com/p?checkoutm_total=5&x=1",
+            "http://host.com/p?checkoutm_total=5&x=1"),
+        # '/?' inside a query VALUE is data; only the path's slash goes
+        (8, "http://host.com/p/?next=/home/?x=1",
+            "http://host.com/p?next=/home/?x=1"),
+        # leading utm param: the first surviving '&' is promoted to '?'
+        (9, "http://host.com/p?utm_a=1&b=2&utm_c=3",
+            "http://host.com/p?b=2"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "doc_id long, url string"

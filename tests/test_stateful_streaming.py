@@ -141,3 +141,62 @@ def test_streaming_snapshot_diff_equals_batch(spark, tmp_path):
         assert (s["doc_id"], s["prev_doc_id"], s["status"]) == (
             b["cur_doc_id"], b["prev_doc_id"], b["status"]
         ), url
+
+
+def test_streaming_snapshot_diff_multichunk_group(spark, tmp_path):
+    """A group split across Arrow chunks must be concatenated BEFORE
+    sorting: with maxRecordsPerBatch=2 and one url's 6 snapshots arriving
+    ts-DESCENDING in one micro-batch, per-chunk sorting would apply
+    snapshots out of order and corrupt prev/status."""
+    from themis_search_engine_spark.pipeline_ops.websnap import snapshot_diff
+    from themis_search_engine_spark.streaming.stateful import (
+        streaming_snapshot_diff,
+    )
+
+    rows = [
+        (i, "u1", 600 - i * 100, f"v{(600 - i * 100) // 200}")
+        for i in range(6)  # ts 600..100, texts v3 v2 v2 v1 v1 v0
+    ]
+    schema = "doc_id long, url string, warc_ts long, text string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(
+            str(tmp_path / "in")
+        )
+        q = (
+            streaming_snapshot_diff(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("snapdiff_mc")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = sorted(
+        spark.sql("SELECT * FROM snapdiff_mc").collect(),
+        key=lambda r: -r["warc_ts"] if "warc_ts" in r else 0,
+    )
+    # replay in ts order: statuses must be new,(un)changed per text runs
+    by_ts = {}
+    for r in got:
+        by_ts[r["doc_id"]] = r
+    # ts ascending = doc_id descending: 5(ts100,v0) 4(200,v1) 3(300,v1)
+    # 2(400,v2) 1(500,v2) 0(600,v3)
+    expect = {5: "new", 4: "changed", 3: "unchanged",
+              2: "changed", 1: "unchanged", 0: "changed"}
+    assert {d: by_ts[d]["status"] for d in expect} == expect
+    # final row matches batch verdict
+    batch = snapshot_diff(spark.createDataFrame(rows, schema)).collect()[0]
+    assert (by_ts[0]["doc_id"], by_ts[0]["prev_doc_id"],
+            by_ts[0]["status"]) == (
+        batch["cur_doc_id"], batch["prev_doc_id"], batch["status"]
+    )

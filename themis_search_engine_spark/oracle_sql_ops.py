@@ -628,6 +628,10 @@ FROM franked WHERE rank <= {k}"""
 
 # the deterministic (url, warc_ts) fixture view of `documents` — MUST stay
 # bit-identical to pipeline_ops.websnap.snapshot_view
+# THE warc_ts fixture formula — single DuckDB-side source (Spark-side
+# single source: websnap.warc_ts_expr)
+_WARC_TS_SQL = "(1546300800 + ((doc_id * 37) % 1000) * 3600)::BIGINT"
+
 _PAGES_CTE = """pages AS (
   SELECT doc_id, n_chars,
          'https://' || source || '.example.org/p/'
@@ -1065,6 +1069,19 @@ parts AS (
          regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS rest
   FROM defrag
 ),
+utm AS (
+  SELECT doc_id, url, scheme, hostport, rest,
+         regexp_replace(rest, '[?&]utm_[^&]*', '', 'g') AS s1
+  FROM parts
+),
+fixed AS (
+  SELECT doc_id, url, scheme, hostport,
+         CASE WHEN regexp_matches(rest, '\\?utm_')
+                   AND strpos(s1, '&') > 0 AND strpos(s1, '?') = 0
+              THEN regexp_replace(s1, '^([^&]*)&', '\\1?')
+              ELSE s1 END AS s2
+  FROM utm
+),
 canon AS (
   SELECT doc_id, url, scheme,
          regexp_replace(
@@ -1074,12 +1091,10 @@ canon AS (
                 THEN regexp_replace(hostport, ':443$', '')
                 ELSE hostport END,
            '^www\\.', '') AS host,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           rest, 'utm_[^&]*&', '', 'g'),
-           '[?&]utm_[^&]*$', ''),
-           '/\\?', '?'),
+         regexp_replace(regexp_replace(
+           s2, '^([^?]*)/\\?', '\\1?'),
            '/$', '') AS rest
-  FROM parts
+  FROM fixed
 )
 SELECT doc_id, url, scheme || '://' || host || rest AS canon_url
 FROM canon"""
@@ -1095,7 +1110,7 @@ def sql_corpus_clean_web(
     return f"""WITH canonized AS ({sql_url_canon()}),
 ts AS (
   SELECT doc_id, canon_url,
-         1546300800 + ((doc_id * 37) % 1000) * 3600 AS warc_ts
+         (1546300800 + ((doc_id * 37) % 1000) * 3600)::BIGINT AS warc_ts
   FROM canonized
 ),
 latest AS (
@@ -1232,3 +1247,14 @@ SELECT host, n_pages, mean_quality, en_frac,
        (mean_quality >= {min_quality} AND en_frac >= {min_en_frac})
          AS keep
 FROM agg"""
+
+
+# import-time pin: every embedded copy of the warc_ts fixture formula must
+# match the single source — a drifted copy fails the import, not the soak
+for _fn in (sql_web_latest_snapshot, sql_web_domain_stats,
+            sql_corpus_clean_web, sql_snapshot_diff):
+    _sql = _fn()
+    if "warc_ts" in _sql:
+        assert ("1546300800 + ((doc_id * 37) % 1000) * 3600" in _sql), (
+            f"{_fn.__name__} lost the warc_ts fixture formula"
+        )

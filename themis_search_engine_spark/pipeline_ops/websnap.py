@@ -87,29 +87,36 @@ def domain_stats(
     )
 
 
-def snapshot_view(docs: DataFrame) -> DataFrame:
+def warc_ts_expr(id_col: str = "doc_id"):
+    """THE warc_ts fixture formula — single Spark-side source (the DuckDB
+    twin's single source is oracle_sql_ops._WARC_TS_SQL): non-monotonic
+    in doc_id, collides above 1000 docs to exercise the id tiebreak."""
+    return (
+        F.lit(1546300800) + ((F.col(id_col) * 37) % 1000) * 3600
+    ).cast("long")
+
+
+def snapshot_view(docs: DataFrame, *, with_text: bool = False) -> DataFrame:
     """Deterministic (url, warc_ts) web-snapshot view of the driver's
     ``documents`` table — the test fixture mapping (documented in the
-    DuckDB twin, oracle_sql_ops._pages_cte, which replicates it
+    DuckDB twin, oracle_sql_ops._PAGES_CTE, which replicates it
     bit-for-bit):
 
       url     = https://<source>.example.org/p/<doc_id % 7>
                 (several doc_ids per source share a URL = recrawls)
-      warc_ts = 1546300800 + ((doc_id * 37) % 1000) * 3600
-                (non-monotonic in doc_id; collides above 1000 docs,
-                exercising the id tiebreak at larger scale factors)
+      warc_ts = warc_ts_expr (see above)
+
+    ``with_text=True`` keeps the text column — consumers that need it
+    (snapshot_diff) get it from the SAME scan instead of re-joining.
     """
+    cols = ["doc_id", "n_chars"] + (["text"] if with_text else [])
     return docs.select(
-        "doc_id",
-        "n_chars",
+        *cols,
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
             (F.col("doc_id") % 7).cast("string"),
         ).alias("url"),
-        (
-            F.lit(1546300800)
-            + ((F.col("doc_id") * 37) % 1000) * 3600
-        ).cast("long").alias("warc_ts"),
+        warc_ts_expr().alias("warc_ts"),
     )
 
 
@@ -165,11 +172,17 @@ def url_canon(
 
     Rules, in order: drop the #fragment; lowercase scheme and host; strip
     the scheme's default port and a leading www.; strip utm_* query
-    params; strip a trailing path slash. All pure ``regexp_*`` Column
-    expressions in the Java-regex ∩ RE2 subset (no lookahead, no
-    backrefs — the trailing-slash-before-query case is a literal '/?' →
-    '?' replace), so the plan is one codegen projection: scan-speed at
-    10^12 rows, and the DuckDB twin runs the same regexes verbatim.
+    params (anchored to a [?&] separator, so 'utm_' inside a path
+    segment or a non-utm parameter name is never touched; if the query
+    LED with a utm param, the first surviving '&' is promoted back to
+    '?'); strip the trailing path slash immediately before the FIRST '?'
+    (anchored — a '/?' inside a query value is data, not path); strip a
+    trailing slash. Patterns stay in the Java-regex ∩ RE2 subset (no
+    lookahead); anchored single-match rules make Spark's always-global
+    regexp_replace and the oracle's flagged forms behave identically.
+    Known limit (documented, not hidden): a raw unencoded '&' in a PATH
+    whose query was entirely utm params would be promoted to '?' —
+    RFC 3986 requires such a '&' to be percent-encoded.
     """
     u = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
     scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
@@ -181,9 +194,15 @@ def url_canon(
         scheme == "https", F.regexp_replace(hostport, ":443$", "")
     ).otherwise(hostport)
     host = F.regexp_replace(host, r"^www\.", "")
-    rest = F.regexp_replace(rest, "utm_[^&]*&", "")
-    rest = F.regexp_replace(rest, "[?&]utm_[^&]*$", "")
-    rest = F.regexp_replace(rest, r"/\?", "?")
+    led_with_utm = rest.rlike(r"[?]utm_")
+    stripped = F.regexp_replace(rest, "[?&]utm_[^&]*", "")
+    rest = F.when(
+        led_with_utm
+        & stripped.contains("&")
+        & ~stripped.contains("?"),
+        F.regexp_replace(stripped, "^([^&]*)&", "$1?"),
+    ).otherwise(stripped)
+    rest = F.regexp_replace(rest, r"^([^?]*)/\?", "$1?")
     rest = F.regexp_replace(rest, "/$", "")
     return pages.select(
         F.col(id_col).alias("doc_id"),

@@ -489,8 +489,7 @@ def q_snapshot_diff(spark, sf_dir):
     merge_serving_delta with only changed/new pages."""
     from .pipeline_ops.websnap import snapshot_diff, snapshot_view
 
-    d = _docs(spark, sf_dir)
-    pages = snapshot_view(load_documents(spark, sf_dir)).join(d, "doc_id")
+    pages = snapshot_view(load_documents(spark, sf_dir), with_text=True)
     return snapshot_diff(pages)
 
 
@@ -527,13 +526,12 @@ def q_corpus_clean_web(spark, sf_dir):
         latest_snapshot_per_url,
         messy_url_view,
         url_canon,
+        warc_ts_expr,
     )
 
     docs = _docs(spark, sf_dir)
     pages = url_canon(messy_url_view(docs)).withColumn(
-        "warc_ts",
-        (F.lit(1546300800) + (F.col("doc_id") * 37 % 1000) * 3600)
-        .cast("long"),
+        "warc_ts", warc_ts_expr()
     )
     latest = latest_snapshot_per_url(
         pages, url_col="canon_url", ts_col="warc_ts"

@@ -220,9 +220,16 @@ def _snapdiff_group(
     last_id, last_hash = state.get if state.exists else (None, None)
     url = key[0]
     out: list[tuple] = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["warc_ts", "doc_id"])
-        for r in pdf.itertuples():
+    # concat ALL of the group's Arrow chunks before sorting: a group larger
+    # than arrow.maxRecordsPerBatch arrives as several chunks, and sorting
+    # each independently would apply out-of-order snapshots across the
+    # chunk boundary (same rule as _session_group)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True).sort_values(
+            ["warc_ts", "doc_id"]
+        )
+        for r in merged.itertuples():
             if last_hash is None:
                 status = "new"
             elif r.h != last_hash:
