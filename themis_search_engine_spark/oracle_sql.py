@@ -344,6 +344,59 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_bm25_topk_recency(
+    k: int = 10,
+    now_ts: int = 1546300800 + 999 * 3600,
+    half_life_days: float = 7.0,
+) -> str:
+    """Oracle twin of temporal.bm25_topk_recency: multiplicative
+    time-decay boost 2^(-age_days/half_life) on the BM25 score, ranked
+    on the rounded boosted score. warc_ts comes from THE deterministic
+    fixture formula (oracle_sql_ops._WARC_TS_SQL ≡ websnap.warc_ts_expr
+    — single source each side); ``now_ts`` defaults to that formula's
+    maximum so every age is >= 0 and the greatest() clamp is exercised
+    as a no-op at the boundary doc."""
+    warc_ts = "(1546300800 + ((s2.doc_id * 37) % 1000) * 3600)"
+    boost = (
+        f"power(2.0, -greatest(({now_ts} - {warc_ts}) / 86400.0, 0.0)"
+        f" / {half_life_days!r})"
+    )
+    return f"""{_bm25_scored_cte()},
+boosted AS (
+  SELECT s2.qid, s2.doc_id, s2.score * {boost} AS score
+  FROM scored s2
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM boosted
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_percolate(mode: str = "all") -> str:
+    """Oracle twin of percolate.percolate over the unstemmed pipeline:
+    distinct doc terms x distinct stored-query terms, per-(doc, qid)
+    match count, kept per mode (all = every query term present)."""
+    cond = {
+        "all": "m.n_matched = r.n_req",
+        "any": "m.n_matched >= 1",
+    }[mode]
+    return f"""WITH {_TOK_HEAD}
+dterms AS (SELECT DISTINCT doc_id, term FROM tok_f),
+q AS (SELECT DISTINCT qid, term FROM {_qterms_values()}),
+req AS (SELECT qid, count(*)::BIGINT AS n_req FROM q GROUP BY qid),
+m AS (
+  SELECT d.doc_id, q.qid, count(*)::BIGINT AS n_matched
+  FROM dterms d JOIN q USING (term)
+  GROUP BY d.doc_id, q.qid
+)
+SELECT m.doc_id, m.qid, m.n_matched
+FROM m JOIN req r USING (qid) WHERE {cond}"""
+
+
 def sql_snippets_topk(k: int = 5, before: int = 30, length: int = 80) -> str:
     """Oracle twin of snippets.kwic_snippets over the BM25 top-k: first
     token-boundary occurrence of any query term in the space-padded

@@ -595,6 +595,48 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_bm25_topk_recency(spark, sf_dir):
+    """Recency-boosted retrieval: BM25 top-10 with a 7-day-half-life
+    time-decay boost from the deterministic warc_ts fixture — the boost
+    join is candidate-bounded, after the score agg (queryeng/temporal.py)."""
+    from .pipeline_ops.websnap import snapshot_view
+    from .queryeng.temporal import bm25_topk_recency as _recency
+
+    idx = get_index(spark, sf_dir)
+    page_ts = snapshot_view(load_documents(spark, sf_dir)).select(
+        "doc_id", "warc_ts"
+    )
+    return _recency(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, page_ts,
+        now_ts=1546300800 + 999 * 3600, half_life_days=7.0, k=10,
+        topk_fn=_rounded_rank_topk,
+    )
+
+
+QUERIES["bm25_topk_recency"] = q_bm25_topk_recency
+ORACLE_SQL["bm25_topk_recency"] = osql.sql_bm25_topk_recency(
+    10, 1546300800 + 999 * 3600, 7.0
+)
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search: every (document, stored query) pair where the doc
+    contains ALL the query's terms — broadcast query set, map-side-
+    combinable match count (queryeng/percolate.py)."""
+    from .queryeng.percolate import percolate as _percolate
+
+    idx = get_index(spark, sf_dir)
+    return _percolate(
+        idx.postings_flat.select("doc_id", "term"),
+        _qt(spark, stem=False), mode="all",
+    )
+
+
+QUERIES["percolate"] = q_percolate
+ORACLE_SQL["percolate"] = osql.sql_percolate("all")
+
+
 def q_more_like_this(spark, sf_dir):
     """Related-documents retrieval: each source doc's top cnt·idf terms
     queried through the standard BM25 plan, source excluded
