@@ -1,0 +1,53 @@
+"""LTR feature extraction (queryeng/ltr.py)."""
+
+from __future__ import annotations
+
+import math
+
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.queryeng import qterms_df
+from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+from themis_search_engine_spark.queryeng.ltr import ltr_features
+
+QUERIES = {1: "lazy dog", 2: "fox zzzunknown", 3: "engine"}
+
+
+def test_bm25_feature_equals_scorer(spark, tiny_docs_df):
+    idx = build_index(tiny_docs_df, stem=False)
+    qt = qterms_df(spark, QUERIES, stem=False)
+    feats = ltr_features(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    ).collect()
+    scores = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in bm25_score_all(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+        ).collect()
+    }
+    assert len(feats) == len(scores)  # same candidate set
+    for r in feats:
+        assert math.isclose(r["bm25"], scores[(r["qid"], r["doc_id"])],
+                            rel_tol=1e-12)
+
+
+def test_match_and_coverage_features(spark, tiny_docs_df):
+    idx = build_index(tiny_docs_df, stem=False)
+    qt = qterms_df(spark, QUERIES, stem=False)
+    feats = {
+        (r["qid"], r["doc_id"]): r
+        for r in ltr_features(
+            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+        ).collect()
+    }
+    # doc 2 "a lazy dog and another lazy lazy dog" matches both q1 terms
+    r = feats[(1, 2)]
+    assert r["n_matched"] == 2 and r["coverage"] == 1.0
+    assert r["max_tf"] == 1.0  # "lazy" is doc 2's max-count term
+    # q2 has an unknown term: coverage denominator still counts it
+    r = feats[(2, 0)]
+    assert r["n_matched"] == 1 and math.isclose(r["coverage"], 0.5)
+    # idf features ordered
+    for r in feats.values():
+        assert r["min_idf"] <= r["max_idf"]
+        assert 0 < r["coverage"] <= 1.0
+        assert r["length"] > 0

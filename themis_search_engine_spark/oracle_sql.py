@@ -376,6 +376,55 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_index_profile() -> str:
+    """Oracle twin of indexing.profile.dictionary_profile: log2-bucketed
+    df histogram over the dictionary (floor(log2) is IEEE-exact at the
+    bucket boundaries on both engines)."""
+    return f"""WITH {TOK_CTE}
+SELECT floor(log2(df))::BIGINT AS df_bucket,
+       count(*)::BIGINT AS n_terms,
+       sum(df)::BIGINT AS postings
+FROM dict GROUP BY 1"""
+
+
+def sql_ltr_features() -> str:
+    """Oracle twin of ltr.ltr_features: the lexical feature family per
+    (qid, candidate doc) — one grouped pass over the matched postings,
+    same BM25 part expression as the scorers, coverage denominator =
+    ALL distinct query terms (unknown included)."""
+    idf = "log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    part = (
+        f"{idf} * t.tf * ({K1} + 1.0)"
+        f" / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl))"
+    )
+    return f"""WITH {TOK_CTE},
+nq AS (
+  SELECT qid, count(DISTINCT term)::BIGINT AS n_q
+  FROM {_qterms_values()} GROUP BY qid
+),
+feat AS (
+  SELECT q.qid, t.doc_id, s.length,
+         sum({part}) AS bm25,
+         count(DISTINCT t.term)::BIGINT AS n_matched,
+         sum(t.tf) AS sum_tf,
+         max(t.tf) AS max_tf,
+         min({idf}) AS min_idf,
+         max({idf}) AS max_idf
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id, s.length
+)
+SELECT f.qid, f.doc_id, round(f.bm25, 6) AS bm25, f.n_matched,
+       round(f.n_matched * 1.0 / nq.n_q, 6) AS coverage,
+       round(f.sum_tf, 6) AS sum_tf, round(f.max_tf, 6) AS max_tf,
+       round(f.min_idf, 6) AS min_idf, round(f.max_idf, 6) AS max_idf,
+       f.length
+FROM feat f JOIN nq USING (qid)"""
+
+
 def sql_percolate(mode: str = "all") -> str:
     """Oracle twin of percolate.percolate over the unstemmed pipeline:
     distinct doc terms x distinct stored-query terms, per-(doc, qid)

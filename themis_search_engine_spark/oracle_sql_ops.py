@@ -1249,6 +1249,49 @@ SELECT host, n_pages, mean_quality, en_frac,
 FROM agg"""
 
 
+def sql_cluster_sample(
+    n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.8,
+    salt: str = "cdup",
+) -> str:
+    """Oracle twin of sampling.cluster_sample over the MinHash-LSH
+    clusters: keep iff h(doc) * cluster_size < 2^32 — integer-exact on
+    both sides (same seeded-md5 bucket as hash_split)."""
+    h = _HB.format(salt=salt, key="doc_id")
+    return f"""WITH clusters AS (
+{sql_dedup_clusters(n, k, bands, tau)}
+),
+sized AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+  FROM clusters
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM sized
+WHERE {h} * cluster_size < 4294967296"""
+
+
+def sql_bpe_pairs() -> str:
+    """Oracle twin of tokenizer.char_pair_counts over tokenizer.word_counts:
+    adjacent character pairs of every normalized word (stopwords KEPT —
+    tokenizer training sees function words), weighted by corpus word
+    frequency. range(1, length) is empty for 1-char words on both sides."""
+    return r"""WITH tok AS (
+  SELECT unnest(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+           '\s+')) AS word
+  FROM documents
+),
+words AS (
+  SELECT word, count(*)::BIGINT AS freq FROM tok
+  WHERE word <> '' GROUP BY word
+),
+pairs AS (
+  SELECT substr(w.word, t.i, 2) AS pair, w.freq
+  FROM words w, unnest([i for i in range(1, length(w.word))]) t(i)
+)
+SELECT pair, sum(freq)::BIGINT AS cnt FROM pairs GROUP BY pair"""
+
+
 # import-time pin: every embedded copy of the warc_ts fixture formula must
 # match the single source — a drifted copy fails the import, not the soak
 for _fn in (sql_web_latest_snapshot, sql_web_domain_stats,

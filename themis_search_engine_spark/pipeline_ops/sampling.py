@@ -96,6 +96,41 @@ def stratified_sample(
     return docs.where(h < F.floor(rate * F.lit(_HSPACE)))
 
 
+def cluster_sample(
+    clusters: DataFrame,
+    *,
+    salt: str = "cdup",
+) -> DataFrame:
+    """Soft dedup: keep each doc with probability 1/|its near-dup
+    cluster| — (doc_id, cluster_id, cluster_size) for survivors.
+
+    Hard dedup (corpus_clean's one-canonical-per-cluster) always keeps
+    the SAME representative; soft dedup keeps one *in expectation* but a
+    uniformly hashed one, preserving intra-cluster diversity (boilerplate
+    wrappers differ, quotes differ) while still flattening the duplicate
+    mass — the SlimPajama/RefinedWeb-style "downweight, don't delete"
+    lever. Singletons are always kept (rate 1/1).
+
+    Determinism + exactness: keep iff ``h * size < 2^32`` where h is the
+    seeded-md5 bucket in [0, 2^32) — INTEGER math only, so the DuckDB
+    twin is bit-identical with no float-threshold drift (h < 2^32 and
+    size <= |corpus| keep the product far below 2^63).
+
+    Scale: one groupBy(cluster_id) for sizes and one join back on the
+    same key — the second shuffle reuses the first's partitioning. The
+    keep test is codegen'd per-row arithmetic.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    h = _hash_bucket(F.col("doc_id"), salt)
+    return (
+        clusters.join(sizes, "cluster_id")
+        .where(h * F.col("cluster_size") < F.lit(1 << 32))
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+
+
 def domain_mix(
     docs: DataFrame,
     target: dict[str, float],

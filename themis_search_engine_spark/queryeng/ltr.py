@@ -1,0 +1,90 @@
+"""Learning-to-rank feature extraction.
+
+The reference ranks by one hand-set formula (OkapiBM25.java:161-164).
+Modern web ranking trains a model (LambdaMART/GBDT, neural rerankers)
+over per-(query, document) FEATURE VECTORS — and producing those
+vectors for training data (query logs x judgments) or for reranking
+candidates is itself a corpus-scale engine job. This module emits the
+classic lexical feature family from the same index tables the scorers
+already read:
+
+  bm25        Okapi BM25 (K1=2, B=0.75 — Q4 semantics)
+  n_matched   distinct query terms present in the doc
+  coverage    n_matched / |distinct query terms| (unknown terms count
+              in the denominator: failing to match them IS signal)
+  sum_tf      sum of stored max-normalized tfs over matched terms
+  max_tf      max of those tfs
+  min_idf     rarest-matched-term signal (min over matched idfs)
+  max_idf     most-informative-match signal
+  length      stored doc length (A4)
+
+Scale design: everything rides ONE pass over the IN-list-pruned
+postings scan — the same candidate-bounded join as ``bm25_score_all``
+(broadcast qterms+dictionary, one groupBy(qid, doc_id) computing ALL
+aggregates map-side-combinably), then a candidate-bounded doc_stats
+join for length and a broadcast per-qid denominator join. Adding a
+feature is adding an aggregate expression, not a pass. Downstream
+model training consumes the output as a plain DataFrame (pandas
+batches into any GBDT library); scoring a trained GBDT back inside
+the engine is a vectorized pandas UDF over these same columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import MAX_PRUNE_LITERALS, bm25_part_expr
+
+
+def ltr_features(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    *,
+    term_list: list[str] | None = None,
+) -> DataFrame:
+    """(qid, doc_id, bm25, n_matched, coverage, sum_tf, max_tf,
+    min_idf, max_idf, length) for every candidate of every query."""
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
+    pruned = postings_flat
+    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+        pruned = postings_flat.where(F.col("term").isin(list(terms)))
+    # denominator: ALL distinct query terms, known or not
+    n_q = F.broadcast(
+        qterms.select("qid", "term").distinct()
+        .groupBy("qid").agg(F.countDistinct("term").alias("_n_q"))
+    )
+    q = F.broadcast(
+        qterms.select("qid", "term").distinct()
+        .join(dictionary.select("term", "idf"), "term")
+    )
+    joined = pruned.join(q, "term")
+    if "length" not in postings_flat.columns:
+        joined = joined.join(doc_stats.select("doc_id", "length"), "doc_id")
+    feats = (
+        joined.select(
+            "qid", "doc_id", "term", "tf", "idf", "length",
+            bm25_part_expr(avgdl=avgdl).alias("part"),
+        )
+        .groupBy("qid", "doc_id", "length")  # length is constant per doc
+        .agg(
+            F.sum("part").alias("bm25"),
+            F.countDistinct("term").alias("n_matched"),
+            F.sum("tf").alias("sum_tf"),
+            F.max("tf").alias("max_tf"),
+            F.min("idf").alias("min_idf"),
+            F.max("idf").alias("max_idf"),
+        )
+    )
+    return feats.join(n_q, "qid").select(
+        "qid", "doc_id", "bm25", "n_matched",
+        (F.col("n_matched") / F.col("_n_q")).alias("coverage"),
+        "sum_tf", "max_tf", "min_idf", "max_idf", "length",
+    )

@@ -637,6 +637,44 @@ QUERIES["percolate"] = q_percolate
 ORACLE_SQL["percolate"] = osql.sql_percolate("all")
 
 
+def q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature vectors per (query, candidate doc):
+    bm25 + match/tf/idf/length features in ONE grouped pass over the
+    pruned postings scan (queryeng/ltr.py)."""
+    from .queryeng.ltr import ltr_features as _ltr
+
+    idx = get_index(spark, sf_dir)
+    f = _ltr(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return f.select(
+        "qid", "doc_id", F.round("bm25", 6).alias("bm25"), "n_matched",
+        F.round("coverage", 6).alias("coverage"),
+        F.round("sum_tf", 6).alias("sum_tf"),
+        F.round("max_tf", 6).alias("max_tf"),
+        F.round("min_idf", 6).alias("min_idf"),
+        F.round("max_idf", 6).alias("max_idf"), "length",
+    )
+
+
+QUERIES["ltr_features"] = q_ltr_features
+ORACLE_SQL["ltr_features"] = osql.sql_ltr_features()
+
+
+def q_index_profile(spark, sf_dir):
+    """Index observability: log2-bucketed df histogram of the dictionary
+    — the Zipf profile the scale knobs (salting, chunk layout, broadcast
+    thresholds) are sized from (indexing/profile.py)."""
+    from .indexing.profile import dictionary_profile
+
+    return dictionary_profile(get_index(spark, sf_dir).dictionary)
+
+
+QUERIES["index_profile"] = q_index_profile
+ORACLE_SQL["index_profile"] = osql.sql_index_profile()
+
+
 def q_more_like_this(spark, sf_dir):
     """Related-documents retrieval: each source doc's top cnt·idf terms
     queried through the standard BM25 plan, source excluded

@@ -580,7 +580,27 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_texts(edges, docs, title_tokens=3, min_cnt=2)
 
 
+def q_cluster_sample(spark, sf_dir):
+    """Soft dedup: keep each doc with probability 1/|near-dup cluster|
+    via integer-exact seeded-md5 thresholds (pipeline_ops/sampling.py),
+    over the MinHash-LSH connected components."""
+    from .pipeline_ops.sampling import cluster_sample
+
+    return cluster_sample(_lsh_clusters(_docs(spark, sf_dir)))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE training iteration: adjacent char-pair frequencies over
+    the corpus word-frequency table (pipeline_ops/tokenizer.py — the
+    only corpus-scale stage of tokenizer training)."""
+    from .pipeline_ops.tokenizer import char_pair_counts, word_counts
+
+    return char_pair_counts(word_counts(_docs(spark, sf_dir)))
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_pairs": q_bpe_pairs,
+    "cluster_sample": q_cluster_sample,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "hash_split": q_hash_split,
@@ -682,4 +702,6 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
     "snapshot_diff": osqlo.sql_snapshot_diff(),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
+    "bpe_pairs": osqlo.sql_bpe_pairs(),
+    "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
 }
