@@ -1249,6 +1249,95 @@ SELECT host, n_pages, mean_quality, en_frac,
 FROM agg"""
 
 
+def sql_centroid_classify(train_mod: int = 5) -> str:
+    """Oracle twin of simsearch.label_centroids + centroid_classify:
+    per-label mean vectors from the vec_id % train_mod == 0 training
+    subset, then argmax cosine per vector (rounded-rank, label-asc
+    ties)."""
+    cdot = (
+        "list_sum([a.embedding[i]::DOUBLE * c.cvec[i] "
+        "for i in range(1, len(a.embedding) + 1)])"
+    )
+    cnorm = "sqrt(list_sum([c.cvec[i] * c.cvec[i] "\
+        "for i in range(1, len(c.cvec) + 1)]))"
+    return f"""WITH cent AS (
+  SELECT label, t.i AS pos, avg(embedding[t.i]::DOUBLE) AS m
+  FROM embeddings, unnest([i for i in range(1, len(embedding) + 1)]) t(i)
+  WHERE vec_id % {train_mod} = 0
+  GROUP BY label, t.i
+),
+cvec AS (
+  SELECT label, list(m ORDER BY pos) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT a.vec_id, c.label AS pred_label,
+         {cdot} / ({_NORM_A} * {cnorm}) AS cosine
+  FROM embeddings a, cvec c
+),
+ranked AS (
+  SELECT vec_id, pred_label, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(cosine, 6) DESC,
+                                     pred_label ASC) AS r
+  FROM scored
+)
+SELECT vec_id, pred_label, round(cosine, 6) AS cosine
+FROM ranked WHERE r = 1"""
+
+
+def sql_quantized_topk(k: int = 5, every_m: int = 50, refine: int = 3) -> str:
+    """Oracle twin of simsearch.quantize_embeddings + quantized_topk:
+    bit-identical int8 quantization (greatest -> /127 -> floor(x/scale
+    + 0.5), the same float op sequence as the Spark side), approximate
+    int-dot candidate selection (k*refine per query, rounded-rank), then
+    exact cosine rescoring of candidates only."""
+    qdot = (
+        "list_sum([(a.qvec[i] * b.qvec[i]) "
+        "for i in range(1, len(a.qvec) + 1)])::DOUBLE"
+    )
+    return f"""WITH mxs AS (
+  SELECT vec_id, embedding,
+         greatest(list_max([abs(embedding[i]::DOUBLE)
+                            for i in range(1, len(embedding) + 1)]),
+                  1e-30) / 127.0 AS scale
+  FROM embeddings
+),
+qt AS (
+  SELECT vec_id, scale,
+         [floor(embedding[i]::DOUBLE / scale + 0.5)::BIGINT
+          for i in range(1, len(embedding) + 1)] AS qvec
+  FROM mxs
+),
+approx AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         {qdot} * a.scale * b.scale AS adot
+  FROM qt a, qt b
+  WHERE b.vec_id % {every_m} = 0
+),
+cand AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adot, 6) DESC, vec_id ASC) AS r
+  FROM approx
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_id
+  JOIN embeddings b ON b.vec_id = c.query_id
+  WHERE c.r <= {k * refine}
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_cluster_sample(
     n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.8,
     salt: str = "cdup",

@@ -201,6 +201,187 @@ def kmeans_centroids(
     return cents
 
 
+def label_centroids(
+    embs: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    labeled=None,
+) -> DataFrame:
+    """(label, centroid_vec) — per-label mean vectors from a labeled
+    subset (``labeled``: a Column predicate selecting the training rows;
+    None = every row). One (label, pos) shuffle, linear in the labeled
+    set; exact mean aggregates, no RNG."""
+    src = embs.where(labeled) if labeled is not None else embs
+    return (
+        src.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(
+                F.transform(vec_col, lambda x: x.cast("double"))
+            ).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv"))
+        .select(
+            "label",
+            F.transform("pv", lambda s: s.getField("m")).alias(
+                "centroid_vec"
+            ),
+        )
+    )
+
+
+def centroid_classify(
+    embs: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, pred_label, cosine) — nearest-centroid (Rocchio)
+    classification: argmax cosine over the broadcast centroid table.
+
+    The domain/quality/topic classifier a training pipeline runs over
+    the whole corpus: |labels| is tiny, so the centroid table broadcasts
+    and classification is ONE narrow pass (crossJoin fan-out = |labels|
+    per row, all codegen zip_with/aggregate arithmetic — no shuffle
+    beyond the per-vector argmax window, which partitions on the id).
+    Deterministic: rank on 6-dp-rounded cosine, label-asc tiebreak."""
+    from pyspark.sql.window import Window
+
+    c = F.broadcast(
+        centroids.select("label", "centroid_vec")
+    )
+    v = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    scored = v.crossJoin(c).select(
+        "vec_id",
+        F.col("label").alias("pred_label"),
+        (_dot(F.col("_v"), F.col("centroid_vec"))
+         / (_norm(F.col("_v")) * _norm(F.col("centroid_vec")))
+         ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("pred_label")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "pred_label", "cosine")
+    )
+
+
+def quantize_embeddings(
+    embs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, qvec, scale): symmetric per-vector int8 quantization —
+    scale = max|x|/127, qvec[i] = floor(x/scale + 0.5).
+
+    The 100 TB ANN memory lever: 4x fewer bytes per float32 corpus (8x
+    vs these double fixtures), so 4x more of the index fits in executor
+    memory / page cache, and the approximate dot runs on small ints.
+    floor(x + 0.5) instead of round(): both engines define floor
+    identically (round() half-even vs half-away differs), so the
+    quantized vectors are BIT-identical between Spark and the DuckDB
+    twin — quantization introduces approximation, never nondeterminism.
+    All codegen; no shuffle."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    # ONE scale expression reused for both outputs so qvec[i]*scale
+    # inverts exactly what was quantized (and the DuckDB twin replicates
+    # the identical float op sequence: greatest -> /127 -> x/scale+0.5)
+    scale = F.greatest(mx, F.lit(1e-30)) / F.lit(127.0)
+    return embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    qembs: DataFrame,
+    embs: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    k: int = 5,
+    refine: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank) — two-phase ANN: approximate
+    dot over the int8 table selects refine*k candidates per query, then
+    the TRUE cosine is computed only for candidates (a point-join back
+    to the full-precision table) and ranked. The returned scores are
+    exact; quantization affects only which candidates are considered —
+    the standard product quantization serving shape (coarse scan cheap
+    and cache-resident, exact math on k*refine rows)."""
+    from pyspark.sql.window import Window
+
+    qq = quantize_embeddings(
+        query_vecs, vec_col="query_vec", id_col="query_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("scale").alias("_qs"),
+    )
+    # int dot (|q| <= 127, so dim 64 stays far below 2^31) scaled back
+    approx = qembs.crossJoin(F.broadcast(qq)).select(
+        "query_id", "vec_id",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "qvec", "_qq",
+                    lambda a, b: (a * b).cast("long"),
+                ),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).cast("double") * F.col("scale") * F.col("_qs")
+        ).alias("adot"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("adot", 6)), F.asc("vec_id")
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(wa))
+        .where(F.col("_r") <= k * refine)
+        .select("query_id", "vec_id")
+    )
+    # exact rescore: point join into the full-precision vectors
+    full = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    qfull = F.broadcast(query_vecs.select(
+        "query_id",
+        F.transform("query_vec", lambda x: x.cast("double")).alias("_q"),
+    ))
+    scored = (
+        cand.join(full, "vec_id")
+        .join(qfull, "query_id")
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("_v"), F.col("_q"))
+             / (_norm(F.col("_v")) * _norm(F.col("_q")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     queries: DataFrame,

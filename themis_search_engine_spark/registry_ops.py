@@ -580,6 +580,35 @@ def q_anchor_texts(spark, sf_dir):
     return anchor_texts(edges, docs, title_tokens=3, min_cnt=2)
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """int8-quantized ANN with exact rescoring: approximate int-dot
+    candidates (refine*k) over the quantized table, true cosine only on
+    candidates (pipeline_ops/simsearch.py — the 4x-memory serving lever)."""
+    from .pipeline_ops.simsearch import quantize_embeddings, quantized_topk
+
+    embs = _embs(spark, sf_dir)
+    out = quantized_topk(
+        quantize_embeddings(embs), embs, _query_vecs(embs), k=5, refine=3
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) domain classifier: per-label mean
+    vectors from the vec_id%5==0 training subset, argmax cosine over the
+    broadcast centroids for EVERY vector (pipeline_ops/simsearch.py)."""
+    from .pipeline_ops.simsearch import centroid_classify, label_centroids
+
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
+    cents = label_centroids(embs, labeled=F.col("vec_id") % 5 == 0)
+    out = centroid_classify(embs, cents)
+    return out.select(
+        "vec_id", "pred_label", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_cluster_sample(spark, sf_dir):
     """Soft dedup: keep each doc with probability 1/|near-dup cluster|
     via integer-exact seeded-md5 thresholds (pipeline_ops/sampling.py),
@@ -601,6 +630,8 @@ def q_bpe_pairs(spark, sf_dir):
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
     "cluster_sample": q_cluster_sample,
+    "centroid_classify": q_centroid_classify,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "hash_split": q_hash_split,
@@ -704,4 +735,6 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "bpe_pairs": osqlo.sql_bpe_pairs(),
     "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
+    "centroid_classify": osqlo.sql_centroid_classify(5),
+    "ann_quantized_topk": osqlo.sql_quantized_topk(5, 50, 3),
 }
