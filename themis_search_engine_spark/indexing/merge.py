@@ -220,6 +220,58 @@ def describe_index(spark: SparkSession, path: str) -> dict:
     }
 
 
+def load_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's pending-delete set as a distinct ``doc_id`` frame, or
+    None when nothing is tombstoned (absent directory = empty set)."""
+    t = f"{path}/tombstones"
+    if not os.path.exists(t):
+        return None
+    return spark.read.parquet(t).select("doc_id").distinct()
+
+
+def delete_serving_docs(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    *,
+    log_extra: dict | None = None,
+) -> int:
+    """Tombstone ``doc_ids`` in the serving index at ``path`` — the
+    Lucene-style soft delete that completes the segment lifecycle's third
+    verb (add = :func:`merge_serving_delta`, delete = here, purge =
+    :func:`compact_serving_index`).
+
+    Semantics (exactly Lucene's liveDocs contract, and the only delete
+    that is O(|deletes|) instead of O(index)): postings, dictionary,
+    doc_stats and global_stats are NOT touched — a tombstoned doc still
+    counts in df/N/avgdl until the next compaction, which physically
+    drops its postings and recomputes every statistic. Query paths mask
+    tombstones with an anti-join BEFORE aggregation/top-k (see
+    registry.q_bm25_topk_deleted), so a deleted doc can never surface no
+    matter how many of a query's best candidates were deleted.
+
+    Idempotent and append-only: re-deleting an already-tombstoned (or
+    never-indexed) doc_id appends a row the distinct read collapses; the
+    log records the REQUESTED count per call for lineage. ``doc_ids`` is
+    a DataFrame with a ``doc_id`` column or an iterable of ints.
+    """
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        ).distinct()
+    n = ids.count()
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+    _append_log(path, {
+        "gen": _next_gen(path),
+        "type": "delete",
+        "docs_tombstoned": n,
+        **(log_extra or {}),
+    })
+    return n
+
+
 def compact_serving_index(
     spark: SparkSession,
     path: str,
@@ -261,14 +313,54 @@ def compact_serving_index(
     gen = _next_gen(path)
     raw_tmp = f"{path}/_compact{gen}_raw"
     comp_tmp = f"{path}/_compact{gen}_comp"
+    stats_tmp = f"{path}/_compact{gen}_stats"
     shutil.rmtree(raw_tmp, ignore_errors=True)
     shutil.rmtree(comp_tmp, ignore_errors=True)
+    shutil.rmtree(stats_tmp, ignore_errors=True)
+
+    # 0. pending deletes: compaction is where tombstones become physical
+    #    (delete_serving_docs docstring has the lifecycle contract). The
+    #    anti-join rides the same O(total postings) pass stage 1 already
+    #    makes — a delete-applying compaction costs no extra scan. At
+    #    cluster scale the tombstone side is ≪ postings and hash-joins;
+    #    every post-delete statistic (N, total_len, avgdl, df, max_doc_id)
+    #    is recomputed below exactly as a fresh build over the surviving
+    #    corpus would (proven rank-identical in tests/test_deletes.py).
+    tomb = load_tombstones(spark, path)
+    n_deleted = 0
+    live_stats = None
+    if tomb is not None:
+        live_stats = (
+            spark.read.parquet(f"{path}/doc_stats")
+            .join(tomb, "doc_id", "left_anti")
+        )
+        srow = live_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("length").alias("t"),
+            F.max("doc_id").alias("m"),
+        ).collect()[0]
+        n_deleted = base["n_docs"] - int(srow["n"])
+        if n_deleted == 0:  # tombstones never matched an indexed doc
+            live_stats = None
+        else:
+            base = dict(
+                base,
+                n_docs=int(srow["n"]),
+                total_len=int(srow["t"] or 0),
+                max_doc_id=int(srow["m"] or 0),
+                avgdl=(float(srow["t"] or 0) / int(srow["n"])
+                       if int(srow["n"]) else 0.0),
+            )
+            live_stats.write.mode("overwrite").parquet(stats_tmp)
 
     # 1. coalesce every segment's raw postings into fresh whole-group
-    #    sorted files (same shuffle discipline as the base build).
+    #    sorted files (same shuffle discipline as the base build),
+    #    dropping tombstoned docs in the same pass.
     t0 = time.perf_counter()
+    raw_src = spark.read.parquet(f"{path}/postings_raw")
+    if live_stats is not None:
+        raw_src = raw_src.join(tomb, "doc_id", "left_anti")
     (
-        spark.read.parquet(f"{path}/postings_raw")
+        raw_src
         .repartition(partitions, "term", "chunk")
         .sortWithinPartitions("term", "chunk", "doc_id")
         .write.mode("overwrite")
@@ -278,6 +370,8 @@ def compact_serving_index(
 
     # 2. re-encode at the CURRENT avgdl: every chunk's pruning metadata
     #    becomes exact for the merged corpus, so the envelope collapses.
+    #    (With deletes applied, "current" is the post-delete avgdl — the
+    #    value a fresh build over the surviving corpus would use.)
     t0 = time.perf_counter()
     cmetrics = compress_files(spark, raw_tmp, comp_tmp, base["avgdl"],
                               chunk_bits=cb)
@@ -291,8 +385,11 @@ def compact_serving_index(
     #    production lakehouse this whole step is one Iceberg snapshot
     #    commit (atomic metadata swap) instead of directory renames.
     t0 = time.perf_counter()
+    tables = [("postings_raw", raw_tmp), ("postings_comp", comp_tmp)]
+    if live_stats is not None:
+        tables.append(("doc_stats", stats_tmp))
     swapped = []
-    for table, tmp in (("postings_raw", raw_tmp), ("postings_comp", comp_tmp)):
+    for table, tmp in tables:
         live = f"{path}/{table}"
         old = f"{path}/_pre_compact{gen}_{table}"
         os.rename(live, old)
@@ -329,9 +426,15 @@ def compact_serving_index(
         "chunk_rows": sum(m["chunks"] for m in cmetrics),
         "enc_avgdl": base["avgdl"],
         "n_docs_after": n_docs,
+        "docs_deleted": n_deleted,
         "bytes_out": sum(m["bytes_out"] for m in cmetrics),
         "seconds": {k: round(v, 3) for k, v in t.items()},
     })
+    # tombstones are spent only after the log commit: a crash anywhere
+    # above leaves them pending, and reapplying them is a no-op (the
+    # anti-join matches nothing once the docs are physically gone).
+    if tomb is not None:
+        shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
 
     return load_serving_index(spark, path)
 

@@ -81,25 +81,35 @@ def _qterms_values(stem: bool = False, queryset: dict[int, str] | None = None) -
     return f"(VALUES {vals}) AS q(qid, term, qweight)"
 
 
-_TOK_HEAD = r"""
+def _tok_head(corpus_where: str | None = None) -> str:
+    """The tokenization head CTEs; ``corpus_where`` (SQL over documents'
+    columns) restricts the corpus itself — every downstream statistic
+    (docstat, gstats N/avgdl, dict df) then derives from the restricted
+    corpus, exactly as an index built over it would compute them (the
+    delete-then-compact oracle)."""
+    w = f"\n  WHERE {corpus_where}" if corpus_where else ""
+    return r"""
 tok AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(
            lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\s+')) AS term
-  FROM documents
+  FROM documents%(where)s
 ),
 tok_f AS (
   SELECT doc_id, term FROM tok
   WHERE term <> '' AND term NOT IN (%(stops)s)
 ),
-""" % {"stops": _STOP_LIST_SQL}
+""" % {"stops": _STOP_LIST_SQL, "where": w}
+
+
+_TOK_HEAD = _tok_head()
 
 _COUNTS_UNSTEMMED = """counts AS (
   SELECT doc_id, term, count(*)::BIGINT AS cnt FROM tok_f GROUP BY doc_id, term
 ),
 """
 
-_TOK_TAIL = """docstat AS (
+_TOK_TAIL_TPL = """docstat AS (
   SELECT d.doc_id,
          coalesce(mx.maxcnt, 0)::BIGINT  AS maxcnt,
          coalesce(mx.length, 0)::BIGINT  AS length
@@ -107,7 +117,7 @@ _TOK_TAIL = """docstat AS (
   LEFT JOIN (
     SELECT doc_id, max(cnt) AS maxcnt, sum(cnt) AS length
     FROM counts GROUP BY doc_id
-  ) mx USING (doc_id)
+  ) mx USING (doc_id)%(where)s
 ),
 gstats AS (
   SELECT count(*)::BIGINT AS n_docs, avg(length)::DOUBLE AS avgdl FROM docstat
@@ -120,6 +130,23 @@ tfn AS (
   FROM counts c JOIN docstat s USING (doc_id)
 )
 """
+
+
+def _tok_tail(corpus_where: str | None = None) -> str:
+    w = f"\n  WHERE {corpus_where}" if corpus_where else ""
+    return _TOK_TAIL_TPL % {"where": w}
+
+
+_TOK_TAIL = _tok_tail()
+
+
+def tok_cte(corpus_where: str | None = None) -> str:
+    """TOK_CTE over a restricted corpus: the full unstemmed tokenization
+    pipeline with ``corpus_where`` applied at the documents scan, so
+    N/avgdl/df are those of the restricted corpus (what a build over it
+    computes) — the oracle grain for delete-then-compact."""
+    return _tok_head(corpus_where) + _COUNTS_UNSTEMMED + _tok_tail(corpus_where)
+
 
 TOK_CTE = _TOK_HEAD + _COUNTS_UNSTEMMED + _TOK_TAIL
 
@@ -216,16 +243,20 @@ def _bm25_scored_cte(
     stem: bool = False,
     queryset: dict[int, str] | None = None,
     doc_filter: str | None = None,
+    corpus_where: str | None = None,
 ) -> str:
     """``doc_filter`` (SQL over alias ``dd`` of documents) restricts the
     scored candidate set — the oracle twin of metadata.bm25_topk_filtered's
-    pre-aggregation semi-join."""
+    pre-aggregation semi-join — while stats stay corpus-wide (also the
+    tombstone-delete grain: Lucene's stale-stats liveDocs mask).
+    ``corpus_where`` instead restricts the CORPUS (stats recomputed over
+    survivors) — the delete-then-compact grain."""
     filter_join = (
         f"\n  JOIN documents dd ON t.doc_id = dd.doc_id AND ({doc_filter})"
         if doc_filter
         else ""
     )
-    return f"""WITH {tok_cte_stemmed() if stem else TOK_CTE},
+    return f"""WITH {tok_cte_stemmed() if stem else tok_cte(corpus_where)},
 scored AS (
   SELECT q.qid, t.doc_id,
          sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
@@ -334,6 +365,39 @@ def sql_bm25_topk_filtered(k: int = 10, doc_filter: str = "dd.lang = 'en'") -> s
     applied inside the scored CTE (pre-aggregation), so filtered queries
     return the next-best MATCHING docs, never < k post-filtered rows."""
     return f"""{_bm25_scored_cte(doc_filter=doc_filter)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_bm25_topk_deleted(k: int = 10, kept: str = "dd.doc_id % 7 <> 0") -> str:
+    """Oracle twin of registry.q_bm25_topk_deleted — Lucene liveDocs
+    semantics after delete_serving_docs but BEFORE compaction: deleted
+    docs are masked from candidates (pre-aggregation, like the filtered
+    variant) while df/N/avgdl still reflect the FULL corpus (the stale
+    statistics a tombstoned index serves until its next compaction)."""
+    return f"""{_bm25_scored_cte(doc_filter=kept)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_compacted_deletes_topk(k: int = 10, kept: str = "doc_id % 7 <> 0") -> str:
+    """Oracle twin of registry.q_compacted_deletes_topk — the corpus
+    AFTER delete-then-compact: tombstoned docs are physically gone, so
+    every statistic (N, avgdl, df, idf) is that of the surviving corpus,
+    exactly a fresh build over it."""
+    return f"""{_bm25_scored_cte(corpus_where=kept)},
 ranked AS (
   SELECT qid, doc_id, round(score, 6) AS score,
          row_number() OVER (PARTITION BY qid

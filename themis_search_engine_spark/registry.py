@@ -301,6 +301,85 @@ def q_compacted_topk(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+_TOMBSTONE_CACHE: dict[str, tuple] = {}
+
+
+def _tombstoned_bundle(spark, sf_dir):
+    """Copy of the delta-merged serving index with every doc_id % 7 == 0
+    doc tombstoned via indexing.merge.delete_serving_docs (NOT compacted)
+    — the live-index delete state both delete queries start from."""
+    import shutil
+    import tempfile
+
+    from .indexing.build import load_serving_index
+    from .indexing.merge import delete_serving_docs, load_tombstones
+
+    if sf_dir not in _TOMBSTONE_CACHE:
+        _, _, src = _delta_merged_bundle(spark, sf_dir)
+        p = tempfile.mkdtemp(prefix="themis_tombstone_") + "/idx"
+        shutil.copytree(src, p)
+        ids = load_documents(spark, sf_dir).select("doc_id").where(
+            "doc_id % 7 = 0"
+        )
+        delete_serving_docs(spark, p, ids)
+        idx = load_serving_index(spark, p)
+        tomb = load_tombstones(spark, p)
+        assert tomb is not None
+        _TOMBSTONE_CACHE[sf_dir] = (idx, tomb.cache(), p)
+    return _TOMBSTONE_CACHE[sf_dir]
+
+
+def q_bm25_topk_deleted(spark, sf_dir):
+    """Tombstoned serving index BEFORE compaction (indexing/merge.py
+    delete_serving_docs): Lucene liveDocs semantics — the tombstone set
+    is anti-joined out of the postings BEFORE aggregation (so every
+    query still returns k live docs no matter how many of its best
+    candidates died), while df/N/avgdl remain the stale full-corpus
+    statistics the index still stores. Oracle: full-corpus stats,
+    candidate mask (sql_bm25_topk_deleted)."""
+    idx, tomb, _ = _tombstoned_bundle(spark, sf_dir)
+    live = idx.postings_flat.join(F.broadcast(tomb), "doc_id", "left_anti")
+    scored = bm25_score_all(
+        _qt(spark, stem=False), live, idx.dictionary, idx.doc_stats,
+        idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+_DELCOMPACT_CACHE: dict[str, tuple] = {}
+
+
+def q_compacted_deletes_topk(spark, sf_dir):
+    """Full delete lifecycle end-to-end (indexing/merge.py): tombstone
+    doc_id % 7 == 0, then COMPACT — postings physically dropped, every
+    statistic (N, total_len, avgdl, df, idf) recomputed over survivors,
+    pruning envelope reset to (1.0, 1.0), tombstones spent. The compacted
+    index must rank-match a DuckDB BM25 built over the surviving corpus
+    alone (sql_compacted_deletes_topk). Copies the tombstoned bundle
+    first — compaction rewrites in place."""
+    import os
+    import shutil
+    import tempfile
+
+    from .indexing.merge import compact_serving_index, serving_bound_scales
+    from .queryeng.wand import wand_topk
+
+    if sf_dir not in _DELCOMPACT_CACHE:
+        _, _, src = _tombstoned_bundle(spark, sf_dir)
+        p = tempfile.mkdtemp(prefix="themis_delcompact_") + "/idx"
+        shutil.copytree(src, p)
+        idx = compact_serving_index(spark, p, partitions=16)
+        assert not os.path.exists(f"{p}/tombstones")  # deletes are spent
+        assert serving_bound_scales(spark, p) == (1.0, 1.0)
+        _DELCOMPACT_CACHE[sf_dir] = (idx,)
+    (idx,) = _DELCOMPACT_CACHE[sf_dir]
+    wide = wand_topk(
+        _qt(spark, stem=False), idx.compressed, idx.dictionary, idx.avgdl,
+        k=30, chunk_bits=idx.chunk_bits,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 _SCACHE: dict[str, tuple] = {}
 
 
@@ -1024,6 +1103,11 @@ ORACLE_SQL["s2_extract"] = osql.sql_s2_extract()
 
 # training-data pipeline operators (dedup / ANN / text analysis / media)
 from .registry_ops import OPS_ORACLE_SQL, OPS_QUERIES  # noqa: E402
+
+QUERIES["bm25_topk_deleted"] = q_bm25_topk_deleted
+ORACLE_SQL["bm25_topk_deleted"] = osql.sql_bm25_topk_deleted(10)
+QUERIES["compacted_deletes_topk"] = q_compacted_deletes_topk
+ORACLE_SQL["compacted_deletes_topk"] = osql.sql_compacted_deletes_topk(10)
 
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
