@@ -272,6 +272,48 @@ def delete_serving_docs(
     return n
 
 
+def update_serving_docs(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    replaced_ids,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stem: bool = True,
+    partitions: int = 64,
+    log_extra: dict | None = None,
+) -> ServingIndex:
+    """Replace documents in place — Lucene's ``updateDocument`` exactly:
+    tombstone the superseded internal ids (:func:`delete_serving_docs`),
+    then merge the new versions as a fresh segment under FRESH doc_ids
+    (:func:`merge_serving_delta`). Internal ids are never reused until
+    compaction — the chunked layout assumes one posting per (term, doc),
+    so a new version re-entering under its old id would corrupt chunk
+    addressing; the external identity (URL) lives upstream, in whatever
+    maps crawl snapshots to doc_ids (websnap.snapshot_diff carries both
+    cur_doc_id and prev_doc_id for precisely this handoff).
+
+    Cost is O(|changed pages|), never O(index): the tombstone append is
+    O(|deletes|) and the merge tokenizes only ``new_docs``. Until the
+    next compaction the index serves Lucene's stale-stats grain — the
+    superseded versions still count in df/N/avgdl (they were merged into
+    the stats, and deletes don't rewrite them) while the liveDocs mask
+    keeps them out of every candidate set; compaction then purges the
+    postings and restores fresh-build statistics (tests/test_updates.py
+    pins both grains against a rebuild).
+    """
+    delete_serving_docs(
+        spark, path, replaced_ids,
+        log_extra=dict(log_extra or {}, update="replaced"),
+    )
+    return merge_serving_delta(
+        spark, path, new_docs, text_col=text_col, id_col=id_col,
+        stem=stem, partitions=partitions,
+        log_extra=dict(log_extra or {}, update="new_versions"),
+    )
+
+
 def compact_serving_index(
     spark: SparkSession,
     path: str,

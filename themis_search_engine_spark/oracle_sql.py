@@ -408,6 +408,72 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+# The recrawl-scenario snapshot ranking, replicating the web-snapshot
+# fixture mapping (oracle_sql_ops._PAGES_CTE / websnap.snapshot_view:
+# url = https://<source>.example.org/p/<doc_id%7>, recrawl order =
+# warc_ts = epoch + ((doc_id*37)%1000)*3600, doc_id-desc ties) and
+# websnap.snapshot_diff's rank<=2 window: rn=1 is the new crawl's
+# snapshot (cur), rn=2 the previous one (prev); a URL changed iff their
+# texts differ (snapshot_diff compares md5(text) — same predicate).
+_RECRAWL_SNAP = """(
+  SELECT doc_id, text,
+         row_number() OVER w AS rn,
+         count(*)     OVER (PARTITION BY url) AS n,
+         lead(text)   OVER w AS nxt,
+         lag(text)    OVER w AS prv
+  FROM (
+    SELECT doc_id, text,
+           'https://' || source || '.example.org/p/'
+             || CAST(doc_id % 7 AS VARCHAR)  AS url,
+           (doc_id * 37) % 1000              AS tsk
+    FROM documents
+  )
+  WINDOW w AS (PARTITION BY url ORDER BY tsk DESC, doc_id DESC)
+)"""
+
+# merged-cur: the new crawl's snapshot where the URL is new (n=1) or its
+# text changed vs prev — exactly snapshot_diff's 'new'/'changed' set.
+_RECRAWL_CUR = "(rn = 1 AND (n = 1 OR text <> nxt))"
+# indexed corpus pre-compaction = base (every prev) ∪ merged curs
+_RECRAWL_STATS = f"rn = 2 OR {_RECRAWL_CUR}"
+# live set = merged curs ∪ prevs whose cur was unchanged (still serving)
+_RECRAWL_LIVE = f"{_RECRAWL_CUR} OR (rn = 2 AND text = prv)"
+
+
+def sql_recrawl_update_topk(k: int = 10) -> str:
+    """Oracle twin of registry.q_recrawl_update_topk — the recrawl-updated
+    index BEFORE compaction: stats (df/N/avgdl) over base ∪ merged curs
+    (superseded prevs still counted — Lucene stale-stats), candidates
+    masked to the live set."""
+    stats = f"doc_id IN (SELECT doc_id FROM {_RECRAWL_SNAP} WHERE {_RECRAWL_STATS})"
+    live = f"dd.doc_id IN (SELECT doc_id FROM {_RECRAWL_SNAP} WHERE {_RECRAWL_LIVE})"
+    return f"""{_bm25_scored_cte(corpus_where=stats, doc_filter=live)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_recrawl_compacted_topk(k: int = 10) -> str:
+    """Oracle twin of registry.q_recrawl_compacted_topk — after the
+    post-recrawl compaction the superseded versions are physically gone,
+    so the index IS a fresh build over the live set alone."""
+    live = f"doc_id IN (SELECT doc_id FROM {_RECRAWL_SNAP} WHERE {_RECRAWL_LIVE})"
+    return f"""{_bm25_scored_cte(corpus_where=live)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_bm25_topk_recency(
     k: int = 10,
     now_ts: int = 1546300800 + 999 * 3600,

@@ -380,6 +380,104 @@ def q_compacted_deletes_topk(spark, sf_dir):
     return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
 
 
+_RECRAWL_CACHE: dict[str, tuple] = {}
+
+
+def _recrawl_bundle(spark, sf_dir):
+    """The incremental-recrawl state: a serving index over the PREVIOUS
+    crawl (each URL's second-latest snapshot, = snapshot_diff's
+    prev_doc_id set), updated in place via indexing.merge.
+    update_serving_docs with exactly what websnap.snapshot_diff says the
+    new crawl changed — 'new'/'changed' curs merged as a fresh segment,
+    superseded prevs tombstoned, 'unchanged' pages never re-tokenized
+    (the O(|changed|)-not-O(crawl) property that makes recrawl ingestion
+    viable at 10^12 pages)."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving, load_serving_index
+    from .indexing.merge import load_tombstones, update_serving_docs
+    from .pipeline_ops.websnap import snapshot_diff, snapshot_view
+
+    if sf_dir not in _RECRAWL_CACHE:
+        docs = load_documents(spark, sf_dir).select(
+            "doc_id", "text", "source", "n_chars"
+        )
+        diff = snapshot_diff(snapshot_view(docs, with_text=True)).cache()
+        base_ids = diff.where("prev_doc_id IS NOT NULL").select(
+            F.col("prev_doc_id").alias("doc_id")
+        )
+        new_ids = diff.where("status IN ('new', 'changed')").select(
+            F.col("cur_doc_id").alias("doc_id")
+        )
+        dead_ids = diff.where("status = 'changed'").select(
+            F.col("prev_doc_id").alias("doc_id")
+        )
+        p = tempfile.mkdtemp(prefix="themis_recrawl_") + "/idx"
+        build_and_save_serving(
+            docs.join(base_ids, "doc_id", "semi").select("doc_id", "text"),
+            p, stem=False, chunk_bits=8, partitions=16,
+        )
+        update_serving_docs(
+            spark, p,
+            docs.join(new_ids, "doc_id", "semi").select("doc_id", "text"),
+            dead_ids, stem=False, partitions=16,
+        )
+        idx = load_serving_index(spark, p)
+        tomb = load_tombstones(spark, p)
+        assert tomb is not None
+        _RECRAWL_CACHE[sf_dir] = (idx, tomb.cache(), p)
+    return _RECRAWL_CACHE[sf_dir]
+
+
+def q_recrawl_update_topk(spark, sf_dir):
+    """Incremental recrawl ingestion end-to-end, pre-compaction grain
+    (indexing/merge.update_serving_docs driven by websnap.snapshot_diff):
+    the index serves the new crawl's changed pages and masks their
+    superseded versions via the tombstone anti-join, while df/N/avgdl
+    still count the superseded versions (Lucene's stale-stats liveDocs
+    contract until the next compaction). Oracle: stats over prev ∪
+    merged-cur, candidates restricted to the live set
+    (sql_recrawl_update_topk)."""
+    idx, tomb, _ = _recrawl_bundle(spark, sf_dir)
+    live = idx.postings_flat.join(F.broadcast(tomb), "doc_id", "left_anti")
+    scored = bm25_score_all(
+        _qt(spark, stem=False), live, idx.dictionary, idx.doc_stats,
+        idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+_RECRAWL_COMPACT_CACHE: dict[str, tuple] = {}
+
+
+def q_recrawl_compacted_topk(spark, sf_dir):
+    """Recrawl update followed by compaction: superseded page versions
+    physically purged, statistics recomputed — the index must rank-match
+    a DuckDB BM25 built over the post-recrawl live corpus alone (each
+    URL's surviving snapshot: the new version where the crawl changed
+    it, the old one where it didn't). Copies the recrawl bundle first —
+    compaction rewrites in place."""
+    import shutil
+    import tempfile
+
+    from .indexing.merge import compact_serving_index, load_tombstones
+    from .queryeng.wand import wand_topk
+
+    if sf_dir not in _RECRAWL_COMPACT_CACHE:
+        _, _, src = _recrawl_bundle(spark, sf_dir)
+        p = tempfile.mkdtemp(prefix="themis_recrawl_compact_") + "/idx"
+        shutil.copytree(src, p)
+        idx = compact_serving_index(spark, p, partitions=16)
+        assert load_tombstones(spark, p) is None  # deletes are spent
+        _RECRAWL_COMPACT_CACHE[sf_dir] = (idx,)
+    (idx,) = _RECRAWL_COMPACT_CACHE[sf_dir]
+    wide = wand_topk(
+        _qt(spark, stem=False), idx.compressed, idx.dictionary, idx.avgdl,
+        k=30, chunk_bits=idx.chunk_bits,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
 _SCACHE: dict[str, tuple] = {}
 
 
@@ -1108,6 +1206,10 @@ QUERIES["bm25_topk_deleted"] = q_bm25_topk_deleted
 ORACLE_SQL["bm25_topk_deleted"] = osql.sql_bm25_topk_deleted(10)
 QUERIES["compacted_deletes_topk"] = q_compacted_deletes_topk
 ORACLE_SQL["compacted_deletes_topk"] = osql.sql_compacted_deletes_topk(10)
+QUERIES["recrawl_update_topk"] = q_recrawl_update_topk
+ORACLE_SQL["recrawl_update_topk"] = osql.sql_recrawl_update_topk(10)
+QUERIES["recrawl_compacted_topk"] = q_recrawl_compacted_topk
+ORACLE_SQL["recrawl_compacted_topk"] = osql.sql_recrawl_compacted_topk(10)
 
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
