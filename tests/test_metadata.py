@@ -399,3 +399,47 @@ def test_negated_scores_excludes_matching_docs(spark, docs_df, midx):
     base_s = {(r["qid"], r["doc_id"]): r["score"] for r in base}
     for r in out:
         assert abs(base_s[(r["qid"], r["doc_id"])] - r["score"]) < 1e-12
+
+
+def test_prefix_qterms_expansion_and_cap(spark):
+    """prefix_qterms: completions come from the range-scan expansion,
+    capped per prefix at max_terms by (df desc, term asc), qweight 1."""
+    from themis_search_engine_spark.queryeng.spell import prefix_qterms
+
+    dictionary = spark.createDataFrame(
+        [("spark", 50, 1.0), ("sparse", 30, 1.0), ("spartan", 30, 1.0),
+         ("sparing", 10, 1.0), ("shuffle", 40, 1.0), ("zeta", 5, 1.0)],
+        "term string, df long, idf double",
+    )
+    qt = prefix_qterms(spark, dictionary, {1: "spar", 2: "sh"}, max_terms=3)
+    rows = sorted((r["qid"], r["term"], r["qweight"]) for r in qt.collect())
+    # cap=3 keeps spark(50), then the df tie sparse<spartan by term asc
+    assert rows == [
+        (1, "spark", 1.0), (1, "sparse", 1.0), (1, "spartan", 1.0),
+        (2, "shuffle", 1.0),
+    ]
+
+
+def test_prefix_topk_matches_manual_or_query(spark):
+    """A prefix query scores exactly as the OR of its expansions fed to
+    the standard BM25 plan."""
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+    from themis_search_engine_spark.queryeng.spell import prefix_qterms
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "sparse matrix spark"),
+         (3, "spartan discipline"), (4, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, stem=False)
+    qt = prefix_qterms(spark, idx.dictionary, {1: "spar"}, max_terms=16)
+    got = bm25_score_all(qt, idx.postings_flat, idx.dictionary,
+                         idx.doc_stats, idx.avgdl)
+    manual = qterms_df(spark, {1: "spark sparse spartan"}, stem=False)
+    want = bm25_score_all(manual, idx.postings_flat, idx.dictionary,
+                          idx.doc_stats, idx.avgdl)
+    g = {(r["qid"], r["doc_id"]): round(r["score"], 9) for r in got.collect()}
+    w = {(r["qid"], r["doc_id"]): round(r["score"], 9) for r in want.collect()}
+    assert g == w and len(g) == 3

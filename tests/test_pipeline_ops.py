@@ -760,3 +760,32 @@ def test_snapshot_diff_statuses(spark):
     # u4: v2 vs v2 — the v1 snapshot is beyond the rank-2 horizon
     assert out["u4"]["status"] == "unchanged"
     assert (out["u4"]["cur_doc_id"], out["u4"]["prev_doc_id"]) == (7, 6)
+
+
+def test_trending_terms_semantics_and_plan(spark):
+    """trending_terms: Laplace-smoothed surge ratio, min_df floor,
+    deterministic ties, and a TakeOrderedAndProject top-n (never a full
+    vocabulary sort)."""
+    from themis_search_engine_spark.pipeline_ops.websnap import trending_terms
+
+    rows = []
+    # 'surge': 1 early doc, 5 late → ratio (5+1)/(1+1)=3.0
+    rows += [(100, "surge", 10)] + [(200 + i, "surge", 900) for i in range(5)]
+    # 'flat': 3 early, 3 late → ratio 1.0
+    rows += [(300 + i, "flat", 10) for i in range(3)]
+    rows += [(400 + i, "flat", 900) for i in range(3)]
+    # 'fade': 5 early, 0 late → ratio 1/6
+    rows += [(500 + i, "fade", 10) for i in range(5)]
+    # 'rare': below min_df, must not appear
+    rows += [(600, "rare", 900)]
+    dt = spark.createDataFrame(rows, "doc_id long, term string, warc_ts long")
+    out = trending_terms(dt, 500, min_df=5, top_n=10)
+    got = [(r["term"], r["df_early"], r["df_late"], r["ratio"], r["rank"])
+           for r in out.collect()]
+    assert got == [
+        ("surge", 1, 5, 3.0, 1),
+        ("flat", 3, 3, 1.0, 2),
+        ("fade", 5, 0, round(1 / 6, 6), 3),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

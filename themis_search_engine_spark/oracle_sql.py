@@ -408,6 +408,73 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_prefix_topk(
+    prefix_queries: dict[int, str], max_terms: int = 16, k: int = 10
+) -> str:
+    """Oracle twin of registry.q_prefix_topk — Lucene PrefixQuery rewrite:
+    each prefix expands to its max_terms highest-df completions (df desc,
+    term asc — the deterministic maxClauseCount cap), which then score as
+    a plain OR of BM25 clauses (qweight 1)."""
+    vals = ", ".join(
+        f"({qid}, '{p}')" for qid, p in sorted(prefix_queries.items())
+    )
+    return f"""WITH {TOK_CTE},
+qpref(qid, prefix) AS (VALUES {vals}),
+qx AS (
+  SELECT qid, term FROM (
+    SELECT p.qid, d.term,
+           row_number() OVER (PARTITION BY p.qid
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM dict d JOIN qpref p ON d.term LIKE p.prefix || '%'
+  ) WHERE rn <= {max_terms}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qx q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
+    """Oracle twin of websnap.trending_terms over the index's per-doc
+    counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000
+    hours, oracle_sql_ops._WARC_TS_SQL): early window = tsk < 500.
+    ratio uses floor(x·10⁶+0.5)/10⁶ — same IEEE ops as the Spark side
+    (round() would diverge half-even vs HALF_UP)."""
+    return f"""WITH {TOK_CTE},
+trend AS (
+  SELECT term,
+         count(*) FILTER (WHERE (doc_id * 37) % 1000 < 500)  AS df_early,
+         count(*) FILTER (WHERE (doc_id * 37) % 1000 >= 500) AS df_late
+  FROM counts GROUP BY term
+),
+t2 AS (
+  SELECT term, df_early::BIGINT AS df_early, df_late::BIGINT AS df_late,
+         floor((df_late + 1.0) / (df_early + 1.0) * 1e6 + 0.5) / 1e6 AS ratio
+  FROM trend WHERE df_early + df_late >= {min_df}
+)
+SELECT term, df_early, df_late, ratio,
+       row_number() OVER (ORDER BY ratio DESC, term ASC)::BIGINT AS rank
+FROM t2
+ORDER BY rank
+LIMIT {top_n}"""
+
+
 # The recrawl-scenario snapshot ranking, replicating the web-snapshot
 # fixture mapping (oracle_sql_ops._PAGES_CTE / websnap.snapshot_view:
 # url = https://<source>.example.org/p/<doc_id%7>, recrawl order =

@@ -307,3 +307,65 @@ def domain_quality(
             & (F.col("en_frac") >= min_en_frac)
         ).alias("keep"),
     )
+
+
+def trending_terms(
+    doc_terms: DataFrame,
+    split_ts: int,
+    *,
+    ts_col: str = "warc_ts",
+    term_col: str = "term",
+    min_df: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """(term, df_early, df_late, ratio, rank) — terms whose document
+    frequency surged between two crawl windows: the trending-topics
+    signal of a continuously recrawled corpus (and, for a training-data
+    pipeline, the drift detector that says WHEN a model's corpus went
+    stale). ``doc_terms`` is one row per (doc, term) — e.g. the index's
+    per-doc counts — carrying the doc's crawl timestamp; rows before
+    ``split_ts`` are the early window.
+
+    ratio = (df_late + 1) / (df_early + 1), Laplace-smoothed so terms
+    absent from one window rank sensibly, rounded to 6dp so ranking is
+    engine-independent; ``min_df`` floors total df (hapax noise domi-
+    nates any unfloored surge list). Deterministic ties: (ratio desc,
+    term asc).
+
+    Plan: ONE term-keyed combinable groupBy (the window flag is a
+    row-local comparison, both dfs are conditional counts — partial
+    aggregation absorbs term skew), then a global top-n that executes as
+    TakeOrderedAndProject (per-partition top-n, never a full sort of the
+    vocabulary — check the plan for 'TakeOrderedAndProject'); rank is
+    stamped on the ≤ top_n collected survivors.
+    """
+    agg = (
+        doc_terms.groupBy(F.col(term_col).alias("term"))
+        .agg(
+            F.count(F.when(F.col(ts_col) < split_ts, 1))
+            .cast("long").alias("df_early"),
+            F.count(F.when(F.col(ts_col) >= split_ts, 1))
+            .cast("long").alias("df_late"),
+        )
+        .where(F.col("df_early") + F.col("df_late") >= min_df)
+        .select(
+            "term", "df_early", "df_late",
+            # floor(x·10⁶ + 0.5)/10⁶, not round(): both engines then do
+            # the same IEEE ops (DuckDB's round is half-even, Spark's
+            # HALF_UP — they differ exactly on the x.xxxxxx5 values a
+            # (df+1)/(df+1) rational with a 2-power denominator can hit)
+            (
+                F.floor(
+                    (F.col("df_late") + F.lit(1.0))
+                    / (F.col("df_early") + F.lit(1.0))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("ratio"),
+        )
+        .orderBy(F.desc("ratio"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("ratio"), F.asc("term"))
+    return agg.withColumn("rank", F.row_number().over(w).cast("long"))

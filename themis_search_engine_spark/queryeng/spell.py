@@ -152,6 +152,41 @@ def autocomplete_terms(
     )
 
 
+def prefix_qterms(
+    spark,
+    dictionary: DataFrame,
+    prefix_queries: dict[int, str],
+    *,
+    max_terms: int = 16,
+) -> DataFrame:
+    """(qid, term, qweight=1.0) — Lucene's PrefixQuery rewrite: each
+    query prefix expands to its at-most-``max_terms`` highest-df
+    dictionary completions, which then feed the standard OR-scored BM25
+    plan (the reference's Search loop has no wildcard support at all;
+    semantics follow Lucene's MultiTermQuery → BooleanQuery rewrite).
+
+    Scale shape: the expansion reuses :func:`autocomplete_terms`' RANGE
+    predicates (``term >= p AND term < p⁺`` pushed into the sorted
+    dictionary scan — row-group pruning, never a full-vocabulary LIKE),
+    and the df-desc cap is Lucene's maxClauseCount made deterministic
+    (df desc, term asc), so a one-letter prefix over a 10⁸-term web
+    vocabulary still emits ≤ max_terms clauses per query. The downstream
+    scorer's IN-list pushdown then touches only those terms' postings.
+    """
+    comp = autocomplete_terms(
+        dictionary, list(prefix_queries.values()), top_n=max_terms
+    )
+    qmap = spark.createDataFrame(
+        [(int(q), p) for q, p in sorted(prefix_queries.items())],
+        "qid long, prefix string",
+    )
+    return comp.join(F.broadcast(qmap), "prefix").select(
+        "qid",
+        F.col("suggestion").alias("term"),
+        F.lit(1.0).alias("qweight"),
+    )
+
+
 def correct_qterms(
     qterms: DataFrame,
     dictionary: DataFrame,

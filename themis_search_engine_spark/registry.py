@@ -1211,6 +1211,50 @@ ORACLE_SQL["recrawl_update_topk"] = osql.sql_recrawl_update_topk(10)
 QUERIES["recrawl_compacted_topk"] = q_recrawl_compacted_topk
 ORACLE_SQL["recrawl_compacted_topk"] = osql.sql_recrawl_compacted_topk(10)
 
+PREFIX_QUERYSET = {1: "spar", 2: "sh", 3: "optimiz", 4: "qu"}
+
+
+def q_prefix_topk(spark, sf_dir):
+    """Wildcard (prefix) retrieval end-to-end (queryeng/spell.
+    prefix_qterms): each prefix expands to its top-df dictionary
+    completions through the RANGE-predicate dictionary scan — Lucene's
+    PrefixQuery → BooleanQuery rewrite with a deterministic
+    maxClauseCount cap — then the standard OR-scored BM25 plan with
+    IN-list postings pushdown."""
+    from .queryeng.spell import prefix_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = prefix_qterms(spark, idx.dictionary, PREFIX_QUERYSET, max_terms=16)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["prefix_topk"] = q_prefix_topk
+ORACLE_SQL["prefix_topk"] = osql.sql_prefix_topk(PREFIX_QUERYSET, 16, 10)
+
+TREND_SPLIT_TS = 1546300800 + 500 * 3600
+
+
+def q_trending_terms(spark, sf_dir):
+    """Crawl-drift analytics (pipeline_ops/websnap.trending_terms): terms
+    whose df surged between the early and late crawl windows — one
+    combinable term groupBy over the index's per-doc counts with the
+    fixture crawl timestamp attached row-locally (warc_ts_expr — no
+    join), global top-n as TakeOrderedAndProject."""
+    from .pipeline_ops.websnap import trending_terms, warc_ts_expr
+
+    idx = get_index(spark, sf_dir)
+    dt = idx.counts.select("doc_id", "term").withColumn(
+        "warc_ts", warc_ts_expr()
+    )
+    return trending_terms(dt, TREND_SPLIT_TS, min_df=5, top_n=20)
+
+
+QUERIES["trending_terms"] = q_trending_terms
+ORACLE_SQL["trending_terms"] = osql.sql_trending_terms(5, 20)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
