@@ -91,3 +91,35 @@ def test_cocitation_and_bib_coupling(spark):
     bc = {(r.doc_a, r.doc_b): r.strength
           for r in bib_coupling(edges, min_strength=2).collect()}
     assert bc == {(10, 11): 2}
+
+
+def test_hits_matches_python_twin(spark):
+    from themis_search_engine_spark.linkgraph import hits, hits_py
+
+    edges = [(1, 2, 1), (1, 3, 2), (2, 3, 1), (4, 1, 1), (3, 1, 1)]
+    nodes = [1, 2, 3, 4, 5]  # 5 is isolated
+    e = spark.createDataFrame(edges, "src long, dst long, weight long")
+    n = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    got = {
+        r["doc_id"]: (r["hub"], r["authority"])
+        for r in hits(e, n, iterations=5).collect()
+    }
+    want = hits_py(edges, nodes, iterations=5)
+    assert set(got) == set(want)
+    for v in nodes:
+        assert abs(got[v][0] - want[v][0]) < 1e-9
+        assert abs(got[v][1] - want[v][1]) < 1e-9
+    # isolated node scores zero on both axes
+    assert got[5] == (0.0, 0.0)
+
+
+def test_hits_edgeless_graph_is_all_zero(spark):
+    """No edges: the L2 normalizer guard yields zeros, never NaN/null."""
+    from themis_search_engine_spark.linkgraph import hits
+
+    e = spark.createDataFrame([], "src long, dst long, weight long")
+    n = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = hits(e, n, iterations=2).collect()
+    assert sorted((r["doc_id"], r["hub"], r["authority"]) for r in rows) == [
+        (1, 0.0, 0.0), (2, 0.0, 0.0),
+    ]

@@ -859,6 +859,53 @@ def sql_bib_coupling(min_strength: int = 2) -> str:
     return _sql_shared_neighbors("dst", "src", min_strength)
 
 
+def sql_hits(iterations: int = 5) -> str:
+    """Unrolled weighted HITS with per-half-step L2 normalization — the
+    same fixed iterations the Spark loop runs (linkgraph.hits). Each
+    iteration is the authority inflow + its norm + the hub outflow +
+    its norm, all over the synthetic citation edges."""
+    # Each recursion carrier is MATERIALIZED and the L2 norm rides a
+    # sum() OVER () window inside the SAME CTE: DuckDB inlines plain
+    # CTEs, so a separate norm CTE (two references per level) expands
+    # the plan 2^iterations-fold and never finishes.
+    ctes = [
+        "ew AS MATERIALIZED (SELECT src, dst, weight FROM edges)",
+        "h0 AS (SELECT doc_id AS node, 1.0 AS hub FROM documents)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN t > 0 THEN v / sqrt(t) ELSE 0.0 END AS auth
+  FROM (
+    SELECT d.doc_id AS node, coalesce(x.a, 0.0) AS v,
+           sum(coalesce(x.a, 0.0) * coalesce(x.a, 0.0)) OVER () AS t
+    FROM documents d
+    LEFT JOIN (SELECT e.dst, sum(h.hub * e.weight) AS a
+               FROM ew e JOIN h{i - 1} h ON h.node = e.src
+               GROUP BY e.dst) x ON x.dst = d.doc_id
+  ) z)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN t > 0 THEN v / sqrt(t) ELSE 0.0 END AS hub
+  FROM (
+    SELECT d.doc_id AS node, coalesce(x.h, 0.0) AS v,
+           sum(coalesce(x.h, 0.0) * coalesce(x.h, 0.0)) OVER () AS t
+    FROM documents d
+    LEFT JOIN (SELECT e.src, sum(a.auth * e.weight) AS h
+               FROM ew e JOIN a{i} a ON a.node = e.dst
+               GROUP BY e.src) x ON x.src = d.doc_id
+  ) z)"""
+        )
+    return (
+        f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes)
+        + f"""
+SELECT h.node AS doc_id, round(h.hub, 9) AS hub,
+       round(a.auth, 9) AS authority
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
+    )
+
+
 def sql_windowed_event_counts(window_minutes: int = 360) -> str:
     """Oracle twin of sessions.windowed_event_counts: Spark's tumbling
     window() is epoch-aligned, so window_start = floor-division of whole

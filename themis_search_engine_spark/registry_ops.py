@@ -305,6 +305,23 @@ def q_pagerank(spark, sf_dir):
     return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
 
 
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities over the synthetic citation graph
+    (linkgraph.hits): per-half-step L2-normalized mutual reinforcement,
+    edge-keyed joins + combinable groupBys, broadcast-scalar normalizers
+    — the query-independent link signal beside pagerank."""
+    from .linkgraph import citation_edges, hits, synthetic_citations
+
+    docs = _docs(spark, sf_dir)
+    edges = citation_edges(synthetic_citations(docs))
+    out = hits(edges, docs.select("doc_id"), iterations=5)
+    return out.select(
+        "doc_id",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
 def q_media_meta(spark, sf_dir):
     _ship_package(spark)  # decode runs in Python workers
     return media_meta_pipeline(_docs(spark, sf_dir))
@@ -659,6 +676,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "cocitation": q_cocitation,
     "bib_coupling": q_bib_coupling,
     "frame_sample": q_frame_sample,
@@ -711,6 +729,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
+    "hits": osqlo.sql_hits(5),
     "cocitation": osqlo.sql_cocitation(2),
     "bib_coupling": osqlo.sql_bib_coupling(2),
     "frame_sample": osqlo.sql_frame_sample(3),
