@@ -123,3 +123,29 @@ def test_hits_edgeless_graph_is_all_zero(spark):
     assert sorted((r["doc_id"], r["hub"], r["authority"]) for r in rows) == [
         (1, 0.0, 0.0), (2, 0.0, 0.0),
     ]
+
+
+def test_static_rank_blend_reorders(spark):
+    """Two docs with near-equal BM25: the one every other page links to
+    must win after the blend; docs without a rank row get addend 0."""
+    import math
+
+    from themis_search_engine_spark.queryeng.staticrank import (
+        blend_static_rank,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 10, 0.50), (1, 20, 0.51), (1, 30, 0.40)],
+        "qid long, doc_id long, score double",
+    )
+    pr = spark.createDataFrame(
+        [(10, 0.30), (20, 0.01)], "doc_id long, pagerank double"
+    )  # doc 30 has no rank row
+    out = {
+        r["doc_id"]: r["score"]
+        for r in blend_static_rank(scored, pr, n_docs=10, alpha=0.5).collect()
+    }
+    assert abs(out[10] - (0.50 + 0.5 * math.log(10 * 0.30 + 1))) < 1e-12
+    assert abs(out[20] - (0.51 + 0.5 * math.log(10 * 0.01 + 1))) < 1e-12
+    assert out[30] == 0.40  # ln(1) = 0 addend
+    assert out[10] > out[20] > out[30]  # the hub overtook the text winner

@@ -438,9 +438,9 @@ def sql_citation_edges() -> str:
     return f"WITH {_EDGES_CTE} SELECT src, dst, weight FROM edges"
 
 
-def sql_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
-    """Unrolled damped weighted PageRank — the same fixed iterations the
-    Spark loop runs (linkgraph.pagerank)."""
+def _pagerank_ctes(damping: float = 0.85, iterations: int = 5) -> str:
+    """The unrolled-PageRank CTE chain (shared by sql_pagerank and the
+    static-rank blend)."""
     base = f"(1.0 - {damping}) / nn.n"
     ctes = [
         "outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src)",
@@ -458,10 +458,59 @@ def sql_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
              FROM trans t JOIN pr{i - 1} p ON p.node = t.src
              GROUP BY t.dst) i ON i.dst = d.doc_id)"""
         )
+    return ",\n".join(ctes)
+
+
+def sql_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
+    """Unrolled damped weighted PageRank — the same fixed iterations the
+    Spark loop runs (linkgraph.pagerank)."""
     return (
-        f"WITH {_EDGES_CTE},\n" + ",\n".join(ctes)
+        f"WITH {_EDGES_CTE},\n" + _pagerank_ctes(damping, iterations)
         + f"\nSELECT node AS doc_id, round(rank, 9) AS pagerank FROM pr{iterations}"
     )
+
+
+def sql_bm25_topk_pagerank(
+    damping: float = 0.85,
+    iterations: int = 5,
+    alpha: float = 0.5,
+    k: int = 10,
+) -> str:
+    """Oracle twin of registry_ops.q_bm25_topk_pagerank — the static-rank
+    blend (queryeng/staticrank.py): bm25 + alpha·ln(N·pagerank + 1),
+    composed from the BM25 scored CTE and the unrolled PageRank chain."""
+    from .oracle_sql import B, K1, TOK_CTE, _qterms_values
+
+    return f"""WITH {TOK_CTE},
+{_EDGES_CTE},
+{_pagerank_ctes(damping, iterations)},
+bscored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+blended AS (
+  SELECT b.qid, b.doc_id,
+         b.score + {alpha} * ln(nn.n * coalesce(p.rank, 0.0) + 1.0) AS score
+  FROM bscored b
+  LEFT JOIN pr{iterations} p ON p.node = b.doc_id
+  CROSS JOIN nn
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM blended
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
 
 
 # --- multimodal -------------------------------------------------------------

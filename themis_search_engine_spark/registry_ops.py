@@ -322,6 +322,32 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_bm25_topk_pagerank(spark, sf_dir):
+    """Static-rank blended retrieval (queryeng/staticrank.py): BM25 over
+    the standard query set plus alpha·ln(N·pagerank+1) — the classic
+    web-search composition of text relevance with a query-independent
+    link signal. The blend join is candidate-bounded (after scoring);
+    the zero-join scale path denormalizes the offline-refreshed rank
+    into the index."""
+    from .linkgraph import citation_edges, pagerank, synthetic_citations
+    from .queryeng.staticrank import blend_static_rank
+    from .registry import _qt, _rounded_rank_topk, get_index
+    from .queryeng.bm25 import bm25_score_all
+
+    docs = _docs(spark, sf_dir)
+    idx = get_index(spark, sf_dir)
+    pr = pagerank(
+        citation_edges(synthetic_citations(docs)), docs.select("doc_id"),
+        damping=0.85, iterations=5,
+    )
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    blended = blend_static_rank(scored, pr, n_docs=docs.count(), alpha=0.5)
+    return _rounded_rank_topk(blended, 10)
+
+
 def q_media_meta(spark, sf_dir):
     _ship_package(spark)  # decode runs in Python workers
     return media_meta_pipeline(_docs(spark, sf_dir))
@@ -677,6 +703,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
     "hits": q_hits,
+    "bm25_topk_pagerank": q_bm25_topk_pagerank,
     "cocitation": q_cocitation,
     "bib_coupling": q_bib_coupling,
     "frame_sample": q_frame_sample,
@@ -730,6 +757,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
     "hits": osqlo.sql_hits(5),
+    "bm25_topk_pagerank": osqlo.sql_bm25_topk_pagerank(0.85, 5, 0.5, 10),
     "cocitation": osqlo.sql_cocitation(2),
     "bib_coupling": osqlo.sql_bib_coupling(2),
     "frame_sample": osqlo.sql_frame_sample(3),
