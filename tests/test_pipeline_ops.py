@@ -789,3 +789,58 @@ def test_trending_terms_semantics_and_plan(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_join_exact_matches_numpy(spark):
+    import numpy as np
+
+    from themis_search_engine_spark.pipeline_ops.simsearch import knn_join
+
+    rng = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+           for i in range(12)]
+    embs = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    out = knn_join(embs, k=2, exact=True).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"])
+        )
+    V = {i: np.array(v) for i, v in rng}
+    for i, got in by_vec.items():
+        cos = sorted(
+            ((round(float(V[i] @ V[j] / (np.linalg.norm(V[i])
+                                         * np.linalg.norm(V[j]))), 6), -j)
+             for j in V if j != i),
+            reverse=True,
+        )[:2]
+        want = [(rk + 1, -j, c) for rk, (c, j) in enumerate(cos)]
+        assert sorted(got) == want, (i, sorted(got), want)
+    assert len(by_vec) == 12
+
+
+def test_knn_join_banded_is_candidate_bounded_subset(spark):
+    """Banded ranks agree with exact cosine on every emitted pair, and
+    every emitted neighbor really is an SRP candidate of its vector."""
+    from themis_search_engine_spark.pipeline_ops.simsearch import (
+        knn_join,
+        srp_lsh_candidates,
+    )
+
+    rows = [(i, [float((i * 5 + d) % 7) - 3.0 for d in range(64)])
+            for i in range(20)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = knn_join(embs, k=3, n_planes=16, bands=8, dim=64).collect()
+    assert banded
+    exact = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_join(embs, k=19, exact=True).collect()
+    }
+    cand = set()
+    for r in srp_lsh_candidates(embs, n_planes=16, bands=8,
+                                dim=64).collect():
+        cand.add((r["vec_a"], r["vec_b"]))
+        cand.add((r["vec_b"], r["vec_a"]))
+    for r in banded:
+        key = (r["vec_id"], r["neighbor_id"])
+        assert key in cand
+        assert abs(exact[key] - r["cosine"]) < 1e-9

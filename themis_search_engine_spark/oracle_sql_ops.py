@@ -369,6 +369,69 @@ JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {_DOT} / ({_NORM_A} * {_NORM_B}) >= {tau}"""
 
 
+def sql_knn_join(
+    k: int = 3, n_planes: int = 16, bands: int = 8, dim: int = 64
+) -> str:
+    """Oracle twin of simsearch.knn_join (banded path): the SAME SRP
+    signatures and banding as sql_srp_lsh_pairs, candidates opened into
+    both orientations, exact cosine, per-vector rounded-rank top-k. cand
+    is MATERIALIZED — it is referenced twice (one per orientation) and
+    DuckDB would otherwise inline the whole signature subtree into each."""
+    from .pipeline_ops.simsearch import srp_signs
+
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    bits = []
+    for i in range(n_planes):
+        lst = "[" + ", ".join(
+            f"{s:.1f}" for s in srp_signs(i, dim)
+        ) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum([embedding[d]::DOUBLE * ({lst})[d] "
+            f"for d in range(1, {dim + 1})]) >= 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    sig_expr = "\n         + ".join(bits)
+    band_rows = ", ".join(
+        f"({b}, (srp >> {b * r}) & {mask})" for b in range(bands)
+    )
+    return f"""WITH sigs AS (
+  SELECT vec_id,
+         {sig_expr} AS srp
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, bk.* FROM sigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) v(band, key)) bk
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+),
+dcand AS (
+  SELECT vec_a AS vec_id, vec_b AS neighbor_id FROM cand
+  UNION ALL
+  SELECT vec_b AS vec_id, vec_a AS neighbor_id FROM cand
+),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM dcand c
+  JOIN embeddings a ON a.vec_id = c.vec_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(cosine, 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_ivf_topk(k: int = 5, every_m: int = 50, n_probe: int = 2,
                  centroid_m: int = 25) -> str:
     return f"""WITH cents AS (

@@ -618,6 +618,79 @@ def srp_lsh_pairs(
     )
 
 
+def knn_join(
+    embs: DataFrame,
+    k: int = 5,
+    *,
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, neighbor_id, cosine, rank) — every vector's k nearest
+    same-table neighbors by exact cosine: the kNN-graph primitive
+    (semantic-dedup clustering over similarity edges, NSW/HNSW graph
+    construction, per-cluster diversity audits).
+
+    Default path (the 100 TB shape): undirected SRP-banded candidates
+    (:func:`srp_lsh_candidates`, one linear band-keyed shuffle) opened
+    into BOTH orientations — each side of a candidate pair is a
+    potential neighbor OF the other — then exact cosine over candidates
+    only and a per-vector top-k window (WindowGroupLimit: map tasks
+    pre-select k per vector, a hub vector's candidate list never sorts
+    in one task). ``exact=True`` is the all-pairs twin (O(n²) crossJoin)
+    — the small-scale oracle shape only, exactly the
+    cosine_pairs/srp_lsh_pairs split.
+
+    Recall caveat (same class as every LSH path here): a true neighbor
+    sharing no band with its vector is missed, so ranks are within the
+    candidate set; a vector with zero candidates emits no rows (its
+    neighborhood is unreported, not claimed empty). The registered
+    driver query replicates the banding bit-for-bit in DuckDB, so both
+    engines agree even where recall < 1.
+    """
+    e = with_norm(embs, vec_col)
+    a = e.select(F.col(id_col).alias("vec_id"),
+                 F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"))
+    b = e.select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"))
+    if exact:
+        pairs = a.crossJoin(b).where(
+            F.col("vec_id") != F.col("neighbor_id")
+        )
+    else:
+        und = srp_lsh_candidates(
+            embs, n_planes=n_planes, bands=bands, dim=dim,
+            vec_col=vec_col, id_col=id_col,
+        )
+        directed = und.select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+        ).unionByName(und.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+        ))
+        pairs = directed.join(a, "vec_id").join(b, "neighbor_id")
+    from pyspark.sql.window import Window
+
+    scored = pairs.select(
+        "vec_id", "neighbor_id",
+        (_dot(F.col("_va"), F.col("_vb"))
+         / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def rrf_fuse(
     text_ranked: DataFrame,
     vec_ranked: DataFrame,

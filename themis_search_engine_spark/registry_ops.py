@@ -322,6 +322,15 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """kNN graph over the embedding table (simsearch.knn_join): each
+    vector's top-3 neighbors via SRP-banded candidates (directed) +
+    exact-cosine rescoring — the semantic-clustering / graph-ANN-build
+    primitive; banding replicated bit-for-bit by the DuckDB twin."""
+    from .pipeline_ops.simsearch import knn_join
+
+    return knn_join(_embs(spark, sf_dir), k=3, n_planes=16, bands=8, dim=64)
+
 def q_bm25_topk_pagerank(spark, sf_dir):
     """Static-rank blended retrieval (queryeng/staticrank.py): BM25 over
     the standard query set plus alpha·ln(N·pagerank+1) — the classic
@@ -704,6 +713,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "hits": q_hits,
     "bm25_topk_pagerank": q_bm25_topk_pagerank,
+    "knn_join": q_knn_join,
     "cocitation": q_cocitation,
     "bib_coupling": q_bib_coupling,
     "frame_sample": q_frame_sample,
@@ -758,6 +768,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "pagerank": osqlo.sql_pagerank(0.85, 5),
     "hits": osqlo.sql_hits(5),
     "bm25_topk_pagerank": osqlo.sql_bm25_topk_pagerank(0.85, 5, 0.5, 10),
+    "knn_join": osqlo.sql_knn_join(3, 16, 8, 64),
     "cocitation": osqlo.sql_cocitation(2),
     "bib_coupling": osqlo.sql_bib_coupling(2),
     "frame_sample": osqlo.sql_frame_sample(3),
