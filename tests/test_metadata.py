@@ -443,3 +443,51 @@ def test_prefix_topk_matches_manual_or_query(spark):
     g = {(r["qid"], r["doc_id"]): round(r["score"], 9) for r in got.collect()}
     w = {(r["qid"], r["doc_id"]): round(r["score"], 9) for r in want.collect()}
     assert g == w and len(g) == 3
+
+
+def test_mmr_demotes_near_duplicates(spark):
+    """Three relevant docs: #2 is nearly identical to #1, #3 is
+    orthogonal but slightly less relevant. Plain relevance order is
+    1,2,3; MMR must pick the diverse #3 second."""
+    from themis_search_engine_spark.queryeng.mmr import mmr_py, mmr_rerank
+
+    pool = [
+        (1, 1.00, [1.0, 0.0, 0.0]),
+        (2, 0.99, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, 0.90, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    picks = mmr_py(pool, k=3, lam=0.7)
+    assert picks == [(1, 1), (3, 2), (2, 3)]
+
+    # the Spark group path produces exactly the pure-Python selection
+    pdf = spark.createDataFrame(
+        [(7, d, r) for d, r, _ in pool], "qid long, doc_id long, score double"
+    )
+    embs = spark.createDataFrame(
+        [(d, v) for d, _, v in pool], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["doc_id"], r["rank"])
+        for r in mmr_rerank(pdf, embs, k=3, lam=0.7).collect()
+    )
+    assert got == sorted(picks)
+
+
+def test_mmr_pool_smaller_than_k_and_missing_embedding(spark):
+    """k larger than the pool returns the whole pool ranked; a candidate
+    without an embedding row drops out (inner join semantics)."""
+    from themis_search_engine_spark.queryeng.mmr import mmr_rerank
+
+    pdf = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 20, 0.8), (1, 30, 0.7)],
+        "qid long, doc_id long, score double",
+    )
+    embs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],  # 30 unembedded
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["doc_id"], r["rank"])
+        for r in mmr_rerank(pdf, embs, k=5, lam=0.7).collect()
+    )
+    assert got == [(10, 1), (20, 2)]

@@ -475,6 +475,77 @@ ORDER BY rank
 LIMIT {top_n}"""
 
 
+def sql_mmr_topk(k: int = 5, pool_n: int = 20, lam: float = 0.7) -> str:
+    """Oracle twin of queryeng/mmr.mmr_rerank: BM25 top-``pool_n`` pool
+    joined to embeddings, then the greedy MMR selection UNROLLED as one
+    CTE per step (argmax of floor-rounded λ·rel − (1−λ)·max-sim over the
+    not-yet-selected pool; doc_id-asc ties). Every step CTE is
+    MATERIALIZED — the chain is referenced multiple times and DuckDB
+    would otherwise inline it exponentially. (1−λ) is emitted via repr
+    so both engines use the identical IEEE double."""
+    dot = (
+        "list_sum([p.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE "
+        "for i in range(1, len(p.embedding) + 1)])"
+    )
+    na = (
+        "sqrt(list_sum([p.embedding[i]::DOUBLE * p.embedding[i]::DOUBLE "
+        "for i in range(1, len(p.embedding) + 1)]))"
+    )
+    nb = (
+        "sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE "
+        "for i in range(1, len(q.embedding) + 1)]))"
+    )
+    one_minus = repr(1.0 - float(lam))
+    ctes = [
+        f"""ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+  FROM scored)""",
+        f"""pool AS MATERIALIZED (
+  SELECT r.qid, r.doc_id, r.rel, e.embedding
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
+  WHERE r.rn <= {pool_n})""",
+        f"""sims AS MATERIALIZED (
+  SELECT p.qid, p.doc_id AS d1, q.doc_id AS d2,
+         {dot} / ({na} * {nb}) AS sim
+  FROM pool p JOIN pool q ON p.qid = q.qid AND p.doc_id <> q.doc_id)""",
+        """sel1 AS MATERIALIZED (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM pool) z WHERE rn = 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT qid, doc_id FROM sel{j}" for j in range(1, i)
+        )
+        ctes.append(f"prev{i} AS MATERIALIZED ({prev})")
+        ctes.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT qid, doc_id FROM (
+    SELECT p.qid, p.doc_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY
+             floor(({lam!r} * p.rel - {one_minus} * (
+                SELECT max(s.sim) FROM sims s
+                JOIN prev{i} u ON u.qid = s.qid AND u.doc_id = s.d2
+                WHERE s.qid = p.qid AND s.d1 = p.doc_id
+             )) * 1e6 + 0.5) / 1e6 DESC, p.doc_id ASC) AS rn
+    FROM pool p
+    WHERE NOT EXISTS (SELECT 1 FROM prev{i} u
+                      WHERE u.qid = p.qid AND u.doc_id = p.doc_id)
+  ) z WHERE rn = 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT qid, doc_id, {i} AS rank FROM sel{i}" for i in range(1, k + 1)
+    )
+    return (
+        f"{_bm25_scored_cte()},\n" + ",\n".join(ctes)
+        + f"\nSELECT qid, doc_id, rank::BIGINT AS rank FROM ({final}) f"
+    )
+
+
 # The recrawl-scenario snapshot ranking, replicating the web-snapshot
 # fixture mapping (oracle_sql_ops._PAGES_CTE / websnap.snapshot_view:
 # url = https://<source>.example.org/p/<doc_id%7>, recrawl order =

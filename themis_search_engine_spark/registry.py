@@ -1255,6 +1255,29 @@ def q_trending_terms(spark, sf_dir):
 QUERIES["trending_terms"] = q_trending_terms
 ORACLE_SQL["trending_terms"] = osql.sql_trending_terms(5, 20)
 
+
+def q_mmr_topk(spark, sf_dir):
+    """MMR-diversified reranking (queryeng/mmr.py): the BM25 top-20 pool
+    per query, greedily reranked by λ·rel − (1−λ)·max embedding-cosine
+    to already-selected docs — one applyInPandas over qid groups, the
+    greedy loop sequential per query, parallel across the batch. Oracle
+    unrolls the greedy steps as CTEs (sql_mmr_topk)."""
+    from .corpus import load_embeddings
+    from .queryeng.mmr import mmr_rerank
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    pool = _rounded_rank_topk(scored, 20).select("qid", "doc_id", "score")
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return mmr_rerank(pool, embs, k=5, lam=0.7)
+
+
+QUERIES["mmr_topk"] = q_mmr_topk
+ORACLE_SQL["mmr_topk"] = osql.sql_mmr_topk(5, 20, 0.7)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
