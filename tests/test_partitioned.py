@@ -130,3 +130,57 @@ def test_explicit_values_must_cover_corpus(spark, pdocs, tmp_path):
             pdocs, str(tmp_path) + "/partial", "lang",
             stem=False, values=["en", "de"],  # corpus also has fr
         )
+
+
+def test_ivf_add_delta_equals_full_build(spark, tmp_path):
+    """Delta-appended IVF ≡ full build with the same centroids: results
+    identical, fresh-id guard raises on re-adds, probed cells really
+    hold files from both generations."""
+    import os
+
+    from themis_search_engine_spark.pipeline_ops.simsearch import (
+        build_ivf_index,
+        ivf_add_delta,
+        ivf_topk_persisted,
+    )
+
+    rows = [(i, [float((i * 3 + d) % 9) - 4.0 for d in range(8)])
+            for i in range(60)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = embs.where("vec_id % 20 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    full = str(tmp_path / "full")
+    build_ivf_index(embs, full, every_m=10)
+    merged = str(tmp_path / "merged")
+    build_ivf_index(
+        embs.where("vec_id % 2 = 0 OR vec_id % 10 = 0"), merged, every_m=10
+    )
+    n = ivf_add_delta(
+        spark, merged, embs.where("vec_id % 2 = 1 AND vec_id % 10 <> 0")
+    )
+    assert n == embs.where("vec_id % 2 = 1 AND vec_id % 10 <> 0").count()
+
+    def _res(path):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk_persisted(spark, path, queries, k=3,
+                                        n_probe=2).collect()
+        )
+
+    assert _res(merged) == _res(full)
+
+    # a probed cell dir holds parquet files from both write generations
+    cell_dirs = [d for d in os.listdir(f"{merged}/vectors")
+                 if d.startswith("cell=")]
+    frag = max(
+        len([f for f in os.listdir(f"{merged}/vectors/{d}")
+             if f.endswith(".parquet")])
+        for d in cell_dirs
+    )
+    assert frag > 1
+
+    with pytest.raises(ValueError, match="already exists"):
+        ivf_add_delta(spark, merged, embs.where("vec_id = 1"))

@@ -775,6 +775,59 @@ def build_ivf_index(
     )
 
 
+def ivf_add_delta(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    check_disjoint: bool = True,
+) -> int:
+    """Incremental vector ingestion into the persisted IVF layout — the
+    embedding-side twin of indexing.merge.merge_serving_delta: new
+    vectors are assigned to cells by the EXISTING centroid table (the
+    IVF contract — centroids train offline and stay fixed between
+    rebuilds, exactly Faiss's add-after-train) and appended into their
+    cell directories.
+
+    Cost is O(|delta|): one broadcast-centroid assignment pass plus a
+    partitionBy append — base vector files are never read or rewritten
+    (``check_disjoint`` reads only the base id COLUMN, a pruned scan).
+    Queries need no code change: partition pruning lists old and new
+    files of a probed cell alike, so post-delta results are identical
+    to a rebuild over the union with the same centroids (pytest-pinned
+    in tests/test_partitioned.py). Returns the number of vectors added.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    ids = new_vecs.select(F.col(id_col).alias("_id"))
+    if check_disjoint:
+        dup = (
+            spark.read.parquet(f"{path}/vectors")
+            .select(F.col(id_col).alias("_id"))
+            .join(ids, "_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"ivf_add_delta: {id_col}={dup[0]['_id']} already exists "
+                "in the index (delta ids must be fresh)"
+            )
+    cells = assign_cells(new_vecs, centroids, vec_col=vec_col,
+                         id_col=id_col)
+    out = (
+        new_vecs.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("_v"))
+        .join(cells, "_id")
+        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col),
+                "cell")
+    )
+    n = out.count()
+    out.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    return n
+
+
 def ivf_topk_persisted(
     spark,
     path: str,

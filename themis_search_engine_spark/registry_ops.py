@@ -214,6 +214,42 @@ SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 
 
+_IVFD_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_topk_delta(spark, sf_dir):
+    """Incremental IVF ingestion end-to-end (simsearch.ivf_add_delta):
+    the index is built over the even-id half (plus every centroid id, so
+    the centroid table equals the full build's), then the odd half is
+    delta-appended into the cell directories — queries over the merged
+    layout must be identical to a full build, so it shares the IVF
+    oracle."""
+    import tempfile
+
+    from .pipeline_ops.simsearch import (
+        build_ivf_index,
+        ivf_add_delta,
+        ivf_topk_persisted,
+    )
+
+    embs = _embs(spark, sf_dir)
+    if sf_dir not in _IVFD_CACHE:
+        p = tempfile.mkdtemp(prefix="themis_ivf_delta_") + "/ivf"
+        build_ivf_index(
+            embs.where("vec_id % 2 = 0 OR vec_id % 25 = 0"), p, every_m=25
+        )
+        n = ivf_add_delta(
+            spark, p, embs.where("vec_id % 2 = 1 AND vec_id % 25 <> 0")
+        )
+        assert n > 0
+        _IVFD_CACHE[sf_dir] = p
+    out = ivf_topk_persisted(
+        spark, _IVFD_CACHE[sf_dir], _query_vecs(embs), k=5, n_probe=2
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 hash of doc_id —
     stable across runs, no RNG (pipeline_ops/sampling.py)."""
@@ -708,6 +744,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_lsh_pairs": q_emb_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_topk_persisted": q_ann_ivf_topk_persisted,
+    "ann_ivf_topk_delta": q_ann_ivf_topk_delta,
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
@@ -763,6 +800,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "ann_ivf_topk_persisted": osqlo.sql_ivf_topk(5, 50, 2, 25),
+    "ann_ivf_topk_delta": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
