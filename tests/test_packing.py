@@ -74,3 +74,34 @@ def test_packed_stats_rollup(spark, counts):
     }
     # seq 0: docs 0,1,2 start there (5+0+7 tokens); seq 1: docs 3,7
     assert stats == {0: (3, 12), 1: (2, 13)}
+
+
+def test_chunk_documents_windows(spark):
+    """Window starts/overlap/tail semantics and the empty-doc rule."""
+    from themis_search_engine_spark.pipeline_ops.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "only three tokens"),
+            (3, "   ,,,   "),  # normalizes to zero tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, size=4, stride=3).collect()
+    )
+    assert out == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),          # tail window, short
+        (2, 0, 3, "only three tokens"),
+    ]
+    # adjacent windows overlap by size - stride tokens
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=0, stride=3)

@@ -1018,6 +1018,102 @@ FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node"""
     )
 
 
+_CHUNK_TOKARR = r"""tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+)"""
+
+
+def _chunk_cte(size: int, stride: int) -> str:
+    """Sliding-window chunk CTE over tokarr — DuckDB twin of
+    packing.chunk_documents (1-based inclusive list slice == Spark's
+    slice(start+1, size) with overrun truncation)."""
+    return f"""ch AS (
+  SELECT doc_id, (s // {stride})::BIGINT AS chunk_id,
+         toks[s + 1 : s + {size}] AS w
+  FROM tokarr, unnest(range(0, len(toks), {stride})) u(s)
+  WHERE len(toks) > 0
+)"""
+
+
+def sql_chunk_documents(size: int = 32, stride: int = 16) -> str:
+    """Oracle twin of packing.chunk_documents."""
+    return f"""WITH {_CHUNK_TOKARR},
+{_chunk_cte(size, stride)}
+SELECT doc_id, chunk_id, len(w)::BIGINT AS n_tokens,
+       array_to_string(w, ' ') AS chunk_text
+FROM ch"""
+
+
+def sql_passage_topk(
+    size: int = 32, stride: int = 16, k: int = 10
+) -> str:
+    """Oracle twin of registry_ops.q_passage_topk — BM25 at PASSAGE grain:
+    the full tokenize→stats→score pipeline rebuilt over the chunk corpus
+    (chunk tokens are the window slices directly — re-tokenizing
+    chunk_text would produce the same array, since tokens are alnum and
+    space-joined). Composite cid = doc_id·1000 + chunk_id mirrors the
+    Spark side."""
+    from .oracle_sql import _STOP_LIST_SQL, _qterms_values, B, K1
+
+    return f"""WITH {_CHUNK_TOKARR},
+{_chunk_cte(size, stride)},
+ctok AS (
+  SELECT doc_id * 1000 + chunk_id AS cid, unnest(w) AS term FROM ch
+),
+ctok_f AS (
+  SELECT cid, term FROM ctok WHERE term NOT IN ({_STOP_LIST_SQL})
+),
+counts AS (
+  SELECT cid, term, count(*)::BIGINT AS cnt FROM ctok_f GROUP BY cid, term
+),
+docstat AS (
+  SELECT c.cid,
+         coalesce(mx.maxcnt, 0)::BIGINT AS maxcnt,
+         coalesce(mx.length, 0)::BIGINT AS length
+  FROM (SELECT DISTINCT doc_id * 1000 + chunk_id AS cid FROM ch) c
+  LEFT JOIN (
+    SELECT cid, max(cnt) AS maxcnt, sum(cnt) AS length
+    FROM counts GROUP BY cid
+  ) mx USING (cid)
+),
+gstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(length)::DOUBLE AS avgdl
+  FROM docstat
+),
+dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM counts GROUP BY term
+),
+tfn AS (
+  SELECT c.cid, c.term, c.cnt * 1.0 / d.maxcnt AS tf
+  FROM counts c JOIN docstat d USING (cid)
+),
+scored AS (
+  SELECT q.qid, t.cid,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.cid = s.cid
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.cid
+),
+ranked AS (
+  SELECT qid, cid, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, (cid // 1000)::BIGINT AS doc_id, (cid % 1000)::BIGINT AS chunk_id,
+       score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_windowed_event_counts(window_minutes: int = 360) -> str:
     """Oracle twin of sessions.windowed_event_counts: Spark's tumbling
     window() is epoch-aligned, so window_start = floor-division of whole

@@ -113,3 +113,59 @@ def packed_stats(packed: DataFrame, *, budget: int = 2048) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs_starting"),
         F.sum("n_tokens").cast("long").alias("tokens_starting"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    size: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) — per-document sliding
+    token windows: the RAG / embedding chunking primitive (pack_sequences
+    is the concatenate-across-docs pretraining layout; this is its
+    within-document sibling, where overlap preserves context across
+    chunk boundaries).
+
+    Windows start at 0, stride, 2·stride, … while start < n_tokens (so
+    chunk_id = start/stride); the tail window may be shorter than
+    ``size``; empty docs emit no chunks. Tokens are the P2-normalized
+    whitespace stream (stopwords KEPT — chunks feed embedding models,
+    which want full context, not the retrieval token stream).
+
+    Plan: pure in-row Column arithmetic — the token array is STAGED as a
+    column once (re-inlining it per window start re-runs the tokenizer
+    ~n/stride times), then explode(sequence) + slice + array_join, all
+    codegen; no shuffle, scan-speed. ``sequence`` is guarded by the
+    n > 0 filter (Spark's sequence(0, -x) would DESCEND).
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    from .dedup import _tok_array
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tok_array(F.col(text_col)).alias("_toks"),
+    ).where(F.size("_toks") > 0)
+    last = (
+        ((F.size("_toks") - 1) / F.lit(stride)).cast("int") * F.lit(stride)
+    )
+    out = staged.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), last, F.lit(stride))
+        ).alias("_start"),
+    ).select(
+        "doc_id",
+        (F.col("_start") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.slice(F.col("_toks"), F.col("_start") + 1, size).alias("_w"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.array_join("_w", " ").alias("chunk_text"),
+    )

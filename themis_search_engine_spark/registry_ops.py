@@ -250,6 +250,50 @@ def q_ann_ivf_topk_delta(spark, sf_dir):
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG chunking (packing.chunk_documents): per-document sliding
+    token windows, size 32 / stride 16 — pure in-row codegen, no
+    shuffle."""
+    from .pipeline_ops.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=16)
+
+
+_PASSAGE_CACHE: dict[str, object] = {}
+
+
+def q_passage_topk(spark, sf_dir):
+    """Passage (chunk-grain) retrieval end-to-end: chunk the corpus,
+    index the chunks with the standard pipeline under composite ids
+    (doc_id*1000 + chunk_id), BM25 top-k, split the id back — the RAG
+    retrieval lane (return the best PASSAGE, not the best page). All
+    statistics (df, N, avgdl) are passage-grain, exactly what a chunk
+    index serves."""
+    from .indexing import build_index
+    from .pipeline_ops.packing import chunk_documents
+    from .queryeng.bm25 import bm25_score_all
+    from .registry import _qt, _rounded_rank_topk
+
+    if sf_dir not in _PASSAGE_CACHE:
+        chunks = chunk_documents(_docs(spark, sf_dir), size=32, stride=16)
+        cdocs = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        _PASSAGE_CACHE[sf_dir] = build_index(cdocs, stem=False).cache()
+    idx = _PASSAGE_CACHE[sf_dir]
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    top = _rounded_rank_topk(scored, 10)
+    return top.select(
+        "qid",
+        (F.col("doc_id") / 1000).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 1000).cast("long").alias("chunk_id"),
+        "score", "rank",
+    )
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 hash of doc_id —
     stable across runs, no RNG (pipeline_ops/sampling.py)."""
@@ -745,6 +789,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_topk_persisted": q_ann_ivf_topk_persisted,
     "ann_ivf_topk_delta": q_ann_ivf_topk_delta,
+    "chunk_docs": q_chunk_documents,
+    "passage_topk": q_passage_topk,
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
@@ -801,6 +847,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "ann_ivf_topk_persisted": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "ann_ivf_topk_delta": osqlo.sql_ivf_topk(5, 50, 2, 25),
+    "chunk_docs": osqlo.sql_chunk_documents(32, 16),
+    "passage_topk": osqlo.sql_passage_topk(32, 16, 10),
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
