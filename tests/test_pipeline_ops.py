@@ -844,3 +844,28 @@ def test_knn_join_banded_is_candidate_bounded_subset(spark):
         key = (r["vec_id"], r["neighbor_id"])
         assert key in cand
         assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_blocklist_filter_token_grain(spark):
+    """Token-grain matching: substrings never trip the list; counts are
+    occurrence counts, not distinct-word counts."""
+    from themis_search_engine_spark.pipeline_ops.textstats import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean page about scrapbooks"),   # 'crap' as substring only
+            (2, "crash then crash then panic"),
+            (3, "entirely fine text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_blocked"], r["keep"])
+        for r in blocklist_filter(docs, ["crash", "panic", "crap"]).collect()
+    }
+    assert out == {1: (0, True), 2: (3, False), 3: (0, True)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_filter(docs, [])

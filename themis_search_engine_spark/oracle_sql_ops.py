@@ -1114,6 +1114,23 @@ SELECT qid, (cid // 1000)::BIGINT AS doc_id, (cid % 1000)::BIGINT AS chunk_id,
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_blocklist_filter(words: tuple[str, ...]) -> str:
+    """Oracle twin of textstats.blocklist_filter — token-grain blocklist
+    hits over the P2-normalized stream."""
+    wl = ", ".join(f"'{w}'" for w in sorted(set(words)))
+    return rf"""WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, t -> list_contains([{wl}], t)))::BIGINT
+         AS n_blocked,
+       len(list_filter(toks, t -> list_contains([{wl}], t))) = 0 AS keep
+FROM tokarr"""
+
 def sql_windowed_event_counts(window_minutes: int = 360) -> str:
     """Oracle twin of sessions.windowed_event_counts: Spark's tumbling
     window() is epoch-aligned, so window_start = floor-division of whole

@@ -386,3 +386,43 @@ def pii_view(docs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return docs.withColumn(
         "text", F.when(d % 3 == 0, injected).otherwise(F.col("text"))
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    words: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_blocked, keep) — C4's badword stage: count blocklist
+    token occurrences in the P2-normalized token stream and flag the doc
+    (keep = zero hits). C4 drops any page containing a word from the
+    "dirty/naughty" list; the list here is an explicit parameter (the
+    real deployment ships its own), matched at TOKEN grain so "scrapbook"
+    never trips a "crap" entry the way substring matching does.
+
+    Plan: pure in-row codegen — the token array is staged once, hits are
+    a filter against a literal array (broadcast-free: the list lives in
+    the plan), no shuffle; composes with quality_score/repetition_stats
+    in the same scan. At a 10⁵-word real blocklist swap the literal
+    array for a broadcast join on token — same grain, one extra
+    map-side-combinable groupBy.
+    """
+    if not words:
+        raise ValueError("empty blocklist")
+    from .dedup import _tok_array
+
+    wl = F.array(*[F.lit(w) for w in sorted(set(words))])
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tok_array(F.col(text_col)).alias("_toks"),
+    )
+    n = F.size(
+        F.filter(F.col("_toks"), lambda t: F.array_contains(wl, t))
+    ).cast("long")
+    return staged.select(
+        "doc_id",
+        n.alias("n_blocked"),
+        (n == 0).alias("keep"),
+    )

@@ -294,6 +294,17 @@ def q_passage_topk(spark, sf_dir):
         "score", "rank",
     )
 
+BLOCKLIST = ("crash", "panic", "dup", "slow")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """C4 badword stage (textstats.blocklist_filter): token-grain
+    blocklist hit count + keep flag, in-row codegen beside the other
+    quality gates."""
+    from .pipeline_ops.textstats import blocklist_filter
+
+    return blocklist_filter(_docs(spark, sf_dir), list(BLOCKLIST))
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 hash of doc_id —
     stable across runs, no RNG (pipeline_ops/sampling.py)."""
@@ -790,6 +801,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk_persisted": q_ann_ivf_topk_persisted,
     "ann_ivf_topk_delta": q_ann_ivf_topk_delta,
     "chunk_docs": q_chunk_documents,
+    "blocklist_filter": q_blocklist_filter,
     "passage_topk": q_passage_topk,
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
@@ -848,6 +860,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk_persisted": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "ann_ivf_topk_delta": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "chunk_docs": osqlo.sql_chunk_documents(32, 16),
+    "blocklist_filter": osqlo.sql_blocklist_filter(BLOCKLIST),
     "passage_topk": osqlo.sql_passage_topk(32, 16, 10),
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
