@@ -869,3 +869,48 @@ def test_blocklist_filter_token_grain(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         blocklist_filter(docs, [])
+
+
+def test_ann_recall_counts_and_zero_hit_rows(spark):
+    """Hand-built exact/approx frames: recall = |∩|/k per query, and a
+    query whose approx set misses everything still appears (recall 0)."""
+    from themis_search_engine_spark.pipeline_ops.simsearch import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 21), (2, 99), (3, 98), (3, 99)],
+        "query_id long, vec_id long",
+    )
+    out = {
+        r["query_id"]: (r["n_hit"], r["recall"])
+        for r in ann_recall(exact, approx, k=2).collect()
+    }
+    assert out == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}
+
+
+def test_kmeans_grain_quantizes_means(spark):
+    """grain=6 training emits means on the exact 1e-6 grid (the
+    engine-independence grid: floor(x·1e6+0.5)/1e6) while preserving the
+    centroid count; grain=None output differs from it by < 1e-6 per
+    element (quantization, not a different algorithm)."""
+    from themis_search_engine_spark.corpus import load_embeddings
+    from themis_search_engine_spark.pipeline_ops.simsearch import (
+        kmeans_centroids,
+    )
+
+    embs = load_embeddings(spark, SF_DIR).select("vec_id", "embedding")
+    cq = {r["centroid_id"]: r["centroid_vec"]
+          for r in kmeans_centroids(
+              embs, every_m=25, iters=2, grain=6).collect()}
+    cr = {r["centroid_id"]: r["centroid_vec"]
+          for r in kmeans_centroids(embs, every_m=25, iters=2).collect()}
+    assert set(cq) == set(cr) and len(cq) > 0
+    import math
+    for cid, vec in cq.items():
+        for vq, vr in zip(vec, cr[cid]):
+            scaled = vq * 1e6
+            assert abs(scaled - math.floor(scaled + 0.5)) < 1e-6
+            assert abs(vq - vr) < 2e-6

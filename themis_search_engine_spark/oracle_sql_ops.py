@@ -432,9 +432,10 @@ SELECT vec_id, neighbor_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
-def sql_ivf_topk(k: int = 5, every_m: int = 50, n_probe: int = 2,
-                 centroid_m: int = 25) -> str:
-    return f"""WITH cents AS (
+def _ivf_ctes(k: int, every_m: int, n_probe: int, centroid_m: int) -> str:
+    """IVF search CTE chain ending in ``ranked`` (shared by sql_ivf_topk
+    and sql_ann_recall)."""
+    return f"""cents AS (
   SELECT vec_id AS centroid_id, embedding FROM embeddings
   WHERE vec_id % {centroid_m} = 0
 ),
@@ -472,9 +473,107 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
   FROM scored
-)
+)"""
+
+
+def sql_ivf_topk(k: int = 5, every_m: int = 50, n_probe: int = 2,
+                 centroid_m: int = 25) -> str:
+    return f"""WITH {_ivf_ctes(k, every_m, n_probe, centroid_m)}
 SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_ann_recall(k: int = 5, every_m: int = 50, n_probe: int = 2,
+                   centroid_m: int = 25) -> str:
+    """Oracle twin of simsearch.ann_recall over the registered IVF
+    config: per-query recall@k of IVF vs the brute-force exact top-k."""
+    return f"""WITH {_ivf_ctes(k, every_m, n_probe, centroid_m)},
+ivf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {k}),
+brute_scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM embeddings a, embeddings b WHERE b.vec_id % {every_m} = 0
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cosine, 6) DESC, vec_id ASC) AS rank
+    FROM brute_scored) WHERE rank <= {k}
+),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hit
+  FROM brute b JOIN ivf i
+    ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+  GROUP BY b.query_id
+)
+SELECT q.query_id,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(h.n_hit, 0) * 1.0 / {k}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN hits h ON h.query_id = q.query_id"""
+
+
+def _kmeans_ctes(every_m: int, iters: int, grain: int) -> str:
+    """Unrolled deterministic Lloyd (simsearch.kmeans_centroids): per
+    iteration an exhaustive nearest-centroid assignment (round-6 cosine,
+    cell-asc ties), an element-wise mean quantized to the ``grain``
+    engine-independence grid via floor(x·10^g + 0.5)/10^g, and a
+    keep-previous fallback for cells that lost all members."""
+    scale = 10 ** grain
+    dot_c = ("list_sum([a.embedding[i]::DOUBLE * c.cv[i] "
+             "for i in range(1, len(a.embedding) + 1)])")
+    norm_c = ("sqrt(list_sum([c.cv[i] * c.cv[i] "
+              "for i in range(1, len(c.cv) + 1)]))")
+    ctes = [f"""cents0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings WHERE vec_id % {every_m} = 0
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""scored{i} AS (
+  SELECT a.vec_id AS _id, c.centroid_id AS cell,
+         {dot_c} / ({_NORM_A} * {norm_c}) AS c_cos
+  FROM embeddings a, cents{p} c
+)""")
+        ctes.append(f"""cells{i} AS (
+  SELECT _id, cell FROM (
+    SELECT _id, cell,
+           row_number() OVER (PARTITION BY _id
+             ORDER BY round(c_cos, 6) DESC, cell ASC) AS r
+    FROM scored{i}) WHERE r = 1
+)""")
+        ctes.append(f"""means{i} AS (
+  SELECT centroid_id, list(mq ORDER BY pos) AS cv FROM (
+    SELECT cell AS centroid_id, pos,
+           floor(avg(val) * {scale} + 0.5) / {scale} AS mq
+    FROM (
+      SELECT c.cell, generate_subscripts(a.embedding, 1) AS pos,
+             unnest(a.embedding)::DOUBLE AS val
+      FROM embeddings a JOIN cells{i} c ON c._id = a.vec_id
+    ) GROUP BY cell, pos
+  ) GROUP BY centroid_id
+)""")
+        ctes.append(f"""cents{i} AS (
+  SELECT centroid_id, cv FROM means{i}
+  UNION ALL
+  SELECT centroid_id, cv FROM cents{p}
+  WHERE centroid_id NOT IN (SELECT centroid_id FROM means{i})
+)""")
+    return ",\n".join(ctes)
+
+
+def sql_kmeans_centroids(every_m: int = 25, iters: int = 2,
+                         grain: int = 6) -> str:
+    """Trained centroids exploded to scalar rows (centroid_id, pos, val)
+    with val on the 10^-grain grid as BIGINT — array-free output the
+    value-hash compares exactly."""
+    return f"""WITH {_kmeans_ctes(every_m, iters, grain)}
+SELECT centroid_id,
+       (generate_subscripts(cv, 1) - 1)::BIGINT AS pos,
+       floor(unnest(cv) * {10 ** grain} + 0.5)::BIGINT AS val
+FROM cents{iters}"""
 
 
 # --- link graph -------------------------------------------------------------

@@ -109,6 +109,38 @@ def filtered_cosine_topk(
     return cosine_topk(embs.where(predicate), queries, k=k, **kwargs)
 
 
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """(query_id, n_hit, recall) — per-query recall@k of an approximate
+    top-k against the exact one: |approx ∩ exact| / k. The measurement a
+    deployment runs before trusting an ANN index config (n_probe,
+    centroid count, quantization) — recall here is a first-class oracled
+    output, not a prose claim.
+
+    Both inputs are top-k frames ((query_id, vec_id, ...), ≤ k rows per
+    query), so everything is |Q|·k-sized: the intersection join, the
+    groupBy, the left join that keeps zero-hit queries visible as
+    recall=0 rows (dropping them would overstate macro recall). Nothing
+    touches the corpus — at 100 TB this runs over two small result
+    frames regardless of index size.
+    """
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            n.alias("n_hit"),
+            F.round(n / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
 def assign_cells(
     embs: DataFrame,
     centroids: DataFrame,
@@ -154,6 +186,7 @@ def kmeans_centroids(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    grain: int | None = None,
 ) -> DataFrame:
     """(centroid_id, centroid_vec) — deterministic Lloyd refinement of the
     every-m-th-vector IVF init (no RNG anywhere: init is data arithmetic,
@@ -165,6 +198,15 @@ def kmeans_centroids(
     A cell that loses all members keeps its previous centroid (no
     re-seeding, which would need RNG). ``iters`` is small (2-5): IVF wants
     balanced cells, not converged k-means.
+
+    ``grain``: if set, each mean element is quantized to that many decimal
+    places via floor(x·10^g + 0.5)/10^g between iterations — the
+    engine-independence grain (floor is defined identically everywhere;
+    avg's summation order is not), making the WHOLE training chain
+    bit-reproducible across engines/partitionings: iteration i+1's
+    assignments read quantized means, so a last-ulp avg difference can
+    never flip a cell. The oracled registry entry trains at grain=6;
+    production callers that don't need cross-run bit-equality leave None.
     """
     cents = embs.where(F.col(id_col) % every_m == 0).select(
         F.col(id_col).alias("centroid_id"),
@@ -176,13 +218,17 @@ def kmeans_centroids(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     )
+    scale = F.lit(float(10 ** grain)) if grain is not None else None
+    mean_expr = F.avg("val")
+    if scale is not None:
+        mean_expr = F.floor(mean_expr * scale + F.lit(0.5)) / scale
     for _ in range(int(iters)):
         cells = assign_cells(vecs, cents, vec_col="_v", id_col="_id")
         means = (
             vecs.join(cells, "_id")
             .select("cell", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("cell")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pv")

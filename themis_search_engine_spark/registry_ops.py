@@ -210,6 +210,40 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@k of the registered IVF config against brute-force exact
+    top-k (simsearch.ann_recall): the index-quality number a deployment
+    checks before trusting n_probe/centroid choices — oracled per query,
+    zero-hit queries kept as recall=0 rows."""
+    from .pipeline_ops.simsearch import ann_recall
+
+    embs = _embs(spark, sf_dir)
+    qv = _query_vecs(embs)
+    return ann_recall(
+        cosine_topk(embs, qv, k=5),
+        ivf_topk(embs, qv, k=5, every_m=25, n_probe=2),
+        5,
+    )
+
+
+def q_kmeans_centroids(spark, sf_dir):
+    """Deterministic Lloyd centroid training (simsearch.kmeans_centroids,
+    grain=6 engine-independence quantization between iterations) exploded
+    to scalar (centroid_id, pos, val) rows on the 1e-6 grid — the IVF
+    train step as an oracled query, not a prose claim."""
+    from .pipeline_ops.simsearch import kmeans_centroids
+
+    c = kmeans_centroids(_embs(spark, sf_dir), every_m=25, iters=2, grain=6)
+    return c.select(
+        "centroid_id", F.posexplode("centroid_vec").alias("pos", "v")
+    ).select(
+        "centroid_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("val"),
+    )
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 
@@ -798,6 +832,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_lsh_pairs": q_emb_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "kmeans_centroids": q_kmeans_centroids,
     "ann_ivf_topk_persisted": q_ann_ivf_topk_persisted,
     "ann_ivf_topk_delta": q_ann_ivf_topk_delta,
     "chunk_docs": q_chunk_documents,
@@ -857,6 +893,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
     "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
+    "ann_ivf_recall": osqlo.sql_ann_recall(5, 50, 2, 25),
+    "kmeans_centroids": osqlo.sql_kmeans_centroids(25, 2, 6),
     "ann_ivf_topk_persisted": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "ann_ivf_topk_delta": osqlo.sql_ivf_topk(5, 50, 2, 25),
     "chunk_docs": osqlo.sql_chunk_documents(32, 16),
