@@ -1752,6 +1752,45 @@ pairs AS (
 SELECT pair, sum(freq)::BIGINT AS cnt FROM pairs GROUP BY pair"""
 
 
+def sql_bpe_encode(merges: tuple[tuple[str, str], ...]) -> str:
+    """Oracle twin of tokenizer.bpe_encode over the corpus vocabulary:
+    each merge is one leftmost-first non-overlapping pass over the symbol
+    list (exactly bpe_encode_py's while loop), unrolled as one recursive
+    CTE per merge — the recursion walks (done, rest) one step per row, so
+    merge order and within-pass restart-after-merge semantics are
+    replicated bit-for-bit. Output exploded to scalar (word, pos, sym)."""
+    ctes = [r"""tok AS (
+  SELECT unnest(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+           '\s+')) AS word
+  FROM documents
+),
+words AS (SELECT DISTINCT word FROM tok WHERE word <> ''),
+enc0 AS (
+  SELECT word,
+         list_append([word[i] for i in range(1, length(word) + 1)],
+                     '</w>') AS syms
+  FROM words
+)"""]
+    for j, (a, b) in enumerate(merges, start=1):
+        hit = f"len(rest) >= 2 AND rest[1] = '{a}' AND rest[2] = '{b}'"
+        ctes.append(f"""rec{j} AS (
+  SELECT word, []::VARCHAR[] AS done, syms AS rest FROM enc{j - 1}
+  UNION ALL
+  SELECT word,
+    CASE WHEN {hit} THEN list_append(done, '{a}{b}')
+         ELSE list_append(done, rest[1]) END,
+    CASE WHEN {hit} THEN rest[3:] ELSE rest[2:] END
+  FROM rec{j} WHERE len(rest) > 0
+),
+enc{j} AS (SELECT word, done AS syms FROM rec{j} WHERE len(rest) = 0)""")
+    body = ",\n".join(ctes)
+    return f"""WITH RECURSIVE {body}
+SELECT word, (generate_subscripts(syms, 1) - 1)::BIGINT AS pos,
+       unnest(syms) AS sym
+FROM enc{len(merges)}"""
+
+
 # import-time pin: every embedded copy of the warc_ts fixture formula must
 # match the single source — a drifted copy fails the import, not the soak
 for _fn in (sql_web_latest_snapshot, sql_web_domain_stats,

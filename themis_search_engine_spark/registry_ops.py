@@ -804,8 +804,33 @@ def q_bpe_pairs(spark, sf_dir):
     return char_pair_counts(word_counts(_docs(spark, sf_dir)))
 
 
+# fixed literal merge list: chained rules (t+h, then th+e) pin the
+# order-dependence and within-pass restart semantics of the applier
+BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"),
+    ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
+)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize-with-trained-tokenizer (tokenizer.bpe_encode): the corpus
+    vocabulary encoded under a fixed merge list via one Arrow-batched
+    pandas UDF over the DISTINCT-word table (never re-running Python per
+    occurrence), exploded to scalar (word, pos, sym) rows. The DuckDB
+    oracle unrolls each merge as a recursive leftmost-first pass."""
+    from .pipeline_ops.tokenizer import bpe_encode, word_counts
+
+    enc = bpe_encode(
+        word_counts(_docs(spark, sf_dir)).select("word"), list(BPE_MERGES)
+    )
+    return enc.select(
+        "word", F.posexplode("tokens").alias("pos", "sym")
+    ).select("word", F.col("pos").cast("long").alias("pos"), "sym")
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
+    "bpe_encode": q_bpe_encode,
     "cluster_sample": q_cluster_sample,
     "centroid_classify": q_centroid_classify,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -929,6 +954,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "snapshot_diff": osqlo.sql_snapshot_diff(),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "bpe_pairs": osqlo.sql_bpe_pairs(),
+    "bpe_encode": osqlo.sql_bpe_encode(BPE_MERGES),
     "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
     "centroid_classify": osqlo.sql_centroid_classify(5),
     "ann_quantized_topk": osqlo.sql_quantized_topk(5, 50, 3),
