@@ -1,0 +1,141 @@
+"""KMV cardinality sketch, priority sampling, and suffix wildcard."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from themis_search_engine_spark.pipeline_ops.sampling import priority_sample
+from themis_search_engine_spark.pipeline_ops.sketches import kmv_distinct
+from themis_search_engine_spark.queryeng.spell import suffix_qterms
+
+
+def _vals(grp: str, n: int):
+    return [(grp, f"{grp}-value-{i}") for i in range(n)]
+
+
+def test_kmv_exact_branch_below_k(spark):
+    """A group with fewer than k distinct values gets the EXACT count
+    (the sketch is the whole set), including duplicate collapsing."""
+    rows = _vals("small", 10) + _vals("small", 10)  # dups collapse
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = kmv_distinct(df, "grp", "v", k=64).collect()
+    assert len(out) == 1
+    assert out[0].sketch_size == 10
+    assert out[0].est_distinct == 10.0
+
+
+def test_kmv_estimator_branch_accuracy(spark):
+    """With k=64 over 500 distinct values the (k-1)/U estimate lands
+    within the sketch's stderr regime (~1/sqrt(k-2) ≈ 13%); assert a
+    loose 3-sigma band so the test pins correctness, not luck."""
+    df = spark.createDataFrame(_vals("big", 500), "grp string, v string")
+    out = kmv_distinct(df, "grp", "v", k=64).collect()[0]
+    assert out.sketch_size == 64
+    assert 500 * 0.6 <= out.est_distinct <= 500 * 1.4
+
+
+def test_kmv_salt_invariance(spark):
+    """The salted two-phase bottom-k must be a pure optimization: the
+    sketch (and therefore the estimate) is identical for any salts."""
+    rows = _vals("g1", 300) + _vals("g2", 30)
+    df = spark.createDataFrame(rows, "grp string, v string")
+    a = sorted(kmv_distinct(df, "grp", "v", k=32, salts=2).collect())
+    b = sorted(kmv_distinct(df, "grp", "v", k=32, salts=16).collect())
+    assert a == b
+
+
+def test_kmv_matches_reference_math(spark):
+    """Recompute the kth hash and the estimate in pure Python."""
+    n, k = 200, 16
+    df = spark.createDataFrame(_vals("g", n), "grp string, v string")
+    out = kmv_distinct(df, "grp", "v", k=k).collect()[0]
+    hashes = sorted(
+        hashlib.md5(f"g-value-{i}".encode()).hexdigest() for i in range(n)
+    )
+    hk = hashes[k - 1]
+    frac = int(hk[:13], 16) / float(16**13)
+    import math
+
+    expected = math.floor((k - 1) / frac * 1e6 + 0.5) / 1e6
+    assert out.est_distinct == expected
+
+
+def _docs_with_weights(spark, n):
+    return spark.createDataFrame(
+        [(i, 10 + (i * 7) % 90) for i in range(n)],
+        "doc_id long, n_chars long",
+    )
+
+
+def test_priority_sample_is_topk_by_priority(spark):
+    """The sample must be exactly the k highest-priority rows, with
+    priorities recomputed independently (md5 + quantization in pure
+    Python), and w_hat = max(w, tau) with tau the (k+1)-th priority."""
+    import math
+
+    n, k = 120, 20
+    docs = _docs_with_weights(spark, n)
+    out = {r.doc_id: r for r in priority_sample(docs, k=k).collect()}
+    prios = []
+    for i in range(n):
+        w = 10 + (i * 7) % 90
+        h = int(
+            hashlib.md5(f"priority|{i}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 1) / 4294967296.0
+        q = math.floor(w / u * 1e6 + 0.5) / 1e6
+        prios.append((q, i, w))
+    prios.sort(key=lambda t: (-t[0], t[1]))
+    expect = prios[:k]
+    tau = prios[k][0]
+    assert sorted(out) == sorted(i for _, i, _ in expect)
+    for rank, (q, i, w) in enumerate(expect, start=1):
+        assert out[i].priority == q
+        assert out[i].rank == rank
+        assert out[i].w_hat == max(float(w), tau)
+
+
+def test_priority_sample_small_corpus_keeps_all(spark):
+    """k >= corpus size: every row kept, tau undefined, w_hat = w."""
+    docs = _docs_with_weights(spark, 5)
+    rows = priority_sample(docs, k=10).collect()
+    assert len(rows) == 5
+    assert all(r.w_hat == r.weight for r in rows)
+
+
+def test_suffix_qterms_expansion(spark):
+    """*suffix expands to dictionary terms ending with the suffix,
+    df-desc capped — via the reversed-term range predicate."""
+    dictionary = spark.createDataFrame(
+        [
+            ("customer", 50),
+            ("filter", 80),
+            ("order", 60),
+            ("merge", 10),
+            ("scan", 40),
+            ("era", 99),  # contains 'er' but does not END with it
+        ],
+        "term string, df long",
+    )
+    out = suffix_qterms(
+        spark, dictionary, {1: "er", 2: "an"}, max_terms=2
+    ).collect()
+    got = {(r.qid, r.term) for r in out}
+    # top-2 by df among {filter:80, order:60, customer:50} and {scan:40}
+    assert got == {(1, "filter"), (1, "order"), (2, "scan")}
+    assert all(r.qweight == 1.0 for r in out)
+
+
+def test_suffix_qterms_range_predicate_plan(spark):
+    """The expansion must stay a range predicate on reverse(term) — no
+    unanchored LIKE/contains in the plan (the 100 TB shape: a sorted
+    reversed dictionary serves it with row-group pruning)."""
+    dictionary = spark.createDataFrame(
+        [("filter", 80)], "term string, df long"
+    )
+    plan = suffix_qterms(
+        spark, dictionary, {1: "er"}
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Contains" not in plan and "LIKE" not in plan.upper()

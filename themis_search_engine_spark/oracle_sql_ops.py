@@ -271,6 +271,36 @@ SELECT doc_id, min(h) AS fingerprint,
 FROM hashed GROUP BY doc_id"""
 
 
+def sql_cardinality_kmv(n: int = 3, k: int = 128) -> str:
+    """Oracle twin of sketches.kmv_distinct over per-source distinct
+    n-gram shingles: bottom-k of md5 (lexicographic ≡ numeric on
+    fixed-width hex), estimate (k-1)/U with U = first 13 hex digits of
+    the kth hash / 16^13 (52 bits — exact in a double on both engines),
+    quantized floor(x·10⁶+0.5)/10⁶."""
+    return f"""WITH {_shingle_cte(n)},
+hs AS (
+  SELECT DISTINCT d.source AS grp, md5(s.shingle) AS h
+  FROM sh s JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hs
+),
+ag AS (
+  SELECT grp, count(*) AS m,
+         max(CASE WHEN rn = {k} THEN h END) AS hk
+  FROM rk WHERE rn <= {k} GROUP BY grp
+)
+SELECT grp AS source, m::BIGINT AS sketch_size,
+       CASE WHEN m < {k} THEN m::DOUBLE
+            ELSE floor(({k} - 1.0)
+                       / (('0x' || substr(hk, 1, 13))::BIGINT
+                          / 4503599627370496.0) * 1e6 + 0.5) / 1e6
+       END AS est_distinct
+FROM ag"""
+
+
 # --- embeddings -------------------------------------------------------------
 
 # queries = every 50th vector (10 queries at sf0.01); double-precision dot
@@ -943,6 +973,34 @@ SELECT doc_id,
        CASE {body}
             ELSE '{names[-1]}' END AS split
 FROM hashed"""
+
+
+def sql_priority_sample(k: int, salt: str = "priority") -> str:
+    """Oracle twin of sampling.priority_sample: q = w/u with
+    u = (hash32+1)/2^32, priorities quantized floor(x·10⁶+0.5)/10⁶
+    BEFORE ranking, tau = (k+1)-th priority, w_hat = max(w, tau) (w
+    itself when the corpus has ≤ k rows and tau is undefined)."""
+    h = _HB.format(salt=salt, key="doc_id")
+    return f"""WITH pr AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         floor(n_chars::DOUBLE
+               / (({h} + 1) / 4294967296.0) * 1e6 + 0.5) / 1e6 AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, weight, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM pr
+),
+tau AS (
+  SELECT max(CASE WHEN rn = {k + 1} THEN priority END) AS tau
+  FROM ranked WHERE rn <= {k + 1}
+)
+SELECT r.doc_id, r.weight, r.priority, r.rn::BIGINT AS rank,
+       CASE WHEN t.tau IS NULL THEN r.weight
+            ELSE greatest(r.weight, t.tau) END AS w_hat
+FROM ranked r CROSS JOIN tau t
+WHERE r.rn <= {k}"""
 
 
 def sql_stratified_sample(

@@ -96,6 +96,82 @@ def stratified_sample(
     return docs.where(h < F.floor(rate * F.lit(_HSPACE)))
 
 
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    *,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "priority",
+    salts: int = 8,
+) -> DataFrame:
+    """(doc_id, weight, priority, rank, w_hat) — deterministic weighted
+    sampling without replacement (priority sampling, Duffield–Lund–
+    Thorup, JACM'07): each row gets priority q = w / u with u a
+    uniform(0,1] pure function of (salt, id); the k highest-priority
+    rows are the sample, and ``w_hat = max(w, tau)`` with tau the
+    (k+1)-th priority is the Horvitz–Thompson weight making
+    sum(w_hat · f) unbiased for any subset sum — the standard way to
+    take a SMALL weighted sample of a 100 TB corpus (sample long docs
+    proportionally to length) that downstream stats can still
+    extrapolate from.
+
+    No RNG: u = (hash32 + 1)/2^32 from the same seeded-md5 the split
+    ops use, so the sample is identical across runs and engines, and
+    the DuckDB twin (oracle_sql_ops.sql_priority_sample) hash-matches
+    bit-for-bit. Priorities are quantized to the repo's cross-engine
+    grain floor(x·10⁶+0.5)/10⁶ BEFORE ranking (ranking on raw doubles
+    would let 1-ulp division dust flip a rank between engines).
+
+    Scale shape: the priority is a stateless codegen Column; global
+    top-(k+1) is the salted two-phase window (no single task ever sorts
+    the full corpus — phase 1 caps each of ``salts`` hash slices at
+    k+1, phase 2 ranks the ≤ salts·(k+1) survivors); tau is a 1-row
+    aggregate broadcast back, never a driver collect.
+    """
+    if k < 1:
+        raise ValueError("priority_sample needs k >= 1")
+    h = _hash_bucket(F.col(id_col), salt)
+    u = (h + F.lit(1)).cast("double") / F.lit(_HSPACE)
+    w = F.col(weight_col).cast("double")
+    pr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("weight"),
+        (F.floor(w / u * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("priority"),
+        (h % salts).alias("_salt"),
+    )
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("_salt").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    phase1 = (
+        pr.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k + 1)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy().orderBy(F.desc("priority"), F.asc("doc_id"))
+    ranked = (
+        phase1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k + 1)
+    )
+    tau = ranked.agg(
+        F.max(F.when(F.col("rank") == k + 1, F.col("priority")))
+        .alias("_tau")
+    )
+    return (
+        ranked.where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id", "weight", "priority", "rank",
+            F.when(F.col("_tau").isNull(), F.col("weight"))
+            .otherwise(F.greatest(F.col("weight"), F.col("_tau")))
+            .alias("w_hat"),
+        )
+    )
+
+
 def cluster_sample(
     clusters: DataFrame,
     *,

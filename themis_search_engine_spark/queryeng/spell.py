@@ -187,6 +187,51 @@ def prefix_qterms(
     )
 
 
+def suffix_qterms(
+    spark,
+    dictionary: DataFrame,
+    suffix_queries: dict[int, str],
+    *,
+    max_terms: int = 16,
+) -> DataFrame:
+    """(qid, term, qweight=1.0) — leading-wildcard (``*suffix``) rewrite
+    via the REVERSED-term dictionary (Lucene/Solr's
+    ReversedWildcardFilter): ``*er`` over the forward term domain is an
+    unanchored LIKE — a full vocabulary scan — but over ``reverse(term)``
+    it is the same RANGE predicate prefix expansion uses
+    (``rterm >= 're' AND rterm < 'rf'``), so a sorted/bucketed reversed
+    dictionary serves it with row-group min/max pruning. At scale the
+    reversed dictionary is a build-time artifact (one extra column on
+    S4's sink, sorted by rterm); here it is derived in-plan from the
+    same dictionary scan. The df-desc / term-asc cap is Lucene's
+    deterministic maxClauseCount rewrite, identical to
+    :func:`prefix_qterms`; the expanded clauses then feed the standard
+    OR-scored BM25 plan with IN-list postings pushdown.
+    """
+    if not suffix_queries:
+        raise ValueError("empty suffix_queries")
+    rdict = dictionary.select(
+        F.reverse(F.col("term")).alias("rterm"), "term", "df"
+    )
+    legs = []
+    for qid, s in sorted(suffix_queries.items()):
+        p = s[::-1]
+        hi = _prefix_upper_bound(p)
+        legs.append(
+            rdict.where((F.col("rterm") >= p) & (F.col("rterm") < hi))
+            .select(F.lit(int(qid)).cast("long").alias("qid"), "term", "df")
+        )
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.unionByName(leg)
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_terms)
+        .select("qid", "term", F.lit(1.0).alias("qweight"))
+    )
+
+
 def correct_qterms(
     qterms: DataFrame,
     dictionary: DataFrame,

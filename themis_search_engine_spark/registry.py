@@ -1234,6 +1234,30 @@ def q_prefix_topk(spark, sf_dir):
 QUERIES["prefix_topk"] = q_prefix_topk
 ORACLE_SQL["prefix_topk"] = osql.sql_prefix_topk(PREFIX_QUERYSET, 16, 10)
 
+SUFFIX_QUERYSET = {1: "er", 2: "an", 3: "le", 4: "w"}
+
+
+def q_suffix_topk(spark, sf_dir):
+    """Leading-wildcard (*suffix) retrieval end-to-end
+    (queryeng/spell.suffix_qterms): each suffix expands through the
+    REVERSED-term dictionary's RANGE predicate (the Lucene
+    ReversedWildcardFilter trick — an unanchored LIKE becomes a prefix
+    scan on reverse(term)), capped df-desc like PrefixQuery's rewrite,
+    then the standard OR-scored BM25 plan with IN-list postings
+    pushdown."""
+    from .queryeng.spell import suffix_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = suffix_qterms(spark, idx.dictionary, SUFFIX_QUERYSET, max_terms=16)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["suffix_topk"] = q_suffix_topk
+ORACLE_SQL["suffix_topk"] = osql.sql_suffix_topk(SUFFIX_QUERYSET, 16, 10)
+
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 
 

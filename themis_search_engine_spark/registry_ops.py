@@ -828,6 +828,33 @@ def q_bpe_encode(spark, sf_dir):
     ).select("word", F.col("pos").cast("long").alias("pos"), "sym")
 
 
+def q_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement (sampling.priority_sample,
+    Duffield–Lund–Thorup): top-k by deterministic priority w/u over
+    doc length, with the Horvitz–Thompson w_hat column — the
+    extrapolatable small-sample primitive for 100 TB corpora."""
+    from .pipeline_ops.sampling import priority_sample
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return priority_sample(docs, k=50)
+
+
+def q_cardinality_kmv(spark, sf_dir):
+    """KMV bottom-k distinct-shingle cardinality per source host
+    (pipeline_ops/sketches.kmv_distinct): the crawl-quality pre-filter
+    sketch — O(k) state per group, salted two-phase bottom-k, estimate
+    (k-1)/U on the kth hash. k=128 < per-source distinct shingles at
+    every sf, so the estimator branch (not the exact-count fallback) is
+    what the oracle verifies."""
+    from .pipeline_ops.dedup import shingles
+    from .pipeline_ops.sketches import kmv_distinct
+
+    docs = load_documents(spark, sf_dir)
+    sh = shingles(docs.select("doc_id", "text"), n=3)
+    keyed = sh.join(docs.select("doc_id", "source"), "doc_id")
+    return kmv_distinct(keyed, "source", "shingle", k=128)
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
@@ -892,6 +919,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment_lsh": q_dedup_containment_lsh,
     "snapshot_diff": q_snapshot_diff,
     "domain_quality": q_domain_quality,
+    "cardinality_kmv": q_cardinality_kmv,
+    "priority_sample": q_priority_sample,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -953,6 +982,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
     "snapshot_diff": osqlo.sql_snapshot_diff(),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
+    "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
+    "priority_sample": osqlo.sql_priority_sample(50),
     "bpe_pairs": osqlo.sql_bpe_pairs(),
     "bpe_encode": osqlo.sql_bpe_encode(BPE_MERGES),
     "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
