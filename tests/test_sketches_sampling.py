@@ -62,6 +62,53 @@ def test_kmv_matches_reference_math(spark):
     assert out.est_distinct == expected
 
 
+def test_quantile_sketch_exact_when_group_fits(spark):
+    """m <= k: the sample IS the group, so estimates are the exact
+    nearest-rank quantiles."""
+    from themis_search_engine_spark.pipeline_ops.sketches import (
+        quantile_sketch,
+    )
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+    out = {
+        r.q: r.est
+        for r in quantile_sketch(
+            df, "grp", "v", qs=[0.2, 0.5, 1.0], k=64
+        ).collect()
+    }
+    # sorted = [1,3,5,7,9]; ceil(0.2*5)=1, ceil(0.5*5)=3, ceil(1*5)=5
+    assert out == {0.2: 1.0, 0.5: 5.0, 1.0: 9.0}
+
+
+def test_quantile_sketch_matches_python_twin(spark):
+    """Sampling branch: recompute the bottom-k sample + nearest-rank
+    quantile in pure Python (same md5 hash, same index math)."""
+    import math
+
+    from themis_search_engine_spark.pipeline_ops.sketches import (
+        quantile_sketch,
+    )
+
+    n, k = 200, 32
+    rows = [(i, "g", float((i * 13) % 97)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+    out = {
+        r.q: r.est
+        for r in quantile_sketch(
+            df, "grp", "v", qs=[0.5, 0.9], k=k, salts=4
+        ).collect()
+    }
+    byhash = sorted(
+        (hashlib.md5(f"qsketch|{i}".encode()).hexdigest(), float((i * 13) % 97))
+        for i in range(n)
+    )
+    sample = sorted(v for _, v in byhash[:k])
+    for q in (0.5, 0.9):
+        idx = max(1, math.ceil(q * k))
+        assert out[q] == sample[idx - 1]
+
+
 def _docs_with_weights(spark, n):
     return spark.createDataFrame(
         [(i, 10 + (i * 7) % 90) for i in range(n)],

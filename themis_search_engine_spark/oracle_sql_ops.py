@@ -975,6 +975,32 @@ SELECT doc_id,
 FROM hashed"""
 
 
+def sql_length_quantiles(
+    qs: list[float], k: int, salt: str = "qsketch"
+) -> str:
+    """Oracle twin of sketches.quantile_sketch over per-source n_chars:
+    bottom-k rows by md5('{salt}|'||doc_id), nearest-rank quantile
+    sorted_sample[max(1, ceil(q·m))] (1-based, matching element_at)."""
+    vals = ", ".join(f"({float(q)!r}::DOUBLE)" for q in sorted(set(qs)))
+    return f"""WITH hashed AS (
+  SELECT source AS grp, n_chars::DOUBLE AS v,
+         md5('{salt}|' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+rk AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed
+),
+ag AS (
+  SELECT grp, list_sort(list(v)) AS vs, count(*) AS m
+  FROM rk WHERE rn <= {k} GROUP BY grp
+),
+qv(q) AS (VALUES {vals})
+SELECT grp AS source, q,
+       vs[greatest(1, ceil(q * m)::INT)] AS est
+FROM ag CROSS JOIN qv"""
+
+
 def sql_priority_sample(k: int, salt: str = "priority") -> str:
     """Oracle twin of sampling.priority_sample: q = w/u with
     u = (hash32+1)/2^32, priorities quantized floor(x·10⁶+0.5)/10⁶

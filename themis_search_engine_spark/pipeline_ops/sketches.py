@@ -49,6 +49,74 @@ from pyspark.sql.window import Window
 _HASH_SPACE = float(16**13)
 
 
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    k: int = 256,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "qsketch",
+    salts: int = 8,
+) -> DataFrame:
+    """(``group_col``, q, est) — per-group quantile estimates from a
+    bottom-k uniform row sample.
+
+    The sample is the k rows whose seeded-md5 hash of ``id_col`` is
+    smallest within the group — a deterministic uniform sample without
+    replacement that is MERGEABLE (the bottom-k of a union is computable
+    from the per-part bottom-ks), which is what lets per-partition /
+    per-day sketches roll up without a second corpus pass. The estimate
+    is the nearest-rank quantile of the sample: sorted_sample[max(1,
+    ceil(q·m))] (1-based), exact when the group has ≤ k rows.
+
+    Same scale shape as :func:`kmv_distinct`: salted two-phase bottom-k
+    (O(k) per-group state, no task sorts a hot group); the per-group
+    sorted array is ≤ k elements, so the final aggregate is bounded
+    regardless of group size. Deterministic across engines: the rank
+    index ceil(q·m) is IEEE arithmetic on exact small integers, and the
+    sampled values pass through unrounded.
+    """
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("qs must be fractions in (0, 1]")
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+        ).alias("h"),
+    )
+    w1 = Window.partitionBy("grp", "_salt").orderBy("h")
+    phase1 = (
+        hashed.withColumn("_salt", F.crc32(F.col("h")) % salts)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    sample = (
+        phase1.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+    )
+    agg = sample.groupBy("grp").agg(
+        F.array_sort(F.collect_list("v")).alias("vs"),
+        F.count("*").alias("m"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(float(q),) for q in sorted(set(qs))], "q double"
+    )
+    idx = F.greatest(
+        F.lit(1), F.ceil(F.col("q") * F.col("m")).cast("int")
+    )
+    return agg.crossJoin(F.broadcast(qdf)).select(
+        F.col("grp").alias(group_col),
+        "q",
+        F.element_at("vs", idx).alias("est"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,

@@ -839,6 +839,22 @@ def q_priority_sample(spark, sf_dir):
     return priority_sample(docs, k=50)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-source document-length quantiles from a bottom-k uniform
+    sample (pipeline_ops/sketches.quantile_sketch): the mergeable O(k)
+    length-distribution profiler behind Gopher-style min/max-length
+    gates — k=16 < docs-per-source at sf>=0.01, so the sampling branch
+    (not the exact small-group case) is what the oracle verifies."""
+    from .pipeline_ops.sketches import quantile_sketch
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_sketch(
+        docs, "source", "n_chars", qs=[0.25, 0.5, 0.9], k=16
+    )
+
+
 def q_cardinality_kmv(spark, sf_dir):
     """KMV bottom-k distinct-shingle cardinality per source host
     (pipeline_ops/sketches.kmv_distinct): the crawl-quality pre-filter
@@ -921,6 +937,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quality": q_domain_quality,
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
+    "length_quantiles": q_length_quantiles,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -984,6 +1001,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
     "priority_sample": osqlo.sql_priority_sample(50),
+    "length_quantiles": osqlo.sql_length_quantiles([0.25, 0.5, 0.9], 16),
     "bpe_pairs": osqlo.sql_bpe_pairs(),
     "bpe_encode": osqlo.sql_bpe_encode(BPE_MERGES),
     "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
