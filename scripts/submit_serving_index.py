@@ -157,10 +157,19 @@ def main(argv: list[str] | None = None) -> None:
             "bound_scales": desc["bound_scales"],
         }
     elif args.cmd == "describe":
-        from themis_search_engine_spark.indexing.merge import describe_index
+        from themis_search_engine_spark.indexing.merge import (
+            describe_index,
+            load_tombstones,
+            plan_compaction,
+        )
 
-        report = {"cmd": "describe", "index": args.index,
-                  **describe_index(spark, args.index)}
+        desc = describe_index(spark, args.index)
+        tomb = load_tombstones(spark, args.index)
+        report = {"cmd": "describe", "index": args.index, **desc,
+                  "maintenance": plan_compaction(
+                      desc,
+                      n_tombstones=tomb.count() if tomb is not None else 0,
+                  )}
     elif args.cmd == "build-partitioned":
         from themis_search_engine_spark.indexing.partitioned import (
             build_partitioned_serving,

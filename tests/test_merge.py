@@ -202,6 +202,22 @@ def test_describe_index_tracks_lifecycle(spark, docs, tmp_path):
     # only sanity-check it's present and positive
     assert d2["bytes_per_posting"] > 0
 
+    # the maintenance policy reads these snapshots: fresh and compacted
+    # indexes need nothing; the fragmented one trips the (tightened)
+    # fragmentation trigger; tombstone pressure trips independently.
+    from themis_search_engine_spark.indexing.merge import plan_compaction
+
+    assert plan_compaction(d0)["compact"] is False
+    p1 = plan_compaction(d1, max_fragmentation=1.0, max_segments=1)
+    assert p1["compact"] is True
+    assert len(p1["reasons"]) == 2
+    assert plan_compaction(d2)["compact"] is False
+    pt = plan_compaction(
+        d2, n_tombstones=d2["n_docs"] // 2, max_tombstone_frac=0.2
+    )
+    assert pt["compact"] is True and "tombstone_frac" in pt["reasons"][0]
+    assert pt["metrics"]["tombstone_frac"] > 0.2
+
 
 def test_merge_rejects_duplicate_doc_ids(spark, docs, tmp_path):
     p = str(tmp_path / "idx")

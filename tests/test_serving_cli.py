@@ -43,6 +43,10 @@ def test_cli_lifecycle(spark, cli, capsys, tmp_path):
 
     r = _run(cli, capsys, ["describe", "--index", idx])
     assert r["segments"] == 2 and r["max_doc_id"] == 39
+    assert "maintenance" in r and isinstance(
+        r["maintenance"]["compact"], bool
+    )
+    assert r["maintenance"]["metrics"]["segments"] == 2
 
     r = _run(cli, capsys, ["compact", "--index", idx, "--partitions", "4"])
     assert r["segments"] == 1 and r["bound_scales"] == [1.0, 1.0]

@@ -220,6 +220,75 @@ def describe_index(spark: SparkSession, path: str) -> dict:
     }
 
 
+def plan_compaction(
+    desc: dict,
+    *,
+    n_tombstones: int = 0,
+    max_segments: int = 10,
+    max_fragmentation: float = 4.0,
+    max_envelope_looseness: float = 1.25,
+    max_tombstone_frac: float = 0.2,
+) -> dict:
+    """Maintenance policy over a :func:`describe_index` snapshot — the
+    TieredMergePolicy-style scheduler decision, as a pure deterministic
+    function so operators (and tests) can evaluate it without touching
+    the index. Returns ``{"compact": bool, "reasons": [...], "metrics":
+    {...}}``; callers run :func:`compact_serving_index` when ``compact``
+    is true.
+
+    Triggers, in the order a Lucene operator would recognize them:
+
+    * ``segments`` > ``max_segments`` — too many delta generations since
+      the last major merge (per-query chunk-metadata rows grow linearly
+      with segments).
+    * ``fragmentation`` (mean rows per (term, chunk) group) >
+      ``max_fragmentation`` — the WAND scorer's scatter-add touches that
+      many fragments per logical chunk.
+    * ``envelope_looseness`` (hi/lo pruning-bound scale ratio) >
+      ``max_envelope_looseness`` — avgdl drift across segments has
+      loosened block-max pruning by that factor; pruned single-query
+      WAND inspects proportionally more chunks.
+    * pending tombstones > ``max_tombstone_frac`` · n_docs — query-time
+      anti-join masking is carrying too much dead weight (Lucene's
+      deletes-percentage trigger).
+
+    The thresholds are explicit because their right values are
+    deployment-specific (delta cadence, query mix); the defaults encode
+    the measured shape of THIS engine: fragmentation is linear cost in
+    the chunk scorer, looseness is multiplicative in pruned-chunk reads.
+    """
+    reasons = []
+    n_docs = max(int(desc.get("n_docs", 0)), 1)
+    if desc.get("segments", 1) > max_segments:
+        reasons.append(
+            f"segments {desc['segments']} > {max_segments}"
+        )
+    if desc.get("fragmentation", 1.0) > max_fragmentation:
+        reasons.append(
+            f"fragmentation {desc['fragmentation']} > {max_fragmentation}"
+        )
+    if desc.get("envelope_looseness", 1.0) > max_envelope_looseness:
+        reasons.append(
+            "envelope_looseness "
+            f"{desc['envelope_looseness']} > {max_envelope_looseness}"
+        )
+    if n_tombstones / n_docs > max_tombstone_frac:
+        reasons.append(
+            f"tombstone_frac {n_tombstones / n_docs:.3f} > "
+            f"{max_tombstone_frac}"
+        )
+    return {
+        "compact": bool(reasons),
+        "reasons": reasons,
+        "metrics": {
+            "segments": desc.get("segments", 1),
+            "fragmentation": desc.get("fragmentation", 1.0),
+            "envelope_looseness": desc.get("envelope_looseness", 1.0),
+            "tombstone_frac": round(n_tombstones / n_docs, 6),
+        },
+    }
+
+
 def load_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The index's pending-delete set as a distinct ``doc_id`` frame, or
     None when nothing is tombstoned (absent directory = empty set)."""
