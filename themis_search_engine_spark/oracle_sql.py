@@ -493,6 +493,52 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_infix_topk(
+    infix_queries: dict[int, str], max_terms: int = 16, k: int = 10
+) -> str:
+    """Oracle twin of registry.q_infix_topk — infix (*pattern*) rewrite:
+    each pattern expands to its max_terms highest-df dictionary terms
+    CONTAINING it (df desc, term asc cap; the engine's trigram-prefilter
+    + contains-verify is lossless-complete for substrings, so the plain
+    unanchored LIKE here is semantically equal), then the plain OR of
+    BM25 clauses (qweight 1). Terms shorter than 3 chars cannot contain
+    a >=3-char pattern, so the engine's length>=3 gram filter drops
+    nothing LIKE would keep."""
+    vals = ", ".join(
+        f"({qid}, '{p}')" for qid, p in sorted(infix_queries.items())
+    )
+    return f"""WITH {TOK_CTE},
+qinf(qid, pat) AS (VALUES {vals}),
+qx AS (
+  SELECT qid, term FROM (
+    SELECT p.qid, d.term,
+           row_number() OVER (PARTITION BY p.qid
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM dict d JOIN qinf p ON d.term LIKE '%' || p.pat || '%'
+  ) WHERE rn <= {max_terms}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qx q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000

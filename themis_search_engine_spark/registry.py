@@ -1258,6 +1258,30 @@ def q_suffix_topk(spark, sf_dir):
 QUERIES["suffix_topk"] = q_suffix_topk
 ORACLE_SQL["suffix_topk"] = osql.sql_suffix_topk(SUFFIX_QUERYSET, 16, 10)
 
+INFIX_QUERYSET = {1: "uer", 2: "trea", 3: "ind", 4: "olum"}
+
+
+def q_infix_topk(spark, sf_dir):
+    """Infix (*pattern*) retrieval end-to-end (queryeng/trigram.
+    infix_qterms): each pattern's trigrams equi-join into the gram→term
+    table (the Cox/pg_trgm vocabulary trigram index — candidate
+    generation linear in the matched gram postings, never a |V| LIKE
+    scan), candidates verify with exact contains, cap df-desc like
+    PrefixQuery's rewrite, then the standard OR-scored BM25 plan with
+    IN-list postings pushdown."""
+    from .queryeng.trigram import infix_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = infix_qterms(spark, idx.dictionary, INFIX_QUERYSET, max_terms=16)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["infix_topk"] = q_infix_topk
+ORACLE_SQL["infix_topk"] = osql.sql_infix_topk(INFIX_QUERYSET, 16, 10)
+
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 
 
