@@ -539,6 +539,91 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_prf_topk(
+    fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10
+) -> str:
+    """Oracle twin of registry.q_prf_topk — Rocchio pseudo-relevance
+    feedback over QUERYSET: first-pass BM25, top-fb_docs pseudo-relevant
+    set on round(score,6)/doc_id order, expansion weight
+    w = round(Σ_fb tf·idf, 6) (positive only, originals excluded,
+    top-fb_terms by w desc / term asc), final query = alpha·original
+    qweight ∪ (1-alpha)·w/max_w(q) — then weighted BM25, rounded rank.
+    Every quantization mirrors queryeng/prf.py op-for-op."""
+    oma = 1.0 - alpha
+    return f"""WITH {TOK_CTE},
+q AS (SELECT qid, term, qweight FROM {_qterms_values()}),
+idfs AS (
+  SELECT d.term, log2((g.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+  FROM dict d CROSS JOIN gstats g
+),
+s1 AS (
+  SELECT q.qid, t.doc_id,
+         sum( i.idf * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN q ON t.term = q.term
+  JOIN idfs i ON t.term = i.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+fb AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(score, 6) DESC, doc_id ASC) AS r
+    FROM s1
+  ) WHERE r <= {fb_docs}
+),
+lift AS (
+  SELECT f.qid, t.term, round(sum(t.tf * i.idf), 6) AS w
+  FROM tfn t
+  JOIN fb f ON t.doc_id = f.doc_id
+  JOIN idfs i ON t.term = i.term
+  GROUP BY f.qid, t.term
+  HAVING round(sum(t.tf * i.idf), 6) > 0
+),
+lift2 AS (
+  SELECT l.qid, l.term, l.w
+  FROM lift l LEFT JOIN q ON l.qid = q.qid AND l.term = q.term
+  WHERE q.term IS NULL
+),
+expn AS (
+  SELECT qid, term,
+         round({oma!r} * w / max(w) OVER (PARTITION BY qid), 6) AS qweight
+  FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY w DESC, term ASC) AS rn
+    FROM lift2
+  ) WHERE rn <= {fb_terms}
+),
+qx AS (
+  SELECT qid, term, {alpha!r} * qweight AS qweight FROM q
+  UNION ALL
+  SELECT qid, term, qweight FROM expn
+),
+s2 AS (
+  SELECT x.qid, t.doc_id,
+         sum( x.qweight * i.idf * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qx x ON t.term = x.term
+  JOIN idfs i ON t.term = i.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY x.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM s2
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000

@@ -1282,6 +1282,27 @@ def q_infix_topk(spark, sf_dir):
 QUERIES["infix_topk"] = q_infix_topk
 ORACLE_SQL["infix_topk"] = osql.sql_infix_topk(INFIX_QUERYSET, 16, 10)
 
+
+def q_prf_topk(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval end-to-end (queryeng/prf):
+    first-pass BM25 picks fb_docs pseudo-relevant docs per query (salted
+    rounded top-k), Rocchio-lifts their top positive-weight terms from a
+    doc_id-IN-pushed forward scan, interpolates originals·alpha with
+    expansion·(1-alpha)/max_w, and re-runs the weighted BM25 plan —
+    inherently two Spark jobs, both audited shapes."""
+    from .queryeng.prf import prf_topk
+
+    idx = get_index(spark, sf_dir)
+    return prf_topk(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, k=10,
+        fb_docs=5, fb_terms=8, alpha=0.5,
+    )
+
+
+QUERIES["prf_topk"] = q_prf_topk
+ORACLE_SQL["prf_topk"] = osql.sql_prf_topk(5, 8, 0.5, 10)
+
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 
 
