@@ -1068,6 +1068,52 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
 
+def sql_decontaminate_bloom(
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    eval_mod: int = 37,
+    salt: str = "bloom",
+) -> str:
+    """Oracle twin of sampling.decontaminate_bloom — replicates the Bloom
+    filter BIT-FOR-BIT (same seeded-md5 positions, same 32-bit words via
+    bit_or), including its false positives, then the all-bits-set probe
+    and the anti-join. pos // 32 == Spark's shiftright(pos, 5) and
+    1 << (pos % 32) stays < 2^32 on both engines."""
+    hpos = (
+        f"(('0x' || substr(md5('{salt}|' || j::VARCHAR || '|' || shingle), "
+        f"1, 8))::BIGINT % {m_bits})"
+    )
+    return f"""WITH {_shingle_cte(n)},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0),
+evpos AS (
+  SELECT {hpos} AS pos FROM ev CROSS JOIN range({n_hashes}) r(j)
+),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << (pos % 32)) AS word
+  FROM evpos GROUP BY pos // 32
+),
+probe AS (
+  SELECT s.doc_id, s.shingle, {hpos} AS pos
+  FROM sh s CROSS JOIN range({n_hashes}) r(j)
+),
+flags AS (
+  SELECT p.doc_id, p.shingle,
+         sum(CASE WHEN w.word IS NOT NULL
+                   AND (w.word & (1::BIGINT << (p.pos % 32))) <> 0
+             THEN 1 ELSE 0 END) AS hits
+  FROM (SELECT doc_id, shingle, pos, pos // 32 AS word_idx FROM probe) p
+  LEFT JOIN words w ON p.word_idx = w.word_idx
+  GROUP BY p.doc_id, p.shingle
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM flags WHERE hits = {n_hashes}
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
 def sql_pack_sequences(budget: int = 2048) -> str:
     """Oracle twin of packing.pack_sequences: raw (unfiltered) token
     counts, exclusive prefix sum in doc_id order, floor-division sequence

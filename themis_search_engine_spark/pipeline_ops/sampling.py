@@ -10,6 +10,9 @@ Training-data plumbing the 100 TB pipeline needs around the cleaning ops:
   deterministic hash, so a 10% 'en' sample is the SAME 10% every run.
 * :func:`decontaminate` — drop training docs sharing >= ``min_overlap``
   word n-grams with any eval-set doc (the benchmark-leakage guard).
+* :func:`decontaminate_bloom` — the guard's broadcast-bounded scale
+  path: the eval shingle set compressed to an m-bit Bloom filter
+  (m/8 bytes flat), false positives only ever OVER-drop.
 
 Hash math: the first 8 hex chars of md5 of the key, as a long in
 [0, 2^32) — the same seeded-md5 trick the MinHash ops use, so DuckDB
@@ -293,5 +296,135 @@ def decontaminate(
         .agg(F.count("*").alias("_hits"))
         .where(F.col("_hits") >= min_overlap)
         .select(F.col("_id").alias(id_col))
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def _bloom_pos(value, j, m_bits: int, salt: str):
+    """Hash position j of ``value`` in [0, m_bits): the repo's seeded-md5
+    32-bit hash mod m_bits (m_bits a power of two, so the mod is an
+    unbiased bit mask of an already-uniform hash)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + "|"),
+                        j.cast("string"),
+                        F.lit("|"),
+                        value.cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_bits(
+    members: DataFrame,
+    col: str = "shingle",
+    *,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """(word_idx, word) — an ``m_bits``-wide Bloom filter over the
+    ``col`` values, materialized as 32-bit words in BIGINTs (bit b of
+    word w covers filter position 32·w + b; 32-bit words keep every
+    shift in cross-engine-safe range). Deterministic: positions are
+    seeded-md5, the word build is a commutative bit_or aggregate — no
+    RNG, no order dependence, so the DuckDB twin is bit-exact.
+
+    Map-side combinable and mergeable (bit_or of two filters over the
+    same (m, h, salt) IS the filter of the union), so per-benchmark /
+    per-partition filters roll up without re-scanning members.
+    """
+    if m_bits & (m_bits - 1) or m_bits < 32:
+        raise ValueError(f"m_bits must be a power of two >= 32: {m_bits}")
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+    pos = (
+        members.select(F.col(col).alias("_v"))
+        .distinct()
+        .select("_v", j)
+        .select(_bloom_pos(F.col("_v"), F.col("j"), m_bits, salt).alias("pos"))
+    )
+    return (
+        pos.select(
+            F.expr("shiftright(pos, 5)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "bloom",
+) -> DataFrame:
+    """:func:`decontaminate` (min_overlap=1) with the eval shingle set
+    compressed into a Bloom filter — the 100 TB shape when the benchmark
+    suite itself is large: the broadcast is m_bits/8 bytes FLAT (a 2³⁰-bit
+    filter is 128 MB for any number of eval shingles, where the exact
+    shingle-set broadcast grows with the suite), at the cost of false
+    positives that can only OVER-drop. One-sided by construction: a
+    shingle truly shared always has all its bits set, so every doc the
+    exact op drops is dropped here too — training data never silently
+    keeps leakage; it loses ~(1-e^{-hs/m})^h extra docs.
+
+    Plan: eval side = one shingle explode → h seeded-md5 positions →
+    bit_or into m/32 words (tiny, broadcast); training side = one
+    shingle explode → h positions → broadcast-join the words →
+    all-bits-set check per (doc, shingle) → distinct contaminated ids →
+    left_anti. Linear end-to-end, no shuffle keyed wider than the
+    training shingle lift.
+    """
+    ev = _shingles(eval_docs, n, id_col, text_col).select("shingle")
+    words = F.broadcast(
+        bloom_bits(ev, "shingle", m_bits=m_bits, n_hashes=n_hashes, salt=salt)
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+    probe = (
+        _shingles(docs, n, id_col, text_col)
+        .select("_id", "shingle", j)
+        .select(
+            "_id",
+            "shingle",
+            _bloom_pos(F.col("shingle"), F.col("j"), m_bits, salt).alias("pos"),
+        )
+        .select(
+            "_id",
+            "shingle",
+            F.expr("shiftright(pos, 5)").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+            ).alias("_mask"),
+        )
+    )
+    hit = F.when(
+        F.col("word").isNotNull()
+        & (F.col("word").bitwiseAND(F.col("_mask")) != 0),
+        1,
+    ).otherwise(0)
+    contaminated = (
+        probe.join(words, "word_idx", "left")
+        .select("_id", "shingle", hit.alias("_hit"))
+        .groupBy("_id", "shingle")
+        .agg(F.sum("_hit").alias("_hits"))
+        .where(F.col("_hits") == n_hashes)
+        .select(F.col("_id").alias(id_col))
+        .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")

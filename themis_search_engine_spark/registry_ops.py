@@ -372,6 +372,22 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, ev, n=3, min_overlap=1).select("doc_id")
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """The leakage guard's broadcast-bounded scale path: the same eval
+    set compressed into a 2^16-bit Bloom filter (m/8 bytes flat however
+    large the benchmark suite grows); false positives only OVER-drop —
+    the exact op's survivors are a superset (pipeline_ops/sampling.py).
+    The oracle replicates the filter bit-for-bit (seeded md5 + bit_or),
+    not just the semantics."""
+    from .pipeline_ops.sampling import decontaminate_bloom
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate_bloom(
+        docs, ev, n=3, m_bits=1 << 16, n_hashes=4
+    ).select("doc_id")
+
+
 _IVF_CACHE: dict[str, str] = {}
 
 
@@ -882,6 +898,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "exact_dedup": q_exact_dedup,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -946,6 +963,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "hash_split": osqlo.sql_hash_split(SPLIT_WEIGHTS),
     "stratified_sample": osqlo.sql_stratified_sample(SAMPLE_RATES, 0.1),
     "decontaminate": osqlo.sql_decontaminate(3, 1, 37),
+    "decontaminate_bloom": osqlo.sql_decontaminate_bloom(3, 1 << 16, 4, 37),
     "exact_dedup": osqlo.sql_exact_dedup(),
     "dedup_jaccard": osqlo.sql_jaccard_pairs(2, 0.8),
     "minhash_signatures": osqlo.sql_minhash_signatures(2, 16),
