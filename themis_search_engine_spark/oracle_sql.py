@@ -624,6 +624,66 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_boolean_topk(boolean_queries: dict[int, str], k: int = 10) -> str:
+    """Oracle twin of registry.q_boolean_topk — compiles the SAME ASTs
+    (queryeng.boolquery.parse_boolean) to SQL: candidates are docs with
+    >= 1 query term, per-term presence flags via bool_or, score =
+    BM25 sum over positive terms present, predicate per qid over the
+    flags, rounded rank. Grammar and predicate logic literally cannot
+    drift from the Spark side — both compile one AST."""
+    from .queryeng.boolquery import (
+        parse_boolean,
+        predicate_sql,
+        query_terms,
+    )
+
+    asts = {int(q): parse_boolean(s) for q, s in sorted(boolean_queries.items())}
+    qrows = []
+    flag_terms: set = set()
+    preds = []
+    for qid, ast in asts.items():
+        positive, allt = query_terms(ast)
+        flag_terms.update(allt)
+        qrows.extend(
+            f"({qid}, '{t}', {'TRUE' if t in set(positive) else 'FALSE'})"
+            for t in allt
+        )
+        preds.append(f"(qid = {qid} AND {predicate_sql(ast)})")
+    flags = ",\n         ".join(
+        f"bool_or(t.term = '{t}') AS f_{t}" for t in sorted(flag_terms)
+    )
+    vals = ", ".join(qrows)
+    return f"""WITH {TOK_CTE},
+q(qid, term, positive) AS (VALUES {vals}),
+cand AS (
+  SELECT q.qid, t.doc_id,
+         sum(CASE WHEN q.positive THEN
+               log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * ({K1} + 1.0)
+               / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl))
+             ELSE 0.0 END) AS score,
+         {flags}
+  FROM tfn t
+  JOIN q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+matched AS (
+  SELECT qid, doc_id, score FROM cand
+  WHERE {" OR ".join(preds)}
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM matched
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000

@@ -1303,6 +1303,35 @@ def q_prf_topk(spark, sf_dir):
 QUERIES["prf_topk"] = q_prf_topk
 ORACLE_SQL["prf_topk"] = osql.sql_prf_topk(5, 8, 0.5, 10)
 
+BOOLEAN_QUERYSET = {
+    1: "spark AND join",
+    2: "merge OR sort",
+    3: "scan AND NOT filter",
+    4: "(window OR group) AND order",
+    5: "batch AND (stream OR merge) AND NOT slow",
+    6: "fast vector",  # adjacency = implicit AND
+}
+
+
+def q_boolean_topk(spark, sf_dir):
+    """Boolean query language end-to-end (queryeng/boolquery): AND/OR/
+    NOT/parens parsed driver-side, the whole batch evaluated in ONE job
+    — IN-pushed postings scan, broadcast qterms, one groupBy computing
+    positive-BM25 sum + presence flags, per-qid compiled predicates in
+    codegen; NOT is flag absence, never a corpus anti-join."""
+    from .queryeng.boolquery import boolean_score_all
+
+    idx = get_index(spark, sf_dir)
+    scored = boolean_score_all(
+        spark, BOOLEAN_QUERYSET, idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["boolean_topk"] = q_boolean_topk
+ORACLE_SQL["boolean_topk"] = osql.sql_boolean_topk(BOOLEAN_QUERYSET, 10)
+
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 
 
