@@ -684,6 +684,32 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_total_hits() -> str:
+    """Oracle twin of registry.q_query_hit_count — docs matching >= 1
+    query term, per query (queries whose terms all miss yield no row)."""
+    return f"""WITH {TOK_CTE},
+q AS (SELECT DISTINCT qid, term FROM {_qterms_values()})
+SELECT q.qid, count(DISTINCT c.doc_id)::BIGINT AS n_hits
+FROM counts c JOIN q ON c.term = q.term
+GROUP BY q.qid"""
+
+
+def sql_search_after_topk(k: int = 10) -> str:
+    """Oracle twin of registry.q_search_after_topk — pagination
+    correctness stated as the rank identity: the page fetched via the
+    cursor predicate must be EXACTLY ranks k+1..2k of the full ranking
+    (for qids that had a complete first page), re-numbered 1..k."""
+    return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, (rank - {k})::BIGINT AS rank
+FROM ranked WHERE rank > {k} AND rank <= {2 * k}"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000
