@@ -1,14 +1,13 @@
-"""Cursor pagination + total hits: page identity, walk-the-corpus."""
+"""Cursor pagination walk + total hits (queryeng/explain.py)."""
 
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from themis_search_engine_spark.indexing import build_index
 from themis_search_engine_spark.queryeng import bm25_score_all, qterms_df
-from themis_search_engine_spark.queryeng.paging import (
-    search_after_topk,
+from themis_search_engine_spark.queryeng.explain import (
+    search_after,
     total_hits,
 )
 from themis_search_engine_spark.queryeng.prf import _rounded_topk_salted
@@ -27,45 +26,35 @@ def qt(spark):
     return qterms_df(spark, {1: "common"}, stem=False)
 
 
-def _full_ranking(qt, idx, k=1000):
+def test_pages_tile_the_full_ranking(spark, idx, qt):
+    """Walking pages of 7 via cursors reproduces the full 25-doc ranking
+    exactly, in order, with no overlap and no gap — the page-walk form
+    of the page-2 identity test_bm25 pins."""
     scored = bm25_score_all(
         qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
     )
-    return _rounded_topk_salted(scored, k).collect()
-
-
-def test_pages_tile_the_full_ranking(spark, idx, qt):
-    """Walking pages of 7 via cursors reproduces the full 25-doc ranking
-    exactly, in order, with no overlap and no gap."""
-    full = sorted(_full_ranking(qt, idx), key=lambda r: r.rank)
+    full = sorted(_rounded_topk_salted(scored, 1000).collect(),
+                  key=lambda r: r.rank)
     assert len(full) == 25
     walked = []
-    cursors: dict = {}
+    cursor_rows = None
     for _page in range(4):
-        rows = search_after_topk(
-            qt, idx.postings_flat, idx.dictionary, idx.doc_stats,
-            idx.avgdl, cursors, k=7,
-        ).collect()
-        rows = sorted(rows, key=lambda r: r.rank)
-        if not rows:
+        if cursor_rows is None:
+            page = _rounded_topk_salted(scored, 7).collect()
+        else:
+            cursors = spark.createDataFrame(
+                cursor_rows, "qid long, after_score double, after_doc_id long"
+            )
+            page = search_after(scored, cursors, 7).collect()
+        page = sorted(page, key=lambda r: r.rank)
+        if not page:
             break
-        walked.extend(rows)
-        last = rows[-1]
-        cursors = {1: (last.score, last.doc_id)}
-    assert [(r.doc_id, r.score) for r in walked] == [
-        (r.doc_id, r.score) for r in full
-    ]
-
-
-def test_empty_cursor_is_first_page(spark, idx, qt):
-    p1 = search_after_topk(
-        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
-        {}, k=5,
-    ).collect()
-    full = sorted(_full_ranking(qt, idx), key=lambda r: r.rank)[:5]
-    assert sorted((r.doc_id, r.rank) for r in p1) == sorted(
-        (r.doc_id, r.rank) for r in full
-    )
+        walked.extend(page)
+        last = page[-1]
+        cursor_rows = [(1, float(last.score), int(last.doc_id))]
+    assert [r.doc_id for r in walked] == [r.doc_id for r in full]
+    for w, f in zip(walked, full):
+        assert w.score == pytest.approx(f.score, rel=1e-12)
 
 
 def test_total_hits(spark, idx):

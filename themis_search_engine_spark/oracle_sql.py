@@ -694,22 +694,6 @@ FROM counts c JOIN q ON c.term = q.term
 GROUP BY q.qid"""
 
 
-def sql_search_after_topk(k: int = 10) -> str:
-    """Oracle twin of registry.q_search_after_topk — pagination
-    correctness stated as the rank identity: the page fetched via the
-    cursor predicate must be EXACTLY ranks k+1..2k of the full ranking
-    (for qids that had a complete first page), re-numbered 1..k."""
-    return f"""{_bm25_scored_cte()},
-ranked AS (
-  SELECT qid, doc_id, round(score, 6) AS score,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
-  FROM scored
-)
-SELECT qid, doc_id, score, (rank - {k})::BIGINT AS rank
-FROM ranked WHERE rank > {k} AND rank <= {2 * k}"""
-
-
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000
@@ -1509,6 +1493,26 @@ def sql_bm25_topk_expanded_emb(
 # empty fields). sf_dir-independent by design: the fixture exercises parse
 # edge cases the synthetic corpus can't.
 S2_FIXTURE = "/root/repo/tests/fixtures/s2_sample.jsonl"
+ACCENTS_FIXTURE = "/root/repo/tests/fixtures/webtext_accents.jsonl"
+
+
+def sql_fold_tokens() -> str:
+    """Oracle twin of registry.q_fold_tokens — accent-folded token
+    counts over the checked-in webtext fixture. The fold SQL is compiled
+    from textproc's OWN map constants (fold_accents_sql), so the oracle
+    exercises the exact translate/replace the Column runs."""
+    from .textproc import fold_accents_sql
+
+    return rf"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+    lower(regexp_replace({fold_accents_sql("text")},
+                         '[^a-zA-Z0-9]', ' ', 'g')), '\s+')) AS term
+  FROM read_json('{ACCENTS_FIXTURE}', format='newline_delimited',
+                 columns={{doc_id: 'BIGINT', text: 'VARCHAR'}})
+)
+SELECT doc_id, term, count(*)::BIGINT AS cnt FROM tok
+WHERE term <> '' AND term NOT IN ({_STOP_LIST_SQL})
+GROUP BY doc_id, term"""
 
 
 def sql_s2_extract() -> str:

@@ -1,7 +1,7 @@
 """Score explanation and cursor pagination — ranked-list serving surface.
 
-Two APIs every production search engine exposes around the ranked list,
-absent from the reference (Search.java prints scores only):
+Three APIs every production search engine exposes around the ranked
+list, absent from the reference (Search.java prints scores only):
 
 * :func:`explain_scores` — the per-term score breakdown (Lucene's
   ``explain``): for chosen (qid, doc_id) pairs, each query term's BM25
@@ -11,6 +11,8 @@ absent from the reference (Search.java prints scores only):
   re-ranks only documents strictly after the last (score, doc_id) seen,
   so serving page 1000 costs the same as page 1 (an OFFSET plan sorts
   and skips 1000·k rows — per query, per page).
+* :func:`total_hits` — the "about N results" count: docs matching at
+  least one query term, one combinable count-distinct per query.
 
 Scale: explain restricts the postings scan with the SAME term IN-list
 pushdown the scorer uses, then a broadcast semi-join on the (qid,
@@ -92,3 +94,20 @@ def search_after(
         .select("qid", "doc_id", "score")
     )
     return topk(after.withColumn("score", r), k)
+
+
+def total_hits(qterms: DataFrame, postings_flat: DataFrame) -> DataFrame:
+    """(qid, n_hits) — the "about N results" number: count of docs
+    containing >= 1 query term (the OR-semantics candidate count).
+    One IN-pushed postings scan + one map-side-combinable
+    count-distinct; queries whose terms all miss yield no row."""
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    pruned = (
+        postings_flat.where(F.col("term").isin(terms))
+        if terms else postings_flat
+    )
+    return (
+        pruned.join(F.broadcast(qterms.select("qid", "term")), "term")
+        .groupBy("qid")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_hits"))
+    )

@@ -1334,10 +1334,10 @@ ORACLE_SQL["boolean_topk"] = osql.sql_boolean_topk(BOOLEAN_QUERYSET, 10)
 
 
 def q_query_hit_count(spark, sf_dir):
-    """The "about N results" count (queryeng/paging.total_hits): docs
+    """The "about N results" count (queryeng/explain.total_hits): docs
     matching >= 1 query term — one IN-pushed scan + combinable
     count-distinct per query."""
-    from .queryeng.paging import total_hits
+    from .queryeng.explain import total_hits
 
     idx = get_index(spark, sf_dir)
     return total_hits(_qt(spark, stem=False), idx.postings_flat)
@@ -1347,35 +1347,6 @@ QUERIES["query_hit_count"] = q_query_hit_count
 ORACLE_SQL["query_hit_count"] = osql.sql_total_hits()
 
 
-def q_search_after_topk(spark, sf_dir):
-    """Deep pagination via cursor (queryeng/paging.search_after_topk,
-    the Elasticsearch search_after design): fetch page 1, use its last
-    (score, doc_id) as the stateless cursor, fetch page 2 as "top-k
-    after the cursor" — never an OFFSET re-sort. The oracle asserts the
-    rank identity: page 2 == ranks 11..20 of the full ranking."""
-    from .queryeng.paging import search_after_topk
-
-    idx = get_index(spark, sf_dir)
-    qt = _qt(spark, stem=False)
-    page1 = _rounded_rank_topk(
-        bm25_score_all(
-            qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
-        ),
-        10,
-    )
-    cursors = {
-        int(r["qid"]): (float(r["score"]), int(r["doc_id"]))
-        for r in page1.where(F.col("rank") == 10).collect()
-    }
-    qt2 = qt.where(F.col("qid").isin(sorted(cursors)))
-    return search_after_topk(
-        qt2, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
-        cursors, k=10,
-    )
-
-
-QUERIES["search_after_topk"] = q_search_after_topk
-ORACLE_SQL["search_after_topk"] = osql.sql_search_after_topk(10)
 
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 

@@ -76,6 +76,58 @@ def normalize_expr(col: Column) -> Column:
     return F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]", " "))
 
 
+# --- accent folding (webtext pre-pass in front of P2) -----------------------
+#
+# P2 is ASCII-only by reference semantics (Indexer.java:307-364): 'café'
+# tokenizes as 'caf' + nothing. Real web text is full of Latin diacritics,
+# so the analyzer family gains an optional fold-accents pre-pass (the
+# Lucene ASCIIFoldingFilter idea, restricted to the common Latin-1 /
+# Latin-Extended-A set). 1→1 mappings compile to ONE translate() call
+# (codegen, no regex); the few 1→2 ligatures (ß æ œ) are replace() calls
+# in front. Anything unmapped still falls to P2's non-alnum → space.
+# The same constants feed the DuckDB oracle twin, so the map cannot drift.
+
+_FOLD_PAIRS = [
+    ("àáâãäåāą", "a"), ("èéêëěę", "e"), ("ìíîï", "i"), ("òóôõöøő", "o"),
+    ("ùúûüůű", "u"), ("ýÿ", "y"), ("ñńň", "n"), ("çćč", "c"),
+    ("šśş", "s"), ("žźż", "z"), ("đďð", "d"), ("łľĺ", "l"), ("ř", "r"),
+    ("ťţ", "t"), ("ğ", "g"),
+    ("ÀÁÂÃÄÅĀĄ", "A"), ("ÈÉÊËĚĘ", "E"), ("ÌÍÎÏ", "I"), ("ÒÓÔÕÖØŐ", "O"),
+    ("ÙÚÛÜŮŰ", "U"), ("ÝŸ", "Y"), ("ÑŃŇ", "N"), ("ÇĆČ", "C"),
+    ("ŠŚŞ", "S"), ("ŽŹŻ", "Z"), ("ĐĎ", "D"), ("ŁĽĹ", "L"), ("Ř", "R"),
+    ("ŤŢ", "T"), ("Ğ", "G"),
+]
+FOLD_SRC = "".join(src for src, _ in _FOLD_PAIRS)
+FOLD_DST = "".join(dst * len(src) for src, dst in _FOLD_PAIRS)
+FOLD_MULTI = [("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("Æ", "AE"), ("Œ", "OE")]
+
+
+def fold_accents(col: Column) -> Column:
+    """Latin diacritics → ASCII as a native Column (one translate + a
+    handful of ligature replaces; whole-stage codegen, no UDF, no regex).
+    Compose in FRONT of :func:`normalize_expr`."""
+    out = col
+    for s, d in FOLD_MULTI:
+        out = F.replace(out, F.lit(s), F.lit(d))
+    return F.translate(out, FOLD_SRC, FOLD_DST)
+
+
+def fold_accents_py(text: str) -> str:
+    """Python twin of :func:`fold_accents` (for oracles and tests)."""
+    for s, d in FOLD_MULTI:
+        text = text.replace(s, d)
+    return text.translate(str.maketrans(FOLD_SRC, FOLD_DST))
+
+
+def fold_accents_sql(expr: str) -> str:
+    """The same fold as ANSI SQL over ``expr`` — built from the SAME
+    constants, so the DuckDB twin can never drift from the Column."""
+    out = expr
+    for s, d in FOLD_MULTI:
+        out = f"replace({out}, '{s}', '{d}')"
+    return f"translate({out}, '{FOLD_SRC}', '{FOLD_DST}')"
+
+
 def tokens_native(
     df: DataFrame,
     text_col: str = "text",
