@@ -1347,6 +1347,28 @@ QUERIES["query_hit_count"] = q_query_hit_count
 ORACLE_SQL["query_hit_count"] = osql.sql_total_hits()
 
 
+def q_fold_tokens(spark, sf_dir):
+    """Accent-folding analyzer pre-pass (textproc.fold_accents — the
+    Lucene ASCIIFoldingFilter idea): Latin diacritics → ASCII in ONE
+    codegen translate + ligature replaces, composed in front of the
+    reference's ASCII-only P2, so 'café' indexes as 'cafe' instead of
+    'caf'. Runs over the checked-in accented-webtext fixture
+    (sf_dir-independent); both engines fold with the SAME map constants."""
+    from .textproc import fold_accents, term_counts_native
+
+    df = spark.read.schema("doc_id LONG, text STRING").json(
+        osql.ACCENTS_FIXTURE
+    )
+    folded = df.select("doc_id", fold_accents(F.col("text")).alias("text"))
+    return term_counts_native(folded).select(
+        "doc_id", "term", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+QUERIES["fold_tokens"] = q_fold_tokens
+ORACLE_SQL["fold_tokens"] = osql.sql_fold_tokens()
+
+
 
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 
