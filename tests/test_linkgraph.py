@@ -149,3 +149,46 @@ def test_static_rank_blend_reorders(spark):
     assert abs(out[20] - (0.51 + 0.5 * math.log(10 * 0.01 + 1))) < 1e-12
     assert out[30] == 0.40  # ln(1) = 0 addend
     assert out[10] > out[20] > out[30]  # the hub overtook the text winner
+
+
+def test_trustrank_matches_python_and_decays(spark):
+    from themis_search_engine_spark.linkgraph import trustrank, trustrank_py
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    edges_df = citation_edges(synthetic_citations(docs))
+    seeds = docs.where("doc_id % 5 = 0")
+    tr = {
+        r["doc_id"]: r["trust"]
+        for r in trustrank(
+            edges_df, docs, seeds, damping=0.85, iterations=5
+        ).collect()
+    }
+    edges = [(r["src"], r["dst"], r["weight"]) for r in edges_df.collect()]
+    want = trustrank_py(edges, list(range(20)), [0, 5, 10, 15], 0.85, 5)
+    assert set(tr) == set(want)
+    for v in tr:
+        assert tr[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12), v
+    # seeds carry teleport mass; total trust <= 1 (mass only leaks,
+    # never appears)
+    assert sum(tr.values()) <= 1.0 + 1e-9
+    assert all(tr[s] > 0 for s in (0, 5, 10, 15))
+
+
+def test_trustrank_unreachable_stays_zero(spark):
+    from themis_search_engine_spark.linkgraph import trustrank
+
+    # 0 -> 1 -> 2, and isolated 3; seed = {0}
+    docs = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1)], "src long, dst long, weight long"
+    )
+    seeds = docs.where("doc_id = 0")
+    tr = {
+        r["doc_id"]: r["trust"]
+        for r in trustrank(edges, docs, seeds, iterations=4).collect()
+    }
+    assert tr[3] == 0.0          # unreachable from the seed set
+    assert tr[0] > tr[1] > tr[2] > 0  # decays with distance
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        trustrank(edges, docs, docs.where("doc_id < 0"), iterations=2)

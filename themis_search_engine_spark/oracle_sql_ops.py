@@ -662,6 +662,38 @@ def sql_pagerank(damping: float = 0.85, iterations: int = 5) -> str:
     )
 
 
+def sql_trustrank(
+    damping: float = 0.85, iterations: int = 5, seed_mod: int = 17
+) -> str:
+    """Unrolled TrustRank — same fixed iterations as linkgraph.trustrank
+    with the registered seed set (doc_id % seed_mod = 0), teleport
+    (1-d)·s(v) with s uniform over seeds, trust_0 = s."""
+    sv = f"CASE WHEN d.doc_id % {seed_mod} = 0 THEN 1.0 / sn.ns ELSE 0.0 END"
+    ctes = [
+        f"sn AS (SELECT count(*) AS ns FROM documents WHERE doc_id % {seed_mod} = 0)",
+        "outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src)",
+        "trans AS (SELECT src, dst, weight * 1.0 / outw AS p "
+        "FROM edges JOIN outw USING (src))",
+        f"tr0 AS (SELECT d.doc_id AS node, {sv} AS rank "
+        "FROM documents d CROSS JOIN sn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""tr{i} AS (
+  SELECT d.doc_id AS node,
+         (1.0 - {damping}) * {sv} + {damping} * coalesce(i.inflow, 0.0) AS rank
+  FROM documents d CROSS JOIN sn
+  LEFT JOIN (SELECT t.dst, sum(p.rank * t.p) AS inflow
+             FROM trans t JOIN tr{i - 1} p ON p.node = t.src
+             GROUP BY t.dst) i ON i.dst = d.doc_id)"""
+        )
+    chain = ",\n".join(ctes)
+    return (
+        f"WITH {_EDGES_CTE},\n{chain}\n"
+        f"SELECT node AS doc_id, round(rank, 9) AS trust FROM tr{iterations}"
+    )
+
+
 def sql_bm25_topk_pagerank(
     damping: float = 0.85,
     iterations: int = 5,

@@ -446,6 +446,22 @@ def q_pagerank(spark, sf_dir):
     return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank over the synthetic citation graph (linkgraph.trustrank):
+    teleport restricted to the curated seed set doc_id % 17 == 0 — trust
+    flows out of seeds and decays with link distance, unreachable pages
+    stay at 0 (the spam-demotion static signal beside pagerank/HITS)."""
+    from .linkgraph import citation_edges, synthetic_citations, trustrank
+
+    docs = _docs(spark, sf_dir)
+    edges = citation_edges(synthetic_citations(docs))
+    seeds = docs.select("doc_id").where(F.col("doc_id") % 17 == 0)
+    tr = trustrank(
+        edges, docs.select("doc_id"), seeds, damping=0.85, iterations=5
+    )
+    return tr.select("doc_id", F.round("trust", 9).alias("trust"))
+
+
 def q_hits(spark, sf_dir):
     """Kleinberg HITS hubs/authorities over the synthetic citation graph
     (linkgraph.hits): per-half-step L2-normalized mutual reinforcement,
@@ -927,6 +943,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_meta": q_media_meta,
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
+    "trustrank": q_trustrank,
     "hits": q_hits,
     "bm25_topk_pagerank": q_bm25_topk_pagerank,
     "knn_join": q_knn_join,
@@ -992,6 +1009,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "media_meta": osqlo.sql_media_meta(),
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
+    "trustrank": osqlo.sql_trustrank(0.85, 5, 17),
     "hits": osqlo.sql_hits(5),
     "bm25_topk_pagerank": osqlo.sql_bm25_topk_pagerank(0.85, 5, 0.5, 10),
     "knn_join": osqlo.sql_knn_join(3, 16, 8, 64),
