@@ -1146,6 +1146,60 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
 
+def sql_dsir_weights(
+    m_buckets: int = 4096,
+    alpha: float = 1.0,
+    target_mod: int = 23,
+    salt: str = "dsir",
+) -> str:
+    """Oracle twin of sampling.dsir_logweights with the registered
+    target set (doc_id % target_mod = 0): bag-semantics uni+bigram
+    features, seeded-md5 bucket hash, DENSE Laplace-smoothed bucket
+    models (zero-count buckets keep ln(alpha/(tot+alpha·m))), per-bucket
+    log-likelihood ratio, per-doc sum at the 6-dp grain."""
+    b = f"(('0x' || substr(md5('{salt}|' || gram), 1, 8))::BIGINT % {m_buckets})"
+    am = alpha * m_buckets
+    return f"""WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+0], ' ')
+                         for i in range(1, len(t) + 1)]) AS gram
+  FROM toks WHERE len(t) >= 1
+  UNION ALL
+  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                         for i in range(1, len(t))]) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+gb AS (SELECT doc_id, {b} AS bucket FROM grams),
+buckets AS (SELECT range AS bucket FROM range({m_buckets})),
+rdense AS (
+  SELECT bk.bucket, coalesce(c.c, 0) AS c
+  FROM buckets bk LEFT JOIN
+    (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket) c USING (bucket)
+),
+rtot AS (SELECT sum(c) AS t FROM rdense),
+rmodel AS (
+  SELECT bucket, ln((c + {alpha!r}) / (t + {am!r})) AS lr
+  FROM rdense CROSS JOIN rtot
+),
+tdense AS (
+  SELECT bk.bucket, coalesce(c.c, 0) AS c
+  FROM buckets bk LEFT JOIN
+    (SELECT bucket, count(*) AS c FROM gb
+     WHERE doc_id % {target_mod} = 0 GROUP BY bucket) c USING (bucket)
+),
+ttot AS (SELECT sum(c) AS t FROM tdense),
+tmodel AS (
+  SELECT bucket, ln((c + {alpha!r}) / (t + {am!r})) AS lt
+  FROM tdense CROSS JOIN ttot
+),
+llr AS (
+  SELECT bucket, lt - lr AS llr FROM tmodel JOIN rmodel USING (bucket)
+)
+SELECT g.doc_id, round(sum(l.llr), 6) AS logw
+FROM gb g JOIN llr l USING (bucket)
+GROUP BY g.doc_id"""
+
+
 def sql_pack_sequences(budget: int = 2048) -> str:
     """Oracle twin of packing.pack_sequences: raw (unfiltered) token
     counts, exclusive prefix sum in doc_id order, floor-division sequence

@@ -300,7 +300,117 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
-def _bloom_pos(value, j, m_bits: int, salt: str):
+def ngram_occurrences(
+    docs: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(_id, gram) — word n-grams WITH multiplicity (bag semantics, one
+    row per occurrence), unlike dedup.shingles' set semantics: language-
+    model features count repetitions. Stopwords kept (distributional
+    features want them). Docs with < n tokens emit nothing."""
+    from .dedup import _tok_array
+
+    staged = docs.select(
+        F.col(id_col).alias("_id"), _tok_array(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select("_id", F.explode(grams).alias("gram"))
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    m_buckets: int = 4096,
+    alpha: float = 1.0,
+    ngrams: tuple[int, ...] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """(doc_id, logw) — DSIR importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023, public): score every raw doc by how much more likely its
+    hashed n-gram features are under the TARGET distribution than under
+    the RAW distribution,
+
+        logw(x) = Σ_{g ∈ x} [ ln p_T(b(g)) − ln p_R(b(g)) ]
+
+    with b() the seeded-md5 bucket hash into ``m_buckets`` and p the
+    Laplace-smoothed (add-``alpha``) bucket unigram model of each
+    corpus. Selection = keep the highest-logw docs (or Gumbel-resample
+    at the training loader) — the standard cheap way to steer a 100 TB
+    crawl toward a small high-quality target domain.
+
+    Deterministic end-to-end (hash buckets, integer counts, smoothing
+    arithmetic), so the DuckDB twin value-matches at the 6-dp grain.
+
+    Plan: feature extraction is one n-gram explode per grain (bag
+    semantics, codegen transform — no UDF); the two bucket models are
+    global combinable groupBys of at most ``m_buckets`` rows each,
+    broadcast back as one (bucket, llr) map; per-doc scoring is the
+    explode re-joined to that broadcast and one combinable sum — linear
+    in corpus tokens, no shuffle keyed wider than (doc, bucket)."""
+    spark = docs.sparkSession
+
+    def _grams(d: DataFrame) -> DataFrame:
+        legs = [
+            ngram_occurrences(d, n, id_col=id_col, text_col=text_col)
+            for n in ngrams
+        ]
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+    bucket = _hash_bucket(F.col("gram"), salt) % m_buckets
+
+    def _model(grams: DataFrame, name: str) -> DataFrame:
+        """(bucket, name) DENSE over all m buckets — zero-count buckets
+        keep their smoothed ln(alpha / (total + alpha·m)) mass."""
+        cnt = (
+            grams.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        dense = (
+            spark.range(m_buckets)
+            .select(F.col("id").alias("bucket"))
+            .join(cnt, "bucket", "left")
+            .select("bucket", F.coalesce(F.col("_c"), F.lit(0)).alias("_c"))
+        )
+        tot = dense.agg(F.sum("_c").alias("_t"))
+        return dense.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            F.log(
+                (F.col("_c") + F.lit(alpha))
+                / (F.col("_t") + F.lit(alpha * m_buckets))
+            ).alias(name),
+        )
+
+    raw_grams = _grams(docs)
+    llr = F.broadcast(
+        _model(_grams(target_docs), "_lt")
+        .join(_model(raw_grams, "_lr"), "bucket")
+        .select("bucket", (F.col("_lt") - F.col("_lr")).alias("_llr"))
+    )
+    return (
+        raw_grams.select("_id", bucket.alias("bucket"))
+        .join(llr, "bucket")
+        .groupBy("_id")
+        .agg(F.round(F.sum("_llr"), 6).alias("logw"))
+        .select(F.col("_id").alias(id_col), "logw")
+    )
     """Hash position j of ``value`` in [0, m_bits): the repo's seeded-md5
     32-bit hash mod m_bits (m_bits a power of two, so the mod is an
     unbiased bit mask of an already-uniform hash)."""

@@ -446,6 +446,18 @@ def q_pagerank(spark, sf_dir):
     return pr.select("doc_id", F.round("pagerank", 9).alias("pagerank"))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (sampling.dsir_logweights, Xie NeurIPS'23):
+    hashed uni+bigram bucket models of the target set (doc_id % 23 == 0)
+    vs the raw corpus, per-doc log-likelihood-ratio sum — the importance-
+    resampling signal that steers a 100 TB crawl toward a target domain."""
+    from .pipeline_ops.sampling import dsir_logweights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 23 == 0)
+    return dsir_logweights(docs, target, m_buckets=4096, alpha=1.0)
+
+
 def q_trustrank(spark, sf_dir):
     """TrustRank over the synthetic citation graph (linkgraph.trustrank):
     teleport restricted to the curated seed set doc_id % 17 == 0 — trust
@@ -944,6 +956,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "citation_edges": q_citation_edges,
     "pagerank": q_pagerank,
     "trustrank": q_trustrank,
+    "dsir_weights": q_dsir_weights,
     "hits": q_hits,
     "bm25_topk_pagerank": q_bm25_topk_pagerank,
     "knn_join": q_knn_join,
@@ -1010,6 +1023,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "citation_edges": osqlo.sql_citation_edges(),
     "pagerank": osqlo.sql_pagerank(0.85, 5),
     "trustrank": osqlo.sql_trustrank(0.85, 5, 17),
+    "dsir_weights": osqlo.sql_dsir_weights(4096, 1.0, 23),
     "hits": osqlo.sql_hits(5),
     "bm25_topk_pagerank": osqlo.sql_bm25_topk_pagerank(0.85, 5, 0.5, 10),
     "knn_join": osqlo.sql_knn_join(3, 16, 8, 64),
