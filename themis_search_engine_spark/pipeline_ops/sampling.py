@@ -411,6 +411,9 @@ def dsir_logweights(
         .agg(F.round(F.sum("_llr"), 6).alias("logw"))
         .select(F.col("_id").alias(id_col), "logw")
     )
+
+
+def _bloom_pos(value, j, m_bits: int, salt: str):
     """Hash position j of ``value`` in [0, m_bits): the repo's seeded-md5
     32-bit hash mod m_bits (m_bits a power of two, so the mod is an
     unbiased bit mask of an already-uniform hash)."""
