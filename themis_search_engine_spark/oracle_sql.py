@@ -694,6 +694,31 @@ FROM counts c JOIN q ON c.term = q.term
 GROUP BY q.qid"""
 
 
+def sql_grep_docs(patterns: dict[int, str]) -> str:
+    """Oracle twin of registry.q_grep_docs — doc-grain substring search:
+    LIKE over the P2-normalized whitespace-collapsed corpus text (the
+    engine's trigram candidate + contains verify is lossless-complete
+    for substrings, so plain LIKE is semantically equal). Patterns are
+    normalized with the SAME shared python function the Spark side uses
+    (queryeng.grepdocs.normalize_pattern)."""
+    from .queryeng.grepdocs import normalize_pattern
+
+    vals = ", ".join(
+        f"({qid}, '{normalize_pattern(p)}')"
+        for qid, p in sorted(patterns.items())
+    )
+    return rf"""WITH nd AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+           '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+qp(qid, pat) AS (VALUES {vals})
+SELECT q.qid, d.doc_id
+FROM nd d JOIN qp q ON d.norm LIKE '%' || q.pat || '%'"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000

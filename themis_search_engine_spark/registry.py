@@ -1368,6 +1368,26 @@ def q_fold_tokens(spark, sf_dir):
 QUERIES["fold_tokens"] = q_fold_tokens
 ORACLE_SQL["fold_tokens"] = osql.sql_fold_tokens()
 
+GREP_QUERYSET = {1: "hash join", 2: "sort merge", 3: "slow query",
+                 4: "Big, DATA!"}
+
+
+def q_grep_docs(spark, sf_dir):
+    """Doc-grain substring search (queryeng/grepdocs.grep_docs): which
+    documents contain this exact substring — token-boundary-spanning
+    patterns no dictionary rewrite can serve. Candidates from the
+    doc-grain trigram postings (gram IN-pushed scan + all-grams-present
+    count), exact contains verify on candidates only, never a
+    full-corpus LIKE."""
+    from .corpus import load_documents
+    from .queryeng.grepdocs import grep_docs
+
+    return grep_docs(spark, load_documents(spark, sf_dir), GREP_QUERYSET)
+
+
+QUERIES["grep_docs"] = q_grep_docs
+ORACLE_SQL["grep_docs"] = osql.sql_grep_docs(GREP_QUERYSET)
+
 
 
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
