@@ -1389,6 +1389,22 @@ QUERIES["grep_docs"] = q_grep_docs
 ORACLE_SQL["grep_docs"] = osql.sql_grep_docs(GREP_QUERYSET)
 
 
+def q_bm25_topk_sql(spark, sf_dir):
+    """The retrieval as ONE spark.sql statement over registered index
+    views (queryeng/sqlapi): views are named logical plans, so Catalyst
+    produces the same pruned/broadcast/codegen plan as the DataFrame
+    form — pinned rank-identical by sharing bm25_topk's DuckDB oracle
+    verbatim."""
+    from .queryeng.sqlapi import bm25_topk_sql
+
+    idx = get_index(spark, sf_dir)
+    return bm25_topk_sql(spark, idx, _qt(spark, stem=False), k=10)
+
+
+QUERIES["bm25_topk_sql"] = q_bm25_topk_sql
+ORACLE_SQL["bm25_topk_sql"] = osql.sql_bm25_topk(10)
+
+
 
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
 
