@@ -1,4 +1,7 @@
 from .bm25 import bm25_score_all, bm25_topk  # noqa: F401
+from .boolquery import boolean_score_all, parse_boolean  # noqa: F401
+from .explain import explain_scores, search_after, total_hits  # noqa: F401
+from .grepdocs import grep_docs  # noqa: F401
 from .planner import choose_query_plan, search_serving  # noqa: F401
 from .pipeline import (  # noqa: F401
     parse_queries,
@@ -6,3 +9,6 @@ from .pipeline import (  # noqa: F401
     query_term_list,
     query_term_map,
 )
+from .prf import prf_qterms, prf_topk  # noqa: F401
+from .sqlapi import bm25_topk_sql, register_index_views  # noqa: F401
+from .trigram import infix_qterms  # noqa: F401
