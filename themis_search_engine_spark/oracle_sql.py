@@ -1300,6 +1300,40 @@ FROM cand c JOIN documents d ON c.doc_id = d.doc_id
 GROUP BY c.qid, {cols}"""
 
 
+def sql_range_facets(value_col: str, edges: list[float]) -> str:
+    """Oracle twin of metadata.range_facets over n_chars-style numeric
+    doc attributes: same distinct-candidate head as facet_counts, the
+    bucket as the same CASE chain (last bucket right-closed, out-of-range
+    → -1), lo/hi looked up from the edge list."""
+    cases = [f"WHEN d.{value_col} < {edges[0]!r} THEN -1"]
+    for i in range(len(edges) - 1):
+        op = "<=" if i == len(edges) - 2 else "<"
+        cases.append(
+            f"WHEN d.{value_col} >= {edges[i]!r} "
+            f"AND d.{value_col} {op} {edges[i + 1]!r} THEN {i}"
+        )
+    case_sql = "CASE " + " ".join(cases) + " ELSE -1 END"
+    lo_arr = ", ".join(repr(float(e)) for e in edges[:-1])
+    hi_arr = ", ".join(repr(float(e)) for e in edges[1:])
+    return f"""WITH {TOK_CTE},
+cand AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+),
+bucketed AS (
+  SELECT c.qid, ({case_sql})::BIGINT AS bucket
+  FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT qid, bucket,
+       CASE WHEN bucket >= 0
+            THEN (([{lo_arr}])[bucket + 1])::DOUBLE END AS lo,
+       CASE WHEN bucket >= 0
+            THEN (([{hi_arr}])[bucket + 1])::DOUBLE END AS hi,
+       count(*)::BIGINT AS n_docs
+FROM bucketed GROUP BY qid, bucket"""
+
+
 def sql_dictionary_stemmed() -> str:
     return f"WITH {tok_cte_stemmed()} SELECT term, df FROM dict"
 

@@ -231,6 +231,53 @@ def facet_counts(
     )
 
 
+def range_facets(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    doc_attrs: DataFrame,
+    value_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """(qid, bucket, lo, hi, n_docs) — numeric histogram facet over the
+    query's matching docs (the price-slider / date-range sidebar next to
+    :func:`facet_counts`' categorical one). ``edges`` are explicit
+    ascending bucket boundaries; bucket i covers [edges[i], edges[i+1])
+    with the last bucket closed on the right, values outside the range
+    fall into bucket -1 (reported, so totals always reconcile with the
+    hit count).
+
+    Plan: same shape as facet_counts — distinct candidates first, a
+    column-pruned attribute join, then the bucket id computed as ONE
+    codegen CASE chain (no per-row Python, no second scan) and a rollup
+    of |queries| × (|edges|) rows. Explicit driver-known edges (not
+    percentile-based) keep the op deterministic and one-pass; compose
+    with quantile_sketch when data-driven edges are wanted.
+    """
+    if len(edges) < 2 or sorted(edges) != list(edges):
+        raise ValueError(f"edges must be >= 2 ascending values: {edges}")
+    v = F.col(value_col)
+    bucket = F.when(v < edges[0], F.lit(-1))
+    for i in range(len(edges) - 1):
+        hi_ok = (v <= edges[i + 1]) if i == len(edges) - 2 else (v < edges[i + 1])
+        bucket = bucket.when((v >= edges[i]) & hi_ok, F.lit(i))
+    bucket = bucket.otherwise(F.lit(-1))
+    idx1 = (F.col("bucket") + 1).cast("int")
+    lo = F.when(F.col("bucket") >= 0, F.element_at(
+        F.array(*[F.lit(float(e)) for e in edges[:-1]]), idx1
+    ))
+    hi = F.when(F.col("bucket") >= 0, F.element_at(
+        F.array(*[F.lit(float(e)) for e in edges[1:]]), idx1
+    ))
+    cand = matching_docs(qterms, postings_flat)
+    return (
+        cand.join(doc_attrs.select("doc_id", value_col), "doc_id")
+        .select("qid", bucket.cast("long").alias("bucket"))
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select("qid", "bucket", lo.alias("lo"), hi.alias("hi"), "n_docs")
+    )
+
+
 def negated_scores(
     qterms: DataFrame,
     neg_qterms: DataFrame,

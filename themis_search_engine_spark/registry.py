@@ -1404,6 +1404,26 @@ def q_bm25_topk_sql(spark, sf_dir):
 QUERIES["bm25_topk_sql"] = q_bm25_topk_sql
 ORACLE_SQL["bm25_topk_sql"] = osql.sql_bm25_topk(10)
 
+RANGE_FACET_EDGES = [0.0, 200.0, 400.0, 800.0, 100000.0]
+
+
+def q_range_facets(spark, sf_dir):
+    """Numeric histogram facet (queryeng/metadata.range_facets): per
+    query, matching docs bucketed by n_chars over driver-known edges —
+    the price-slider sidebar; one codegen CASE chain over the
+    facet_counts candidate shape."""
+    from .queryeng.metadata import range_facets
+
+    idx = get_index(spark, sf_dir)
+    return range_facets(
+        _qt(spark, stem=False), idx.postings_flat,
+        load_documents(spark, sf_dir), "n_chars", RANGE_FACET_EDGES,
+    )
+
+
+QUERIES["range_facets"] = q_range_facets
+ORACLE_SQL["range_facets"] = osql.sql_range_facets("n_chars", RANGE_FACET_EDGES)
+
 
 
 TREND_SPLIT_TS = 1546300800 + 500 * 3600
