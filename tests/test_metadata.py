@@ -491,3 +491,42 @@ def test_mmr_pool_smaller_than_k_and_missing_embedding(spark):
         for r in mmr_rerank(pdf, embs, k=5, lam=0.7).collect()
     )
     assert got == [(10, 1), (20, 2)]
+
+
+def test_fuzzy_qterms_neighborhood_and_cap(spark):
+    from themis_search_engine_spark.queryeng.spell import fuzzy_qterms
+
+    dictionary = spark.createDataFrame(
+        [("spark", 100), ("spars", 40), ("stark", 30), ("shark", 20),
+         ("join", 90), ("spam", 10)],
+        "term string, df long",
+    )
+    out = fuzzy_qterms(
+        spark, dictionary, {1: "spark", 2: "jion", 3: "zzzz"}, max_terms=2
+    ).collect()
+    by_qid = {}
+    for r in sorted(out, key=lambda r: (r["qid"], r["term"])):
+        by_qid.setdefault(r["qid"], []).append(r["term"])
+    # qid 1: full distance-1 neighborhood of an IN-dictionary term is
+    # {spark itself, spars, stark, shark} — capped at 2 by df desc
+    assert by_qid[1] == ["spark", "spars"]
+    # qid 2: 'jion' vs 'join' is a transposition = levenshtein 2 -> no hit
+    assert 2 not in by_qid
+    assert 3 not in by_qid
+    assert all(r["qweight"] == 1.0 for r in out)
+
+
+def test_fuzzy_qterms_verify_is_candidate_bounded(spark):
+    """The plan must contain no cross join / full-vocab levenshtein:
+    candidates come from the deletion-key equi-join only."""
+    from themis_search_engine_spark.queryeng.spell import fuzzy_qterms
+
+    dictionary = spark.createDataFrame(
+        [("spark", 100), ("join", 90)], "term string, df long"
+    )
+    plan = (
+        fuzzy_qterms(spark, dictionary, {1: "spak"})
+        ._jdf.queryExecution().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -539,6 +539,51 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_fuzzy_topk(
+    fuzzy_queries: dict[int, str], max_terms: int = 16, k: int = 10
+) -> str:
+    """Oracle twin of registry.q_fuzzy_topk — Lucene FuzzyQuery rewrite
+    at max_edits=1: each query term expands to every dictionary term
+    within levenshtein distance 1 (itself included when present; the
+    engine's SymSpell deletion-key prefilter is lossless-complete at
+    distance 1, so the plain levenshtein join here is semantically
+    equal), capped df desc / term asc, then the plain OR of BM25
+    clauses (qweight 1)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, t in sorted(fuzzy_queries.items())
+    )
+    return f"""WITH {TOK_CTE},
+qfuz(qid, qterm) AS (VALUES {vals}),
+qx AS (
+  SELECT qid, term FROM (
+    SELECT p.qid, d.term,
+           row_number() OVER (PARTITION BY p.qid
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM dict d JOIN qfuz p ON levenshtein(d.term, p.qterm) <= 1
+  ) WHERE rn <= {max_terms}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qx q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prf_topk(
     fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10
 ) -> str:

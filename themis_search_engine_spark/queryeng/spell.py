@@ -267,3 +267,54 @@ def correct_qterms(
         )
         .distinct()
     )
+
+
+def fuzzy_qterms(
+    spark,
+    dictionary: DataFrame,
+    fuzzy_queries: dict[int, str],
+    *,
+    max_terms: int = 16,
+    min_df: int = 1,
+) -> DataFrame:
+    """(qid, term, qweight=1.0) — Lucene's FuzzyQuery rewrite at
+    max_edits=1: each query term expands to EVERY dictionary term within
+    levenshtein distance 1 (the term itself included when present —
+    unlike :func:`correct_qterms`, which rewrites only unknown terms to
+    a single best correction, fuzzy retrieval ORs the whole distance-1
+    neighborhood), capped df desc / term asc — the deterministic
+    maxClauseCount cap the other MultiTermQuery rewrites here use. The
+    output feeds the standard OR-scored BM25 plan with IN-list postings
+    pushdown (reference Search.java has no fuzzy matching; semantics
+    follow Lucene's public FuzzyQuery → BooleanQuery rewrite).
+
+    Scale shape — identical to :func:`spell_suggest`'s SymSpell split:
+    candidate generation is the deletion-key equi-join ({s} ∪
+    deletions1(s) shared key ⇔ distance ≤ 1), LINEAR in |V| on the
+    dictionary side (a build-time artifact at web scale, bucketed by
+    key) with the query side (a handful of terms) broadcast; verify is
+    exact ``levenshtein() <= 1`` on candidates only. Never a |V| scan
+    per query, never |Q|×|V|.
+    """
+    if not fuzzy_queries:
+        raise ValueError("empty fuzzy_queries")
+    qmap = spark.createDataFrame(
+        [(int(q), t) for q, t in sorted(fuzzy_queries.items())],
+        "qid long, qterm string",
+    )
+    q = _with_keys(F.broadcast(qmap), "qterm")
+    d = _with_keys(
+        dictionary.select("term", "df").where(F.col("df") >= min_df), "term"
+    )
+    cand = (
+        q.join(d, "_key")
+        .select("qid", "qterm", "term", "df")
+        .distinct()
+    )
+    verified = cand.where(F.levenshtein("qterm", "term") <= 1)
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_terms)
+        .select("qid", "term", F.lit(1.0).alias("qweight"))
+    )

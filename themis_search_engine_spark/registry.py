@@ -1282,6 +1282,31 @@ def q_infix_topk(spark, sf_dir):
 QUERIES["infix_topk"] = q_infix_topk
 ORACLE_SQL["infix_topk"] = osql.sql_infix_topk(INFIX_QUERYSET, 16, 10)
 
+FUZZY_QUERYSET = {1: "quer", 2: "scam", 3: "sprk", 4: "tables",
+                  5: "hush", 6: "sort"}
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy (edit-distance-1) retrieval end-to-end
+    (queryeng/spell.fuzzy_qterms): each query term expands through the
+    SymSpell deletion-key equi-join to its full distance-1 dictionary
+    neighborhood (candidate-bounded levenshtein verify, never a |V|
+    scan per query), capped df-desc like the other MultiTermQuery
+    rewrites, then the standard OR-scored BM25 plan with IN-list
+    postings pushdown."""
+    from .queryeng.spell import fuzzy_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = fuzzy_qterms(spark, idx.dictionary, FUZZY_QUERYSET, max_terms=16)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["fuzzy_topk"] = q_fuzzy_topk
+ORACLE_SQL["fuzzy_topk"] = osql.sql_fuzzy_topk(FUZZY_QUERYSET, 16, 10)
+
 
 def q_prf_topk(spark, sf_dir):
     """Pseudo-relevance-feedback retrieval end-to-end (queryeng/prf):
