@@ -584,6 +584,51 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_regex_topk(
+    regex_queries: dict[int, str], max_terms: int = 16, k: int = 10
+) -> str:
+    """Oracle twin of registry.q_regex_topk — full-match regex rewrite:
+    each pattern expands to its max_terms highest-df matching dictionary
+    terms (the engine's Cox trigram planning — exact / gram / scan lanes
+    + anchored-rlike verify — is lossless over the RE2 ∩ java.regex
+    subset, so the plain regexp_full_match join here is semantically
+    equal), capped df desc / term asc, then the plain OR of BM25
+    clauses (qweight 1)."""
+    vals = ", ".join(
+        f"({qid}, '{p}')" for qid, p in sorted(regex_queries.items())
+    )
+    return f"""WITH {TOK_CTE},
+qrex(qid, pat) AS (VALUES {vals}),
+qx AS (
+  SELECT qid, term FROM (
+    SELECT p.qid, d.term,
+           row_number() OVER (PARTITION BY p.qid
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM dict d JOIN qrex p ON regexp_full_match(d.term, p.pat)
+  ) WHERE rn <= {max_terms}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qx q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prf_topk(
     fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10
 ) -> str:

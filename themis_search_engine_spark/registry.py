@@ -1307,6 +1307,32 @@ def q_fuzzy_topk(spark, sf_dir):
 QUERIES["fuzzy_topk"] = q_fuzzy_topk
 ORACLE_SQL["fuzzy_topk"] = osql.sql_fuzzy_topk(FUZZY_QUERYSET, 16, 10)
 
+REGEX_QUERYSET = {1: "quer(y|ies)", 2: "s.an", 3: ".*tab.*", 4: "colum.",
+                  5: "filters?", 6: "(joi|has).*", 7: "ke(y|ys)"}
+
+
+def q_regex_topk(spark, sf_dir):
+    """Regex retrieval end-to-end (queryeng/regexsearch.regex_qterms):
+    each full-match regex is trigram-planned driver-side (Cox code
+    search) into an exact IN-list, a gram-index candidate join with a
+    codegen AND/OR gram tree, or an honest per-query fallback scan;
+    anchored-rlike verify on candidates only, df-desc maxClauseCount
+    cap, then the standard OR-scored BM25 plan with IN-list postings
+    pushdown. The queryset exercises all three lanes (exact: 1/5/7,
+    grams incl. OR-tree: 3/4/6, scan: 2)."""
+    from .queryeng.regexsearch import regex_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = regex_qterms(spark, idx.dictionary, REGEX_QUERYSET, max_terms=16)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["regex_topk"] = q_regex_topk
+ORACLE_SQL["regex_topk"] = osql.sql_regex_topk(REGEX_QUERYSET, 16, 10)
+
 
 def q_prf_topk(spark, sf_dir):
     """Pseudo-relevance-feedback retrieval end-to-end (queryeng/prf):
