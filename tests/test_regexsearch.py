@@ -106,3 +106,48 @@ def test_gram_lane_has_no_full_scan(spark):
     plan = df._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "length(term" in plan  # short-term sidecar is length-sliced
+
+
+def test_regex_grep_equals_bruteforce(spark):
+    """regex_grep must equal an unanchored regex search over the
+    normalized corpus — tree candidates are lossless, verify kills FPs,
+    and the scan lane covers no-trigram regexes."""
+    from themis_search_engine_spark.queryeng.grepdocs import regex_grep
+
+    texts = {
+        0: "hash join under a slow query plan",
+        1: "hash agg then merge sort and batch scan",
+        2: "merge first then a big batch later",
+        3: "jawn jon jn",               # 'jo.n' must NOT match any of these
+        4: "joins everywhere",           # 'jo.n' unanchored: 'join' + 's'
+        5: "hash  JOIN!! punctuated",    # normalization collapses to 'hash join'
+        6: "small scan small query",
+        7: "xy",                          # shorter than a trigram
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    queries = {1: "hash (join|agg)", 2: "jo.n", 3: "merge .*batch",
+               4: "s(low|mall) (query|scan)"}
+    got = {
+        (r.qid, r.doc_id)
+        for r in regex_grep(spark, docs, queries).collect()
+    }
+
+    def norm(t):
+        return " ".join(
+            "".join(c if c.isalnum() else " " for c in t.lower()).split()
+        )
+
+    want = {
+        (qid, did)
+        for qid, p in queries.items()
+        for did, t in texts.items()
+        if re.search(p, norm(t))
+    }
+    assert got == want
+    # pin the interesting semantics the fixture encodes
+    assert (1, 5) in got          # normalization-insensitive
+    assert (2, 4) in got          # unanchored interior match
+    assert (2, 3) not in got      # 'jo.n' needs exactly one char gap
+    assert (3, 1) in got and (3, 2) in got

@@ -809,6 +809,28 @@ SELECT q.qid, d.doc_id
 FROM nd d JOIN qp q ON d.norm LIKE '%' || q.pat || '%'"""
 
 
+def sql_regex_grep(patterns: dict[int, str]) -> str:
+    """Oracle twin of registry.q_regex_grep — doc-grain unanchored regex
+    search over the P2-normalized whitespace-collapsed corpus text (the
+    engine's trigram-tree candidates + rlike verify are lossless — trees
+    degrade to True, never drop a match — so the plain regexp_matches
+    join here is semantically equal; patterns are written over the
+    normalized alphabet, RE2 ∩ java.regex subset)."""
+    vals = ", ".join(
+        f"({qid}, '{p}')" for qid, p in sorted(patterns.items())
+    )
+    return rf"""WITH nd AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+           '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+qp(qid, pat) AS (VALUES {vals})
+SELECT q.qid, d.doc_id
+FROM nd d JOIN qp q ON regexp_matches(d.norm, q.pat)"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000

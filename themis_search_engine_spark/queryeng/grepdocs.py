@@ -120,3 +120,88 @@ def grep_docs(
         .select("qid", "doc_id")
     )
     return verified
+
+
+def regex_grep(
+    spark: SparkSession,
+    docs: DataFrame,
+    patterns: dict[int, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(qid, doc_id) — documents whose NORMALIZED text contains a match
+    of each regex (grep semantics: unanchored search, vs regex_qterms'
+    full-term match). Patterns must already be written over the
+    normalized alphabet ([a-z0-9 ] — P2 output), in the RE2 ∩
+    java.regex subset regexsearch.parse_regex accepts.
+
+    Same Cox split as :func:`grep_docs`, with the substring's
+    all-grams-present count generalized to the regex's AND/OR trigram
+    tree (regexsearch.plan_regex_grep): candidates come from the
+    (gram, doc_id) index — gram IN-list pushdown, broadcast (qid, gram)
+    join, tree evaluated codegen-side over each doc's matched-gram set
+    — and only the candidates pay the exact rlike verify against the
+    corpus text. A regex that constrains no trigram ("jo.n") falls back
+    to an honest per-query full-corpus rlike scan; soundness is
+    one-sided (trees degrade to True, never drop a matching doc), and
+    a doc matching a gram-constrained regex necessarily has >= 3
+    normalized chars, so the length floor in doc_trigrams loses
+    nothing.
+    """
+    from .regexsearch import _tree_col, _tree_grams, plan_regex_grep
+
+    if not patterns:
+        raise ValueError("empty patterns")
+    gram_trees: dict[int, object] = {}
+    gram_rows: list = []
+    scan_qids: list[int] = []
+    pat_rows = []
+    for qid, pat in sorted(patterns.items()):
+        qid = int(qid)
+        pat_rows.append((qid, pat))
+        tree = plan_regex_grep(pat)
+        if tree is True:
+            scan_qids.append(qid)
+        else:
+            gram_trees[qid] = tree
+            gram_rows.extend((qid, g) for g in sorted(_tree_grams(tree)))
+    qpat = F.broadcast(
+        spark.createDataFrame(pat_rows, "qid long, _pat string")
+    )
+    lanes: list[DataFrame] = []
+    if gram_rows:
+        qgrams = F.broadcast(
+            spark.createDataFrame(gram_rows, "qid long, gram string")
+        )
+        all_grams = sorted({g for _, g in gram_rows})
+        cand = (
+            doc_trigrams(docs, id_col=id_col, text_col=text_col)
+            .where(F.col("gram").isin(all_grams))
+            .join(qgrams, "gram")
+            .groupBy("qid", "doc_id")
+            .agg(F.collect_set("gram").alias("_gs"))
+        )
+        tree_ok = None
+        for qid, tree in sorted(gram_trees.items()):
+            leg = (F.col("qid") == qid) & _tree_col(tree, "_gs")
+            tree_ok = leg if tree_ok is None else (tree_ok | leg)
+        lanes.append(cand.where(tree_ok).select("qid", "doc_id"))
+    if scan_qids:
+        sq = F.broadcast(
+            spark.createDataFrame([(q,) for q in scan_qids], "qid long")
+        )
+        lanes.append(
+            docs.select(F.col(id_col).alias("doc_id")).crossJoin(sq)
+            .select("qid", "doc_id")
+        )
+    cand_all = lanes[0]
+    for leg in lanes[1:]:
+        cand_all = cand_all.unionByName(leg)
+    verified = (
+        cand_all.join(qpat, "qid")
+        .join(_norm_text(docs, id_col, text_col), "doc_id")
+        .where(F.expr("_norm rlike _pat"))
+        .select("qid", "doc_id")
+    )
+    return verified

@@ -320,6 +320,16 @@ def plan_regex(pattern: str):
     return ("grams", tree)
 
 
+def plan_regex_grep(pattern: str):
+    """Driver-side gram requirement for UNANCHORED (grep) matching: the
+    AND/OR trigram tree every text containing a match must satisfy, or
+    True when the regex constrains no trigram (→ fallback scan). The
+    exact-language case folds into the tree (containment of one of the
+    strings ⇒ containment of its trigrams), since an IN-list is no
+    shortcut at the document grain."""
+    return _match_of(_analyze(parse_regex(pattern)))
+
+
 def _tree_grams(tree) -> set[str]:
     if tree is True:
         return set()

@@ -1439,6 +1439,29 @@ def q_grep_docs(spark, sf_dir):
 QUERIES["grep_docs"] = q_grep_docs
 ORACLE_SQL["grep_docs"] = osql.sql_grep_docs(GREP_QUERYSET)
 
+REGEX_GREP_QUERYSET = {1: "hash (join|agg)", 2: "jo.n",
+                       3: "merge .*batch", 4: "s(low|mall) (query|scan)"}
+
+
+def q_regex_grep(spark, sf_dir):
+    """Doc-grain unanchored regex search (queryeng/grepdocs.regex_grep):
+    grep with a regex — the substring grep's all-grams-present count
+    generalized to the Cox AND/OR trigram tree, evaluated codegen-side
+    over each candidate doc's matched-gram set from the (gram, doc_id)
+    index; rlike verify on candidates only. The queryset exercises the
+    OR tree (1, 4), the wildcard-gap AND tree (3), and the honest
+    no-trigram fallback scan (2)."""
+    from .corpus import load_documents
+    from .queryeng.grepdocs import regex_grep
+
+    return regex_grep(
+        spark, load_documents(spark, sf_dir), REGEX_GREP_QUERYSET
+    )
+
+
+QUERIES["regex_grep"] = q_regex_grep
+ORACLE_SQL["regex_grep"] = osql.sql_regex_grep(REGEX_GREP_QUERYSET)
+
 
 def q_bm25_topk_sql(spark, sf_dir):
     """The retrieval as ONE spark.sql statement over registered index
