@@ -1,0 +1,83 @@
+"""Crawl scheduling: change-rate estimation + politeness frontier."""
+
+from __future__ import annotations
+
+import pytest
+
+from themis_search_engine_spark.pipeline_ops.crawl import (
+    change_rates,
+    crawl_schedule,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    # url A: 3 snapshots, 2 content flips; url B: 2 snapshots identical;
+    # url C: single snapshot (cold start); url D on a second host
+    rows = [
+        ("https://a.example.org/x", 100, 1, "v1"),
+        ("https://a.example.org/x", 200, 2, "v2"),
+        ("https://a.example.org/x", 300, 3, "v3"),
+        ("https://a.example.org/y", 100, 4, "same"),
+        ("https://a.example.org/y", 400, 5, "same"),
+        ("https://a.example.org/z", 250, 6, "only"),
+        ("https://b.example.org/q", 200, 7, "w1"),
+        ("https://b.example.org/q", 300, 8, "w2"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts long, doc_id long, text string"
+    )
+
+
+def test_change_rates(pages):
+    got = {r.url: r for r in change_rates(pages).collect()}
+    a = got["https://a.example.org/x"]
+    assert (a.n_snaps, a.n_changes, a.last_ts) == (3, 2, 300)
+    assert a.change_rate == 0.75  # (2+1)/(3+1)
+    b = got["https://a.example.org/y"]
+    assert (b.n_snaps, b.n_changes) == (2, 0)
+    assert b.change_rate == pytest.approx(0.333333)  # Laplace: (0+1)/(2+1)
+    c = got["https://a.example.org/z"]
+    assert (c.n_snaps, c.n_changes) == (1, 0)
+    assert c.change_rate == 0.5  # cold start gets the middle rate
+
+
+def test_schedule_politeness_invariants(pages):
+    rows = crawl_schedule(pages, n_fetchers=2).collect()
+    # priority = floor(change_rate * (400 - last_ts) + 0.5)
+    pri = {r.url: r.priority for r in rows}
+    assert pri["https://a.example.org/x"] == 75   # 0.75 * 100
+    assert pri["https://a.example.org/y"] == 0
+    assert pri["https://a.example.org/z"] == 75   # 0.5 * 150
+    assert pri["https://b.example.org/q"] == 67   # (1+1)/(2+1) * 100, rounded
+
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, hrows in by_host.items():
+        # one fetch per host per round: rounds are exactly 1..n
+        assert sorted(r.round for r in hrows) == list(
+            range(1, len(hrows) + 1)
+        )
+        # a host is pinned to one fetcher
+        assert len({r.fetcher for r in hrows}) == 1
+        # round order follows priority desc, url asc
+        want = sorted(hrows, key=lambda r: (-r.priority, r.url))
+        assert [r.url for r in sorted(hrows, key=lambda r: r.round)] == [
+            r.url for r in want
+        ]
+    by_fetch: dict = {}
+    for r in rows:
+        by_fetch.setdefault(r.fetcher, []).append(r)
+    for frows in by_fetch.values():
+        # pos is a total order per fetcher, walking rounds outward
+        assert sorted(r.pos for r in frows) == list(range(1, len(frows) + 1))
+        ordered = sorted(frows, key=lambda r: r.pos)
+        assert ordered == sorted(
+            frows, key=lambda r: (r.round, -r.priority, r.url)
+        )
+
+
+def test_schedule_rejects_bad_fetchers(pages):
+    with pytest.raises(ValueError):
+        crawl_schedule(pages, n_fetchers=0)

@@ -1808,6 +1808,64 @@ SELECT url, cur_doc_id, prev_doc_id,
 FROM piv"""
 
 
+def sql_crawl_schedule(n_fetchers: int = 4) -> str:
+    """Oracle twin of crawl.crawl_schedule over snapshot_view (+text):
+    same adjacent-digest lag window, Laplace-smoothed 6dp change_rate,
+    rate-x-staleness priority, seeded-md5 fetcher pinning, and the two
+    partitioned rank windows (round within host, pos within fetcher)."""
+    return f"""WITH pages AS (
+  SELECT doc_id, text,
+         'https://' || source || '.example.org/p/'
+           || CAST(doc_id % 7 AS VARCHAR) AS url,
+         (1546300800 + ((doc_id * 37) % 1000) * 3600)::BIGINT AS warc_ts
+  FROM documents
+),
+hist AS (
+  SELECT url, warc_ts, md5(text) AS h,
+         lag(md5(text)) OVER (PARTITION BY url
+                              ORDER BY warc_ts ASC, doc_id ASC) AS ph
+  FROM pages
+),
+rates AS (
+  SELECT url, max(warc_ts)::BIGINT AS last_ts, count(*)::BIGINT AS n_snaps,
+         sum(CASE WHEN ph IS NOT NULL AND h <> ph THEN 1 ELSE 0 END)::BIGINT
+           AS n_changes
+  FROM hist GROUP BY url
+),
+r2 AS (
+  SELECT url, last_ts, n_snaps, n_changes,
+         floor((n_changes + 1) * 1000000.0 / (n_snaps + 1) + 0.5)
+           / 1000000.0 AS change_rate
+  FROM rates
+),
+nowt AS (SELECT max(warc_ts)::BIGINT AS now_ts FROM pages),
+scored AS (
+  SELECT r2.url,
+         regexp_extract(r2.url, '^https?://([^/]+)/', 1) AS host,
+         n_snaps, n_changes, change_rate,
+         floor(change_rate * (now_ts - last_ts) + 0.5)::BIGINT AS priority
+  FROM r2 CROSS JOIN nowt
+),
+sharded AS (
+  SELECT *,
+         (('0x' || substr(md5('fetch|' || host), 1, 8))::BIGINT
+           % {n_fetchers}) AS fetcher
+  FROM scored
+),
+rounds AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC) AS rnd
+  FROM sharded
+)
+SELECT url, host, n_snaps, n_changes, change_rate, priority, fetcher,
+       rnd::BIGINT AS round,
+       (row_number() OVER (PARTITION BY fetcher
+                           ORDER BY rnd ASC, priority DESC, url ASC)
+       )::BIGINT AS pos
+FROM rounds"""
+
+
 def sql_domain_quality(
     min_quality: float = 0.5, min_en_frac: float = 0.5
 ) -> str:

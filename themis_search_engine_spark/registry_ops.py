@@ -714,6 +714,20 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(pages)
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Crawl frontier schedule (pipeline_ops/crawl.crawl_schedule):
+    per-URL change rates from the full snapshot history (adjacent-digest
+    lag window), Laplace-smoothed rate × staleness priority, host-pinned
+    seeded-md5 fetcher shards, one-fetch-per-host-per-round politeness
+    ranks, per-fetcher fetch order — every window host- or fetcher-
+    partitioned, the only global quantity a broadcast 1-row max(ts)."""
+    from .pipeline_ops.crawl import crawl_schedule
+    from .pipeline_ops.websnap import snapshot_view
+
+    pages = snapshot_view(load_documents(spark, sf_dir), with_text=True)
+    return crawl_schedule(pages, n_fetchers=4)
+
+
 def q_domain_quality(spark, sf_dir):
     """Host-level quality rollup + keep/drop flag
     (websnap.domain_quality) — the domain-filter stage of C4/Gopher
@@ -981,6 +995,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "dedup_containment_lsh": q_dedup_containment_lsh,
     "snapshot_diff": q_snapshot_diff,
+    "crawl_schedule": q_crawl_schedule,
     "domain_quality": q_domain_quality,
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
@@ -1048,6 +1063,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "dedup_containment": osqlo.sql_containment_pairs(2, 0.9),
     "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
     "snapshot_diff": osqlo.sql_snapshot_diff(),
+    "crawl_schedule": osqlo.sql_crawl_schedule(4),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
     "priority_sample": osqlo.sql_priority_sample(50),
