@@ -85,3 +85,31 @@ def test_prf_mrr_hand_computed(spark):
     assert got[1]["mrr"] == 0.5               # first relevant at rank 2
     assert got[2]["p_at_k"] == 0.0 and got[2]["mrr"] == 0.0
     assert 3 not in got                       # zero-relevant → skipped
+
+
+def test_rbp_err_hand_computed(spark):
+    """RBP(p=0.5) and binary-grade ERR on the prf_mrr fixture: qid 1 has
+    relevant docs at ranks 2 and 4, so
+      rbp = 0.5 * (0.5^1 + 0.5^3) = 0.3125
+      err = 0.5/2 + (0.5*0.5)/4 = 0.3125
+    qid 2 retrieves nothing relevant -> 0.0 (kept, unlike AP's skip);
+    qid 3's judged-irrelevant doc also scores 0.0."""
+    from themis_search_engine_spark.queryeng.evalmetrics import rbp_err
+
+    ranked = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [(2, d, r) for r, d in enumerate([20, 21], 1)]
+        + [(3, 30, 1)],
+        "qid long, doc_id long, rank long",
+    )
+    judgments = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 1), (1, 99, 1),
+         (2, 77, 1),
+         (3, 30, 0)],
+        "qid long, doc_id long, relevance int",
+    )
+    got = {r["qid"]: r for r in rbp_err(ranked, judgments, k=5).collect()}
+    assert got[1]["rbp"] == 0.3125
+    assert got[1]["err"] == 0.3125
+    assert got[2]["rbp"] == 0.0 and got[2]["err"] == 0.0
+    assert got[3]["rbp"] == 0.0 and got[3]["err"] == 0.0

@@ -1859,6 +1859,43 @@ SELECT p.qid,
 FROM perq p JOIN rq ON p.qid = rq.qid"""
 
 
+def sql_eval_rbp_err(k: int = 20, p: float = 0.5) -> str:
+    """Oracle twin of evalmetrics.rbp_err over the same bm25 ranking and
+    synthetic judgments as sql_eval_ap_ndcg: RBP with persistence p and
+    binary-grade ERR (cascade product collapsed to 0.5^found_prev —
+    dyadic, engine-exact at the default p)."""
+    qid_vals = ", ".join(f"({q})" for q in EVAL_QUERYSET)
+    return f"""{_bm25_scored_cte(queryset=EVAL_QUERYSET)},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+judg AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN ((d.doc_id // 7) + q.qid) % 2 = 0 THEN 1 ELSE 0 END
+           AS relevance
+  FROM documents d CROSS JOIN (VALUES {qid_vals}) q(qid)
+  WHERE d.doc_id % 7 = q.qid % 7
+),
+walked AS (
+  SELECT r.qid, r.rank, coalesce(j.relevance, 0) AS relevance
+  FROM ranked r LEFT JOIN judg j ON r.qid = j.qid AND r.doc_id = j.doc_id
+  WHERE r.rank <= {k}
+),
+w2 AS (
+  SELECT qid, rank, relevance,
+         sum(relevance) OVER (PARTITION BY qid ORDER BY rank) - relevance
+           AS found_prev
+  FROM walked
+)
+SELECT qid,
+       round((1.0 - {p}) * sum(relevance * power({p}, rank - 1)), 6) AS rbp,
+       round(sum(relevance * power(0.5, found_prev + 1) / rank), 6) AS err
+FROM w2 GROUP BY qid"""
+
+
 def sql_doc_keywords(top_terms: int = 3) -> str:
     """Oracle twin of mlt.doc_keywords: corpus-wide top cnt·idf terms per
     doc, BM25-idf salience, rounded-salience rank with term-asc ties."""

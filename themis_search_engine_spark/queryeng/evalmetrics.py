@@ -108,6 +108,57 @@ def metric_aggregates(per_query: DataFrame) -> DataFrame:
     )
 
 
+def rbp_err(
+    ranked: DataFrame, judgments: DataFrame, k: int = 20, p: float = 0.5
+) -> DataFrame:
+    """(qid, rbp, err) — the two top-weighted metrics next to prf_mrr's
+    set-based ones (neither in the reference's themisEval walk):
+
+    * RBP (Moffat & Zobel TOIS'08, persistence ``p``):
+      ``(1-p)·Σ rel_i·p^(rank_i - 1)`` over the top k, full-rank
+      positions (unjudged = 0). Truncation residual is ≤ p^k — at the
+      default p=0.5, k=20 that is < 1e-6, below the rounding grain.
+    * ERR (Chapelle CIKM'09) with binary grades: R_i = rel_i/2, so the
+      cascade product Π_{j<i}(1-R_j) collapses to 0.5^(#relevant before
+      i) and ``err = Σ rel_i · 0.5^(found_prev+1) / rank_i``.
+
+    The default p=0.5 keeps every power a dyadic rational, exact in a
+    double on both engines (the repo's determinism rule); other p's
+    work but cross-engine bit-equality then rests on libm pow.
+    Queries with no ranked rows drop out naturally; zero-relevant
+    queries keep an honest 0.0 (unlike AP's NaN-skip — these metrics
+    are well-defined there).
+    """
+    j = (
+        ranked.select("qid", "doc_id", "rank")
+        .where(F.col("rank") <= k)
+        .join(judgments, ["qid", "doc_id"], "left")
+        .fillna(0, ["relevance"])
+    )
+    w = Window.partitionBy("qid").orderBy("rank")
+    walked = j.select(
+        "qid", "rank", "relevance",
+        (F.sum("relevance").over(w) - F.col("relevance")).alias("_fp"),
+    )
+    return walked.groupBy("qid").agg(
+        F.round(
+            F.lit(1.0 - p)
+            * F.sum(
+                F.col("relevance") * F.pow(F.lit(p), F.col("rank") - 1)
+            ),
+            6,
+        ).alias("rbp"),
+        F.round(
+            F.sum(
+                F.col("relevance")
+                * F.pow(F.lit(0.5), F.col("_fp") + 1)
+                / F.col("rank")
+            ),
+            6,
+        ).alias("err"),
+    )
+
+
 # --- pure-Python twin (unit-test oracle, reference-shaped walk) ------------
 
 

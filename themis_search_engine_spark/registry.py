@@ -630,6 +630,30 @@ QUERIES["eval_ap_ndcg"] = q_eval_ap_ndcg
 ORACLE_SQL["eval_ap_ndcg"] = osql.sql_eval_ap_ndcg(20)
 
 
+def q_eval_rbp_err(spark, sf_dir):
+    """E-family extension: rank-biased precision (persistence 0.5) and
+    binary-grade expected reciprocal rank over the same ranking +
+    judgments as eval_ap_ndcg (evalmetrics.rbp_err; dyadic powers keep
+    both metrics engine-exact)."""
+    from .corpus import load_documents
+    from .queryeng.evalmetrics import rbp_err, synthetic_judgments
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        qterms_df(spark, osql.EVAL_QUERYSET, stem=False),
+        idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+    )
+    ranked = _rounded_rank_topk(scored, 20)
+    judgments = synthetic_judgments(
+        load_documents(spark, sf_dir).select("doc_id"), osql.EVAL_QUERYSET
+    )
+    return rbp_err(ranked, judgments, 20)
+
+
+QUERIES["eval_rbp_err"] = q_eval_rbp_err
+ORACLE_SQL["eval_rbp_err"] = osql.sql_eval_rbp_err(20, 0.5)
+
+
 def q_eval_prf_mrr(spark, sf_dir):
     """E-family extension: precision@k / recall@k / MRR over the same
     ranking + judgments as eval_ap_ndcg (full-rank positions —
