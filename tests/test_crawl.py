@@ -81,3 +81,69 @@ def test_schedule_politeness_invariants(pages):
 def test_schedule_rejects_bad_fetchers(pages):
     with pytest.raises(ValueError):
         crawl_schedule(pages, n_fetchers=0)
+
+
+ROBOTS_A = """# demo robots
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/pub   # inline comment
+Disallow: /tmp*
+disallow: /cgi
+"""
+
+ROBOTS_B = """User-agent: *
+Allow: /
+"""
+
+
+def test_robots_rules_parse(spark):
+    from themis_search_engine_spark.pipeline_ops.crawl import robots_rules
+
+    docs = spark.createDataFrame(
+        [("a.org", ROBOTS_A), ("b.org", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    got = {
+        (r.host, r.rule_path, r.allow) for r in robots_rules(docs).collect()
+    }
+    assert got == {
+        # evilbot's Disallow: / never leaks into the * group
+        ("a.org", "/private", False),
+        ("a.org", "/private/pub", True),   # comment stripped
+        ("a.org", "/cgi", False),          # case-insensitive field
+        # /tmp* dropped: wildcard rules are outside the subset
+        ("b.org", "/", True),
+    }
+
+
+def test_robots_filter_longest_match(spark):
+    from themis_search_engine_spark.pipeline_ops.crawl import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.org", "/private", False),
+         ("a.org", "/private/pub", True),
+         ("a.org", "/p", False),
+         ("a.org", "/p/1", False),
+         ("a.org", "/p/1", True)],       # exact-length tie: Allow wins
+        "host string, rule_path string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.org/private/x",),
+         ("https://a.org/private/pub/x",),
+         ("https://a.org/p/2",),
+         ("https://a.org/p/1",),
+         ("https://a.org/free",),
+         ("https://other.org/anything",)],
+        "url string",
+    )
+    got = {r.url: (r.rule_path, r.allowed)
+           for r in robots_filter(urls, rules).collect()}
+    assert got["https://a.org/private/x"] == ("/private", False)
+    assert got["https://a.org/private/pub/x"] == ("/private/pub", True)
+    assert got["https://a.org/p/2"] == ("/p", False)
+    assert got["https://a.org/p/1"] == ("/p/1", True)     # tie -> Allow
+    assert got["https://a.org/free"] == ("", True)        # default allow
+    assert got["https://other.org/anything"] == ("", True)

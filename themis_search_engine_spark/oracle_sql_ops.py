@@ -1866,6 +1866,54 @@ SELECT url, host, n_snaps, n_changes, change_rate, priority, fetcher,
 FROM rounds"""
 
 
+def sql_robots_filter() -> str:
+    """Oracle twin of crawl.robots_filter over snapshot_view's distinct
+    urls and crawl.fixture_robots_rules (same seeded-md5 bucket formula):
+    longest prefix rule wins, Allow wins length ties, no-rule default is
+    allowed with rule_path = ''."""
+    return """WITH pages AS (
+  SELECT DISTINCT
+         'https://' || source || '.example.org/p/'
+           || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+),
+u AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+         regexp_replace(url, '^https?://[^/]+', '') AS path
+  FROM pages
+),
+hb AS (
+  SELECT DISTINCT host,
+         (('0x' || substr(md5('robots|' || host), 1, 8))::BIGINT % 7) AS b
+  FROM u
+),
+rules AS (
+  SELECT host, '/p/' || CAST((b + 1) % 7 AS VARCHAR) AS rule_path,
+         false AS allow
+  FROM hb
+  UNION ALL
+  SELECT host, '/p', false FROM hb WHERE b % 3 = 0
+  UNION ALL
+  SELECT host, '/p/' || CAST(b AS VARCHAR), true FROM hb WHERE b % 3 = 0
+),
+m AS (
+  SELECT u.url, r.rule_path, r.allow,
+         row_number() OVER (
+           PARTITION BY u.url
+           ORDER BY length(r.rule_path) DESC, r.allow DESC,
+                    r.rule_path ASC) AS rn
+  FROM u JOIN rules r
+    ON u.host = r.host
+   AND substr(u.path, 1, length(r.rule_path)) = r.rule_path
+)
+SELECT u.url, u.host,
+       coalesce(m.rule_path, '') AS rule_path,
+       coalesce(m.allow, true) AS allowed
+FROM u LEFT JOIN (SELECT url, rule_path, allow FROM m WHERE rn = 1) m
+  ON u.url = m.url"""
+
+
 def sql_domain_quality(
     min_quality: float = 0.5, min_en_frac: float = 0.5
 ) -> str:

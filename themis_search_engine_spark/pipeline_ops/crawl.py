@@ -142,3 +142,148 @@ def crawl_schedule(
             "priority", "fetcher", "round", "pos",
         )
     )
+
+
+def robots_rules(
+    robots_docs: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, rule_path, allow) — parse raw robots.txt bodies into the
+    rule table :func:`robots_filter` consumes. In-plan (posexplode of
+    lines + a last-ignore-nulls window carrying the current
+    ``User-agent:`` group), no Python per row.
+
+    Supported subset of RFC 9309: ``User-agent`` / ``Allow`` /
+    ``Disallow`` lines, ``#`` comments, case-insensitive field names,
+    plain path prefixes (no ``*``/``$`` wildcards — a rule containing
+    them is dropped, which can only make the filter MORE permissive;
+    documented limitation). A rule belongs to the nearest preceding
+    User-agent line; only groups for ``agent`` (default ``*``) are
+    kept, so an ``evilbot`` section never leaks into the default
+    group."""
+    lines = robots_docs.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("line", "#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(
+            F.trim(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+        ).alias("field"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = parsed.withColumn(
+        "ua",
+        F.last(
+            F.when(F.col("field") == "user-agent", F.col("value")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        grouped.where(F.col("ua") == agent)
+        .where(F.col("field").isin("allow", "disallow"))
+        .where(F.col("value") != "")
+        .where(~F.col("value").rlike(r"[*$]"))
+        .select(
+            "host",
+            F.col("value").alias("rule_path"),
+            (F.col("field") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, host, rule_path, allowed) — RFC 9309 rule application: the
+    LONGEST rule whose path is a prefix of the url path decides; on an
+    exact length tie Allow wins (Google's published tiebreak); a url
+    with no matching rule is allowed, with rule_path = '' so the output
+    stays null-free.
+
+    Shape: rules are host-keyed and tiny relative to the frontier
+    (even 10⁹ hosts × a few rules is dwarfed by 10¹² urls), so the join
+    broadcasts when small and otherwise shuffles on host — the same key
+    the frontier is already partitioned by after crawl_schedule's
+    politeness window, so no extra exchange in the composed pipeline.
+    The longest-match pick is a per-url window over its matched rules
+    only (a handful of rows), never over a host's whole frontier."""
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_replace(url_col, r"^https?://[^/]+", "").alias("_path"),
+    )
+    matched = (
+        u.join(rules, "host")
+        .where(F.col("_path").startswith(F.col("rule_path")))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc(F.length("rule_path")),
+        F.desc("allow"),
+        F.asc("rule_path"),
+    )
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("url", "rule_path", F.col("allow").alias("allowed"))
+    )
+    return (
+        u.join(best, "url", "left")
+        .select(
+            "url", "host",
+            F.coalesce("rule_path", F.lit("")).alias("rule_path"),
+            F.coalesce("allowed", F.lit(True)).alias("allowed"),
+        )
+    )
+
+
+def fixture_robots_rules(hosts: DataFrame, *, host_col: str = "host") -> DataFrame:
+    """Deterministic per-host robots rule fixture for the driver corpus
+    (the DuckDB twin replicates the formula bit-for-bit, like
+    websnap.snapshot_view): with b = seeded-md5('robots|'+host) % 7,
+
+    * every host disallows ``/p/<(b+1)%7>``         (specific disallow)
+    * hosts with b % 3 == 0 also disallow ``/p``    (broad disallow)
+      and allow ``/p/<b>``                          (longer Allow wins)
+
+    so the longest-match / allow-override semantics all fire somewhere
+    at every scale factor."""
+    h = hosts.select(F.col(host_col).alias("host")).distinct()
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("robots|"), F.col("host"))),
+                           1, 8), 16, 10).cast("long") % 7
+    )
+    hb = h.select("host", b.alias("_b"))
+    specific = hb.select(
+        "host",
+        F.concat(F.lit("/p/"), ((F.col("_b") + 1) % 7).cast("string")).alias(
+            "rule_path"
+        ),
+        F.lit(False).alias("allow"),
+    )
+    broad = hb.where(F.col("_b") % 3 == 0).select(
+        "host", F.lit("/p").alias("rule_path"), F.lit(False).alias("allow")
+    )
+    override = hb.where(F.col("_b") % 3 == 0).select(
+        "host",
+        F.concat(F.lit("/p/"), F.col("_b").cast("string")).alias("rule_path"),
+        F.lit(True).alias("allow"),
+    )
+    return specific.unionByName(broad).unionByName(override)

@@ -728,6 +728,26 @@ def q_crawl_schedule(spark, sf_dir):
     return crawl_schedule(pages, n_fetchers=4)
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots-exclusion filtering (pipeline_ops/crawl.robots_filter):
+    RFC 9309 longest-prefix-match rule application over the frontier's
+    distinct urls — Allow wins length ties, no-rule urls default to
+    allowed — against the deterministic per-host rule fixture
+    (crawl.fixture_robots_rules; the raw robots.txt parser
+    crawl.robots_rules is pytest-pinned on real robots bodies)."""
+    from .pipeline_ops.crawl import fixture_robots_rules, robots_filter
+    from .pipeline_ops.websnap import snapshot_view
+
+    urls = (
+        snapshot_view(load_documents(spark, sf_dir))
+        .select("url").distinct()
+    )
+    hosts = urls.select(
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+    )
+    return robots_filter(urls, fixture_robots_rules(hosts))
+
+
 def q_domain_quality(spark, sf_dir):
     """Host-level quality rollup + keep/drop flag
     (websnap.domain_quality) — the domain-filter stage of C4/Gopher
@@ -996,6 +1016,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment_lsh": q_dedup_containment_lsh,
     "snapshot_diff": q_snapshot_diff,
     "crawl_schedule": q_crawl_schedule,
+    "robots_filter": q_robots_filter,
     "domain_quality": q_domain_quality,
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
@@ -1064,6 +1085,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "dedup_containment_lsh": osqlo.sql_containment_lsh_pairs(2, 16, 8, 0.9),
     "snapshot_diff": osqlo.sql_snapshot_diff(),
     "crawl_schedule": osqlo.sql_crawl_schedule(4),
+    "robots_filter": osqlo.sql_robots_filter(),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
     "priority_sample": osqlo.sql_priority_sample(50),
