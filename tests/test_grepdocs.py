@@ -58,3 +58,27 @@ def test_grep_rejects_short_pattern(spark, docs):
         grep_docs(spark, docs, {1: "ab"})
     with pytest.raises(ValueError):
         grep_docs(spark, docs, {})
+
+
+def test_grep_snippets_window(spark):
+    from themis_search_engine_spark.queryeng.grepdocs import grep_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc TARGET ddd eee"),
+         (2, "TARGET at the very start"),
+         (3, "nothing relevant here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in grep_snippets(
+            spark, docs, {1: "target"}, before=4, length=10
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1: normalized 'aaa bbb ccc target ddd eee', match at 13
+    assert out[1].mpos == 13
+    assert out[1].snippet == "ccc target"
+    # doc 2: match at 1 -> window clamps to the string start
+    assert out[2].mpos == 1
+    assert out[2].snippet == "target at "

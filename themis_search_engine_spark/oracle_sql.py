@@ -831,6 +831,37 @@ SELECT q.qid, d.doc_id
 FROM nd d JOIN qp q ON regexp_matches(d.norm, q.pat)"""
 
 
+def sql_grep_snippets(
+    patterns: dict[int, str], before: int = 20, length: int = 60
+) -> str:
+    """Oracle twin of registry.q_grep_snippets — grep hits (plain LIKE,
+    semantically equal to the engine's lossless trigram+verify) with the
+    same 1-based strpos / substring window arithmetic."""
+    from .queryeng.grepdocs import normalize_pattern
+
+    vals = ", ".join(
+        f"({qid}, '{normalize_pattern(p)}')"
+        for qid, p in sorted(patterns.items())
+    )
+    return rf"""WITH nd AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')),
+           '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+qp(qid, pat) AS (VALUES {vals}),
+hit AS (
+  SELECT q.qid, d.doc_id, d.norm, q.pat,
+         strpos(d.norm, q.pat)::BIGINT AS mpos
+  FROM nd d JOIN qp q ON d.norm LIKE '%' || q.pat || '%'
+)
+SELECT qid, doc_id, mpos,
+       substring(norm, greatest(1, mpos - {before})::INT, {length})
+         AS snippet
+FROM hit"""
+
+
 def sql_trending_terms(min_df: int = 5, top_n: int = 20) -> str:
     """Oracle twin of websnap.trending_terms over the index's per-doc
     counts with the fixture crawl timestamp (warc_ts ~ (doc_id*37)%1000

@@ -205,3 +205,46 @@ def regex_grep(
         .select("qid", "doc_id")
     )
     return verified
+
+
+def grep_snippets(
+    spark: SparkSession,
+    docs: DataFrame,
+    patterns: dict[int, str],
+    *,
+    before: int = 20,
+    length: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(qid, doc_id, mpos, snippet) — KWIC windows for grep results: a
+    ``length``-char window of the NORMALIZED text starting ``before``
+    chars ahead of the first occurrence of the (normalized) pattern.
+    ``mpos`` is the 1-based match position; every grep hit has one by
+    construction, so the column is never null.
+
+    Composes :func:`grep_docs`' candidate/verify plan with the same
+    locate/substring Column arithmetic kwic_snippets uses — the snippet
+    pass re-reads only the HIT docs' text (the verify join already
+    carries it), so the extra cost over grep_docs is one codegen
+    projection, not a corpus pass."""
+    if not patterns:
+        raise ValueError("empty patterns")
+    hits = grep_docs(
+        spark, docs, patterns, id_col=id_col, text_col=text_col
+    )
+    qpat = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), normalize_pattern(p)) for q, p in sorted(patterns.items())],
+            "qid long, pattern string",
+        )
+    )
+    staged = (
+        hits.join(qpat, "qid")
+        .join(_norm_text(docs, id_col, text_col), "doc_id")
+        .withColumn("mpos", F.expr("locate(pattern, _norm)").cast("long"))
+    )
+    snippet = F.expr(
+        f"substring(_norm, greatest(1, mpos - {before}), {length})"
+    )
+    return staged.select("qid", "doc_id", "mpos", snippet.alias("snippet"))

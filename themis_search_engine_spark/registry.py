@@ -1487,6 +1487,24 @@ QUERIES["regex_grep"] = q_regex_grep
 ORACLE_SQL["regex_grep"] = osql.sql_regex_grep(REGEX_GREP_QUERYSET)
 
 
+def q_grep_snippets(spark, sf_dir):
+    """KWIC snippets for grep hits (queryeng/grepdocs.grep_snippets):
+    the grep candidate/verify plan plus one codegen locate/substring
+    projection over the hit docs' normalized text — match position and
+    a fixed window, never a second corpus pass."""
+    from .corpus import load_documents
+    from .queryeng.grepdocs import grep_snippets
+
+    return grep_snippets(
+        spark, load_documents(spark, sf_dir), GREP_QUERYSET,
+        before=20, length=60,
+    )
+
+
+QUERIES["grep_snippets"] = q_grep_snippets
+ORACLE_SQL["grep_snippets"] = osql.sql_grep_snippets(GREP_QUERYSET, 20, 60)
+
+
 def q_bm25_topk_sql(spark, sf_dir):
     """The retrieval as ONE spark.sql statement over registered index
     views (queryeng/sqlapi): views are named logical plans, so Catalyst
