@@ -914,3 +914,58 @@ def test_kmeans_grain_quantizes_means(spark):
             scaled = vq * 1e6
             assert abs(scaled - math.floor(scaled + 0.5)) < 1e-6
             assert abs(vq - vr) < 2e-6
+
+
+def test_related_items_lift_and_cap(spark):
+    """Co-session suggestions: items sharing sessions rank by lift;
+    pairs below min_pair drop; the basket cap bounds enumeration."""
+    import datetime as dt
+
+    from themis_search_engine_spark.pipeline_ops.sessions import (
+        related_items,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, minute, k):
+        return (eid, user, t0 + dt.timedelta(minutes=minute), "q",
+                0.0, '{"k": %d}' % k)
+
+    rows = [
+        # user 1, session 1: items 10, 11  (pair 10-11)
+        ev(1, 1, 0, 10), ev(2, 1, 1, 11),
+        # user 1, session 2 (after the 360-min gap): items 10, 11 again
+        ev(3, 1, 500, 10), ev(4, 1, 501, 11),
+        # user 2, one session: items 10, 12 — pair 10-12 occurs ONCE
+        ev(5, 2, 0, 10), ev(6, 2, 1, 12),
+        # user 3, a lone item session (contributes to N only)
+        ev(7, 3, 0, 13),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    got = related_items(events, 360, min_pair=2, top_n=5).collect()
+    pairs = {(r.item, r.related): r for r in got}
+    # pair (10,11): n_ab=2, N=4 sessions, n_10=3, n_11=2 -> lift 8/6
+    assert set(pairs) == {(10, 11), (11, 10)}  # 10-12 dropped (min_pair)
+    r = pairs[(10, 11)]
+    assert r.n_ab == 2 and r.lift == round(2 * 4 / (3 * 2), 6) and r.rank == 1
+
+    # cap: a 3-item session with max_items=2 keeps items 10,11 only
+    rows2 = [
+        ev(1, 9, 0, 10), ev(2, 9, 1, 11), ev(3, 9, 2, 12),
+    ]
+    events2 = spark.createDataFrame(
+        rows2,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    got2 = {
+        (r.item, r.related)
+        for r in related_items(
+            events2, 360, min_pair=1, top_n=5, max_items=2
+        ).collect()
+    }
+    assert got2 == {(10, 11), (11, 10)}  # item 12 fell past the cap

@@ -982,6 +982,86 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
 FROM sess GROUP BY user_id, session_idx"""
 
 
+def sql_related_items(
+    gap_minutes: int = 360, min_pair: int = 2, top_n: int = 5,
+    max_items: int = 20,
+) -> str:
+    """Oracle twin of sessions.related_items: same sessionization,
+    item-asc per-session cap, observed-pairs-only lift with the exact
+    floor(x·10⁶+0.5) grain, symmetric emission, per-item rank."""
+    gap_s = gap_minutes * 60
+    return rf"""WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+              AS BIGINT) AS item
+  FROM events
+),
+ordered AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev_ts
+  FROM ev
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT
+                   > {gap_s}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, item,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+items AS (
+  SELECT DISTINCT user_id, session_idx, item FROM sess
+  WHERE item IS NOT NULL
+),
+capped AS (
+  SELECT user_id, session_idx, item FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+                                 ORDER BY item) AS rn
+    FROM items
+  ) WHERE rn <= {max_items}
+),
+nt AS (
+  SELECT count(*)::BIGINT AS n
+  FROM (SELECT DISTINCT user_id, session_idx FROM capped)
+),
+pi AS (SELECT item, count(*)::BIGINT AS n_i FROM capped GROUP BY item),
+pr AS (
+  SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS n_ab
+  FROM capped a
+  JOIN capped b ON a.user_id = b.user_id
+              AND a.session_idx = b.session_idx
+              AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {min_pair}
+),
+lifted AS (
+  SELECT ia, ib, n_ab,
+         floor(n_ab * 1000000.0 * nt.n / (pa.n_i * pb.n_i) + 0.5)
+           / 1000000.0 AS lift
+  FROM pr
+  CROSS JOIN nt
+  JOIN pi pa ON pr.ia = pa.item
+  JOIN pi pb ON pr.ib = pb.item
+),
+sym AS (
+  SELECT ia AS item, ib AS related, n_ab, lift FROM lifted
+  UNION ALL
+  SELECT ib AS item, ia AS related, n_ab, lift FROM lifted
+)
+SELECT item, related, n_ab, lift, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY item
+                                ORDER BY lift DESC, related ASC))::BIGINT
+            AS rank
+  FROM sym
+) WHERE rank <= {top_n}"""
+
+
 _HB = "('0x' || substr(md5('{salt}|' || {key}::VARCHAR), 1, 8))::BIGINT"
 
 

@@ -118,3 +118,99 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def related_items(
+    events: DataFrame,
+    gap_minutes: int = 360,
+    *,
+    min_pair: int = 2,
+    top_n: int = 5,
+    max_items: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    props_col: str = "props",
+) -> DataFrame:
+    """(item, related, n_ab, lift, rank) — "people also searched for":
+    items (the ``k`` property of the event payload) that co-occur in
+    the same session far more than chance, ranked by lift
+    ``n_ab·N_sessions/(n_a·n_b)`` (6dp-quantized; >1 = positive
+    association), related asc ties, top_n per item, pairs below
+    ``min_pair`` sessions dropped as noise.
+
+    Scale shape: the only quadratic step is the WITHIN-session pair
+    enumeration, bounded by ``max_items`` distinct items per session
+    (item-asc cap — the deterministic form of the basket-size cap every
+    production co-occurrence miner applies), so pairs ≤ sessions ×
+    max_items²; the session-count N is a broadcast 1-row agg; item
+    session-counts join on the pair keys. No driver collect, no
+    |items|² — only observed pairs materialize.
+    """
+    s = sessionize(
+        events, gap_minutes, user_col=user_col, ts_col=ts_col, id_col=id_col
+    )
+    items = (
+        s.select(
+            F.col(user_col).alias("_u"),
+            "session_idx",
+            F.regexp_extract(F.col(props_col), r'"k":\s*(\d+)', 1)
+            .cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    wcap = Window.partitionBy("_u", "session_idx").orderBy("item")
+    capped = (
+        items.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= max_items)
+        .drop("_rn")
+    )
+    n_sessions = (
+        capped.select("_u", "session_idx").distinct()
+        .agg(F.count("*").alias("_n"))
+    )
+    per_item = capped.groupBy("item").agg(
+        F.count("*").cast("long").alias("n_i")
+    )
+    a = capped.select("_u", "session_idx", F.col("item").alias("ia"))
+    b = capped.select("_u", "session_idx", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, ["_u", "session_idx"])
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair)
+    )
+    lifted = (
+        pairs.join(per_item.select(F.col("item").alias("ia"),
+                                   F.col("n_i").alias("n_a")), "ia")
+        .join(per_item.select(F.col("item").alias("ib"),
+                              F.col("n_i").alias("n_b")), "ib")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "ia", "ib", "n_ab",
+            (
+                F.floor(
+                    F.col("n_ab") * F.lit(1000000.0) * F.col("_n")
+                    / (F.col("n_a") * F.col("n_b"))
+                    + F.lit(0.5)
+                ) / F.lit(1000000.0)
+            ).alias("lift"),
+        )
+    )
+    sym = lifted.select(
+        F.col("ia").alias("item"), F.col("ib").alias("related"),
+        "n_ab", "lift",
+    ).unionByName(
+        lifted.select(
+            F.col("ib").alias("item"), F.col("ia").alias("related"),
+            "n_ab", "lift",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("lift"), F.asc("related"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("item", "related", "n_ab", "lift", "rank")
+    )

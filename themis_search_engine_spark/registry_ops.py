@@ -728,6 +728,18 @@ def q_crawl_schedule(spark, sf_dir):
     return crawl_schedule(pages, n_fetchers=4)
 
 
+def q_related_items(spark, sf_dir):
+    """Co-session item suggestions (sessions.related_items) — "people
+    also searched for" over the events log: per-session distinct items
+    (payload k property), item-asc basket cap bounding the only
+    quadratic step, observed-pairs-only lift ranking."""
+    from .pipeline_ops.sessions import related_items
+
+    return related_items(
+        _events(spark, sf_dir), 360, min_pair=2, top_n=5, max_items=20
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots-exclusion filtering (pipeline_ops/crawl.robots_filter):
     RFC 9309 longest-prefix-match rule application over the frontier's
@@ -1017,6 +1029,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "crawl_schedule": q_crawl_schedule,
     "robots_filter": q_robots_filter,
+    "related_items": q_related_items,
     "domain_quality": q_domain_quality,
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
@@ -1086,6 +1099,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "snapshot_diff": osqlo.sql_snapshot_diff(),
     "crawl_schedule": osqlo.sql_crawl_schedule(4),
     "robots_filter": osqlo.sql_robots_filter(),
+    "related_items": osqlo.sql_related_items(360, 2, 5, 20),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
     "priority_sample": osqlo.sql_priority_sample(50),
