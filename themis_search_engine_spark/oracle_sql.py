@@ -831,6 +831,63 @@ SELECT q.qid, d.doc_id
 FROM nd d JOIN qp q ON regexp_matches(d.norm, q.pat)"""
 
 
+def sql_index_fsck() -> str:
+    """Oracle twin of fsck.verify_index: the SAME seven invariants
+    recomputed over the oracle's own derived tables (counts/tfn/dict/
+    docstat/gstats). Both engines must report all-zero violation counts
+    — the oracle side by construction, the engine side only if its four
+    index tables are mutually consistent, which is what the query
+    checks."""
+    return f"""WITH {TOK_CTE},
+postdf AS (SELECT term, count(*)::BIGINT AS pdf FROM tfn GROUP BY term),
+dfm AS (
+  SELECT count(*)::BIGINT AS v
+  FROM dict d FULL JOIN postdf p ON d.term = p.term
+  WHERE coalesce(d.df, -1) <> coalesce(p.pdf, -1)
+),
+csum AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS len2, max(cnt)::BIGINT AS max2
+  FROM counts GROUP BY doc_id
+),
+j AS (
+  SELECT s.doc_id, s.length, s.maxcnt, c.len2, c.max2
+  FROM docstat s FULL JOIN csum c ON s.doc_id = c.doc_id
+),
+lenm AS (
+  SELECT count(*)::BIGINT AS v FROM j
+  WHERE coalesce(length, 0) <> coalesce(len2, 0)
+),
+maxm AS (
+  SELECT count(*)::BIGINT AS v FROM j
+  WHERE coalesce(maxcnt, 0) <> coalesce(max2, 0)
+),
+orph AS (
+  SELECT count(*)::BIGINT AS v FROM tfn t
+  WHERE NOT EXISTS (SELECT 1 FROM docstat s WHERE s.doc_id = t.doc_id)
+),
+tfb AS (
+  SELECT count(*)::BIGINT AS v FROM tfn WHERE tf <= 0 OR tf > 1
+),
+st AS (
+  SELECT count(*)::BIGINT AS n, round(avg(length), 6) AS a FROM docstat
+),
+ndm AS (
+  SELECT abs(g.n_docs - st.n)::BIGINT AS v FROM gstats g CROSS JOIN st
+),
+avm AS (
+  SELECT (CASE WHEN round(g.avgdl, 6) <> st.a THEN 1 ELSE 0 END)::BIGINT
+           AS v
+  FROM gstats g CROSS JOIN st
+)
+SELECT 'avgdl_mismatch' AS check, v AS violations FROM avm
+UNION ALL SELECT 'df_mismatch', v FROM dfm
+UNION ALL SELECT 'length_mismatch', v FROM lenm
+UNION ALL SELECT 'maxcnt_mismatch', v FROM maxm
+UNION ALL SELECT 'n_docs_mismatch', v FROM ndm
+UNION ALL SELECT 'orphan_postings', v FROM orph
+UNION ALL SELECT 'tf_out_of_range', v FROM tfb"""
+
+
 def sql_grep_snippets(
     patterns: dict[int, str], before: int = 20, length: int = 60
 ) -> str:

@@ -1505,6 +1505,22 @@ QUERIES["grep_snippets"] = q_grep_snippets
 ORACLE_SQL["grep_snippets"] = osql.sql_grep_snippets(GREP_QUERYSET, 20, 60)
 
 
+def q_index_fsck(spark, sf_dir):
+    """Index consistency checker (indexing/fsck.verify_index): seven
+    cross-table invariants — df vs postings counts, doc_stats vs counts
+    rollups, tf range, orphan postings, global-stats reconciliation —
+    each as a violation COUNT; all-zero ⇔ the four index tables are
+    mutually consistent. The oracle recomputes the same invariants over
+    its own derived tables, so both sides must report zeros."""
+    from .indexing.fsck import verify_index
+
+    return verify_index(get_index(spark, sf_dir))
+
+
+QUERIES["index_fsck"] = q_index_fsck
+ORACLE_SQL["index_fsck"] = osql.sql_index_fsck()
+
+
 def q_bm25_topk_sql(spark, sf_dir):
     """The retrieval as ONE spark.sql statement over registered index
     views (queryeng/sqlapi): views are named logical plans, so Catalyst
