@@ -530,3 +530,27 @@ def test_fuzzy_qterms_verify_is_candidate_bounded(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compound_split_qterms(spark):
+    from themis_search_engine_spark.queryeng.spell import (
+        compound_split_qterms,
+    )
+
+    dictionary = spark.createDataFrame(
+        [("hash", 90), ("join", 80), ("ha", 5), ("shjoin", 5),
+         ("window", 70), ("big", 60), ("data", 50)],
+        "term string, df long",
+    )
+    out = compound_split_qterms(
+        spark, dictionary,
+        {1: "hashjoin", 2: "window", 3: "zzzz", 4: "bigdata"},
+    ).collect()
+    by_qid = {}
+    for r in sorted(out, key=lambda r: (r["qid"], r["term"])):
+        by_qid.setdefault(r["qid"], []).append(r["term"])
+    # best split by least-df: hash|join (min 80) beats ha|shjoin (min 5)
+    assert by_qid[1] == ["hash", "join"]
+    assert by_qid[2] == ["window"]   # in-dictionary: no split attempted
+    assert by_qid[3] == ["zzzz"]     # unsplittable: verbatim passthrough
+    assert by_qid[4] == ["big", "data"]

@@ -629,6 +629,77 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_compound_topk(
+    queries: dict[int, str], k: int = 10
+) -> str:
+    """Oracle twin of registry.q_compound_topk — decompounding rewrite:
+    in-dictionary terms pass through; unknown terms rewrite to the best
+    two-way split with both halves in the dictionary (least(df_l, df_r)
+    desc, left asc), else pass through verbatim; then the plain OR of
+    BM25 clauses (qweight 1)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, t in sorted(queries.items())
+    )
+    return f"""WITH {TOK_CTE},
+q(qid, qterm) AS (VALUES {vals}),
+known AS (
+  SELECT q.qid, q.qterm, (d.term IS NOT NULL) AS in_dict
+  FROM q LEFT JOIN dict d ON d.term = q.qterm
+),
+splits AS (
+  SELECT qid,
+         substr(qterm, 1, i::INT) AS l,
+         substr(qterm, i::INT + 1, length(qterm)) AS r
+  FROM (
+    SELECT k.qid, k.qterm, unnest(range(1, length(k.qterm))) AS i
+    FROM known k
+    WHERE NOT k.in_dict AND length(k.qterm) >= 2
+  )
+),
+cand AS (
+  SELECT s.qid, s.l, s.r, least(dl.df, dr.df) AS m
+  FROM splits s
+  JOIN dict dl ON dl.term = s.l
+  JOIN dict dr ON dr.term = s.r
+),
+best AS (
+  SELECT qid, l, r FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY m DESC, l ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+qx AS (
+  SELECT k.qid, k.qterm AS term
+  FROM known k LEFT JOIN best b ON k.qid = b.qid
+  WHERE k.in_dict OR b.l IS NULL
+  UNION
+  SELECT qid, l AS term FROM best
+  UNION
+  SELECT qid, r AS term FROM best
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN qx q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prf_topk(
     fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10
 ) -> str:

@@ -30,5 +30,12 @@ from .simsearch import (  # noqa: F401
     srp_lsh_pairs,
     srp_signature,
 )
+from .crawl import (  # noqa: F401
+    change_rates,
+    crawl_schedule,
+    robots_filter,
+    robots_rules,
+)
+from .sessions import related_items  # noqa: F401
 from .textstats import fingerprints, lang_id, quality_score, token_stats  # noqa: F401
 from .websnap import domain_stats, latest_snapshot_per_url  # noqa: F401

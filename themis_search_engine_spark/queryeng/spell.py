@@ -318,3 +318,81 @@ def fuzzy_qterms(
         .where(F.col("_rn") <= max_terms)
         .select("qid", "term", F.lit(1.0).alias("qweight"))
     )
+
+
+def compound_split_qterms(
+    spark,
+    dictionary: DataFrame,
+    queries: dict[int, str],
+    *,
+    min_df: int = 1,
+) -> DataFrame:
+    """(qid, term, qweight=1.0) — compound-word splitting for unknown
+    query terms (the decompounding rewrite next to did-you-mean:
+    "hashjoin" → ``hash join``): a term already in the dictionary
+    passes through; an unknown term tries EVERY two-way split whose
+    halves are both dictionary terms and rewrites to the best one —
+    ranked by the weaker half's df (``least(df_l, df_r)`` desc, left
+    asc — the deterministic "both parts must be common" rule); a term
+    with no valid split passes through verbatim (matching nothing
+    downstream, like correct_qterms' fallback).
+
+    Scale shape: the split enumeration is query-side only (≤ len−1
+    candidate pairs per term, broadcast); the dictionary is probed by
+    two equi-joins on the candidate halves — at web scale the same
+    sorted term-sink point lookups every rewrite here uses. Never a
+    |V| scan, no driver-side vocabulary.
+    """
+    if not queries:
+        raise ValueError("empty queries")
+    qmap = F.broadcast(
+        spark.createDataFrame(
+            [(int(q), t) for q, t in sorted(queries.items())],
+            "qid long, qterm string",
+        )
+    )
+    known = dictionary.select(
+        F.col("term").alias("qterm"), F.lit(True).alias("_in_dict")
+    )
+    q = qmap.join(known, "qterm", "left")
+    splits = q.where(
+        F.col("_in_dict").isNull() & (F.length("qterm") >= 2)
+    ).select(
+        "qid", "qterm",
+        F.expr(
+            "explode(transform(sequence(1, length(qterm) - 1),"
+            " i -> struct(substring(qterm, 1, i) AS l,"
+            "            substring(qterm, i + 1, length(qterm)) AS r)))"
+        ).alias("_s"),
+    ).select("qid", "qterm", "_s.l", "_s.r")
+    d = dictionary.select("term", "df").where(F.col("df") >= min_df)
+    cand = (
+        splits
+        .join(d.select(F.col("term").alias("l"),
+                       F.col("df").alias("_dfl")), "l")
+        .join(d.select(F.col("term").alias("r"),
+                       F.col("df").alias("_dfr")), "r")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.least("_dfl", "_dfr")), F.asc("l")
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("qid", "l", "r")
+    )
+    out = (
+        q.join(best, "qid", "left")
+        .select(
+            "qid",
+            F.when(
+                F.col("_in_dict").isNotNull() | F.col("l").isNull(),
+                F.array(F.col("qterm")),
+            )
+            .otherwise(F.array(F.col("l"), F.col("r")))
+            .alias("_terms"),
+        )
+        .select("qid", F.explode("_terms").alias("term"))
+        .distinct()
+    )
+    return out.select("qid", "term", F.lit(1.0).alias("qweight"))

@@ -1357,6 +1357,30 @@ def q_regex_topk(spark, sf_dir):
 QUERIES["regex_topk"] = q_regex_topk
 ORACLE_SQL["regex_topk"] = osql.sql_regex_topk(REGEX_QUERYSET, 16, 10)
 
+COMPOUND_QUERYSET = {1: "hashjoin", 2: "sortmerge", 3: "bigdata",
+                     4: "window", 5: "zzzz", 6: "scanline"}
+
+
+def q_compound_topk(spark, sf_dir):
+    """Decompounding retrieval (queryeng/spell.compound_split_qterms):
+    unknown query terms rewrite to their best two-way dictionary split
+    ("hashjoin" → hash join; split enumeration is broadcast query-side,
+    dictionary probed by two equi-joins — never a |V| scan), known and
+    unsplittable terms pass through, then the standard OR-scored BM25
+    plan with IN-list postings pushdown."""
+    from .queryeng.spell import compound_split_qterms
+
+    idx = get_index(spark, sf_dir)
+    qt = compound_split_qterms(spark, idx.dictionary, COMPOUND_QUERYSET)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["compound_topk"] = q_compound_topk
+ORACLE_SQL["compound_topk"] = osql.sql_compound_topk(COMPOUND_QUERYSET, 10)
+
 
 def q_prf_topk(spark, sf_dir):
     """Pseudo-relevance-feedback retrieval end-to-end (queryeng/prf):
