@@ -700,6 +700,102 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_sdm_topk(
+    queries: dict[int, list[str]],
+    lambdas: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    window: int = 8,
+    k: int = 10,
+) -> str:
+    """Oracle twin of registry.q_sdm_topk — sequential dependence model:
+    λ_T·BM25 + λ_O·Σ log2(1+adjacent-pair count) + λ_U·Σ log2(1+pairs
+    within the unordered window), positions over the normalized
+    UNFILTERED token stream (the phrase oracles' tokpos), proximity legs
+    LEFT-joined onto the unigram frame."""
+    l_t, l_o, l_u = lambdas
+    uni_vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    )
+
+    def pair_sql(qid, a, b, cond):
+        return f"""SELECT {qid} AS qid, pa.doc_id, count(*)::BIGINT AS c
+FROM tokpos pa JOIN tokpos pb
+  ON pa.doc_id = pb.doc_id AND {cond}
+WHERE pa.term = '{a}' AND pb.term = '{b}'
+GROUP BY pa.doc_id"""
+
+    pairs = [
+        (qid, a, b)
+        for qid, terms in sorted(queries.items())
+        for a, b in zip(terms, terms[1:])
+        if a != b
+    ]
+    po = "\nUNION ALL\n".join(
+        pair_sql(q, a, b, "pb.pos = pa.pos + 1") for q, a, b in pairs
+    )
+    pu = "\nUNION ALL\n".join(
+        pair_sql(
+            q, a, b,
+            f"pa.pos <> pb.pos AND abs(pb.pos - pa.pos) < {window}",
+        )
+        for q, a, b in pairs
+    )
+    return f"""WITH {TOK_CTE},
+tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           lower(regexp_replace(text, '[^a-zA-Z0-9]', ' ', 'g')), '\\s+'),
+           t -> t <> '') AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.term AS term
+  FROM tokarr,
+       unnest([{{'pos': i, 'term': toks[i]}}
+               for i in range(1, len(toks) + 1)]) u(s)
+),
+qx(qid, term) AS (VALUES {uni_vals}),
+uni AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS st
+  FROM tfn t
+  JOIN qx q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+po AS (
+{po}
+),
+pu AS (
+{pu}
+),
+so AS (SELECT qid, doc_id, sum(log2(c + 1.0)) AS s FROM po
+       GROUP BY qid, doc_id),
+su AS (SELECT qid, doc_id, sum(log2(c + 1.0)) AS s FROM pu
+       GROUP BY qid, doc_id),
+final AS (
+  SELECT u.qid, u.doc_id,
+         round({l_t} * u.st + {l_o} * coalesce(so.s, 0.0)
+               + {l_u} * coalesce(su.s, 0.0), 6) AS score
+  FROM uni u
+  LEFT JOIN so ON u.qid = so.qid AND u.doc_id = so.doc_id
+  LEFT JOIN su ON u.qid = su.qid AND u.doc_id = su.doc_id
+),
+ranked AS (
+  SELECT qid::BIGINT AS qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM final
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prf_topk(
     fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10
 ) -> str:

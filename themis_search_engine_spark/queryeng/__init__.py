@@ -4,7 +4,8 @@ from .explain import explain_scores, search_after, total_hits  # noqa: F401
 from .evalmetrics import rbp_err  # noqa: F401
 from .grepdocs import grep_docs, grep_snippets, regex_grep  # noqa: F401
 from .regexsearch import plan_regex, regex_qterms  # noqa: F401
-from .spell import fuzzy_qterms  # noqa: F401
+from .sdm import sdm_score_all  # noqa: F401
+from .spell import compound_split_qterms, fuzzy_qterms  # noqa: F401
 from .planner import choose_query_plan, search_serving  # noqa: F401
 from .pipeline import (  # noqa: F401
     parse_queries,

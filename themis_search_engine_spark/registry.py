@@ -1381,6 +1381,33 @@ def q_compound_topk(spark, sf_dir):
 QUERIES["compound_topk"] = q_compound_topk
 ORACLE_SQL["compound_topk"] = osql.sql_compound_topk(COMPOUND_QUERYSET, 10)
 
+SDM_QUERYSET = {1: ["hash", "join"], 2: ["slow", "query"],
+                3: ["sort", "merge", "join"]}
+
+
+def q_sdm_topk(spark, sf_dir):
+    """Sequential dependence model retrieval (queryeng/sdm.py — Metzler
+    & Croft SIGIR'05): λ_T·BM25 + ordered-adjacency and unordered-window
+    proximity features over the positional index, log2(1+count)
+    dampened; proximity legs LEFT-join the audited unigram plan (SDM
+    never adds candidates BM25 didn't score), positional scan pruned to
+    the batch's pair terms."""
+    from .corpus import load_documents
+    from .queryeng.phrase import positional_index
+    from .queryeng.sdm import sdm_score_all
+
+    idx = get_index(spark, sf_dir)
+    pos = positional_index(load_documents(spark, sf_dir))
+    scored = sdm_score_all(
+        spark, SDM_QUERYSET, pos, idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["sdm_topk"] = q_sdm_topk
+ORACLE_SQL["sdm_topk"] = osql.sql_sdm_topk(SDM_QUERYSET, (0.8, 0.1, 0.1), 8, 10)
+
 
 def q_prf_topk(spark, sf_dir):
     """Pseudo-relevance-feedback retrieval end-to-end (queryeng/prf):
