@@ -796,6 +796,57 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_ql_topk(
+    queries: dict[int, list[str]], mu: float = 2000.0, k: int = 10
+) -> str:
+    """Oracle twin of registry.q_ql_topk — Dirichlet query likelihood
+    via the sparse decomposition: present-term lifts + per-query
+    constant − |q|·log2(dl+μ), P(t|C) = cf/|C| over raw counts, zero-cf
+    terms dropped, candidates = docs matching ≥1 query term."""
+    vals = ", ".join(
+        f"({int(qid)}, '{t}')"
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    )
+    return f"""WITH {TOK_CTE},
+q(qid, term) AS (VALUES {vals}),
+cfreq AS (
+  SELECT c.term, sum(c.cnt)::DOUBLE AS cf
+  FROM counts c JOIN (SELECT DISTINCT term FROM q) qt ON c.term = qt.term
+  GROUP BY c.term
+),
+tot AS (SELECT sum(length)::DOUBLE AS t FROM docstat),
+qp AS (
+  SELECT q.qid, q.term, cfreq.cf / tot.t AS p
+  FROM q JOIN cfreq ON q.term = cfreq.term CROSS JOIN tot
+),
+consts AS (
+  SELECT qid, sum(log2({mu} * p)) AS cq, count(*)::BIGINT AS nq
+  FROM qp GROUP BY qid
+),
+present AS (
+  SELECT qp.qid, c.doc_id,
+         sum(log2(c.cnt + {mu} * qp.p) - log2({mu} * qp.p)) AS sp
+  FROM counts c JOIN qp ON c.term = qp.term
+  GROUP BY qp.qid, c.doc_id
+),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         p.sp + k.cq - k.nq * log2(s.length + {mu}) AS score
+  FROM present p
+  JOIN docstat s ON p.doc_id = s.doc_id
+  JOIN consts k ON p.qid = k.qid
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prf_topk(
     fb_docs: int = 5, fb_terms: int = 8, alpha: float = 0.5, k: int = 10
 ) -> str:

@@ -3,6 +3,7 @@ from .boolquery import boolean_score_all, parse_boolean  # noqa: F401
 from .explain import explain_scores, search_after, total_hits  # noqa: F401
 from .evalmetrics import rbp_err  # noqa: F401
 from .grepdocs import grep_docs, grep_snippets, regex_grep  # noqa: F401
+from .ql import ql_score_all  # noqa: F401
 from .regexsearch import plan_regex, regex_qterms  # noqa: F401
 from .sdm import sdm_score_all  # noqa: F401
 from .spell import compound_split_qterms, fuzzy_qterms  # noqa: F401

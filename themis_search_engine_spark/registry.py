@@ -1408,6 +1408,28 @@ def q_sdm_topk(spark, sf_dir):
 QUERIES["sdm_topk"] = q_sdm_topk
 ORACLE_SQL["sdm_topk"] = osql.sql_sdm_topk(SDM_QUERYSET, (0.8, 0.1, 0.1), 8, 10)
 
+QL_QUERYSET = {qid: s.split() for qid, s in osql.QUERYSET.items()}
+
+
+def q_ql_topk(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (queryeng/ql.py — Zhai &
+    Lafferty, μ=2000): the third classic scorer next to BM25/VSM, via
+    the sparse decomposition (present-term lifts + broadcast per-query
+    constant − |q|·log2(dl+μ)) over raw counts; candidates are the
+    standard OR set, cf is one IN-pushed aggregate, zero-cf terms drop
+    like Lucene's LMDirichletSimilarity."""
+    from .queryeng.ql import ql_score_all
+
+    idx = get_index(spark, sf_dir)
+    scored = ql_score_all(
+        spark, QL_QUERYSET, idx.counts, idx.doc_stats, mu=2000.0
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["ql_topk"] = q_ql_topk
+ORACLE_SQL["ql_topk"] = osql.sql_ql_topk(QL_QUERYSET, 2000.0, 10)
+
 
 def q_prf_topk(spark, sf_dir):
     """Pseudo-relevance-feedback retrieval end-to-end (queryeng/prf):
