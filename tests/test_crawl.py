@@ -147,3 +147,34 @@ def test_robots_filter_longest_match(spark):
     assert got["https://a.org/p/1"] == ("/p/1", True)     # tie -> Allow
     assert got["https://a.org/free"] == ("", True)        # default allow
     assert got["https://other.org/anything"] == ("", True)
+
+
+def test_snapshot_retention_policy(spark):
+    from themis_search_engine_spark.pipeline_ops.websnap import (
+        snapshot_retention,
+    )
+
+    day = 86400
+    rows = [
+        # url A: 4 snapshots across 2 days
+        ("u1", 1, 0),            # day 0, first of day -> daily
+        ("u1", 2, 100),          # day 0, second -> expired
+        ("u1", 3, day + 10),     # day 1 first AND 2nd-newest -> recent
+        ("u1", 4, day + 20),     # newest -> recent
+        # url B: single snapshot -> recent
+        ("u2", 5, 50),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, doc_id long, warc_ts long"
+    )
+    got = {
+        r.doc_id: (r.keep, r.reason)
+        for r in snapshot_retention(pages, keep_last=2).collect()
+    }
+    assert got == {
+        1: (True, "daily"),
+        2: (False, "expired"),
+        3: (True, "recent"),   # recent wins over daily
+        4: (True, "recent"),
+        5: (True, "recent"),
+    }

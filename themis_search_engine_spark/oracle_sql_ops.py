@@ -1994,6 +1994,28 @@ FROM u LEFT JOIN (SELECT url, rule_path, allow FROM m WHERE rn = 1) m
   ON u.url = m.url"""
 
 
+def sql_snapshot_retention(keep_last: int = 2) -> str:
+    """Oracle twin of websnap.snapshot_retention over snapshot_view:
+    keep_last newest per url (recent) + first per (url, UTC day)
+    (daily), recent wins, rest expired."""
+    return f"""WITH {_PAGES_CTE},
+staged AS (
+  SELECT url, doc_id, warc_ts,
+         warc_ts // 86400 AS day,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rr,
+         row_number() OVER (PARTITION BY url, warc_ts // 86400
+                            ORDER BY warc_ts ASC, doc_id ASC) AS rd
+  FROM pages
+)
+SELECT url, doc_id, warc_ts,
+       (rr <= {keep_last} OR rd = 1) AS keep,
+       CASE WHEN rr <= {keep_last} THEN 'recent'
+            WHEN rd = 1 THEN 'daily'
+            ELSE 'expired' END AS reason
+FROM staged"""
+
+
 def sql_domain_quality(
     min_quality: float = 0.5, min_en_frac: float = 0.5
 ) -> str:

@@ -369,3 +369,51 @@ def trending_terms(
     )
     w = Window.orderBy(F.desc("ratio"), F.asc("term"))
     return agg.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def snapshot_retention(
+    pages: DataFrame,
+    *,
+    keep_last: int = 2,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(url, doc_id, warc_ts, keep, reason) — snapshot expiry marking,
+    the ILM/snapshot-retention policy for a recrawl corpus: per URL keep
+    the ``keep_last`` newest snapshots (reason ``recent``) plus the
+    FIRST snapshot of each UTC day (reason ``daily`` — the downsampled
+    history that keeps change_rates estimable after expiry); everything
+    else is ``expired``. ``recent`` wins when both apply, so reasons
+    partition the kept set.
+
+    Plan: both ranks are url-keyed (and url+day-keyed) windows over the
+    same shuffle — no global sort, no corpus text read (retention needs
+    only the (url, ts, id) spine). Deleting the ``expired`` rows is the
+    caller's storage-side action; this op is the pure decision, like
+    plan_compaction."""
+    w_recent = Window.partitionBy("url").orderBy(
+        F.desc("_ts"), F.desc("doc_id")
+    )
+    day = (F.col("_ts") / F.lit(86400)).cast("long")
+    w_daily = Window.partitionBy("url", "_day").orderBy(
+        F.asc("_ts"), F.asc("doc_id")
+    )
+    staged = (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).cast("long").alias("_ts"),
+        )
+        .withColumn("_day", day)
+        .withColumn("_rr", F.row_number().over(w_recent))
+        .withColumn("_rd", F.row_number().over(w_daily))
+    )
+    return staged.select(
+        "url", "doc_id",
+        F.col("_ts").alias("warc_ts"),
+        ((F.col("_rr") <= keep_last) | (F.col("_rd") == 1)).alias("keep"),
+        F.when(F.col("_rr") <= keep_last, F.lit("recent"))
+        .when(F.col("_rd") == 1, F.lit("daily"))
+        .otherwise(F.lit("expired")).alias("reason"),
+    )

@@ -740,6 +740,17 @@ def q_related_items(spark, sf_dir):
     )
 
 
+def q_snapshot_retention(spark, sf_dir):
+    """Snapshot expiry marking (websnap.snapshot_retention): per-URL
+    keep_last newest + first-of-each-UTC-day downsampled history, rest
+    expired — the pure retention decision (ILM-style) over the
+    (url, ts, id) spine, no text read."""
+    from .pipeline_ops.websnap import snapshot_retention, snapshot_view
+
+    pages = snapshot_view(load_documents(spark, sf_dir))
+    return snapshot_retention(pages, keep_last=2)
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots-exclusion filtering (pipeline_ops/crawl.robots_filter):
     RFC 9309 longest-prefix-match rule application over the frontier's
@@ -1030,6 +1041,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_schedule": q_crawl_schedule,
     "robots_filter": q_robots_filter,
     "related_items": q_related_items,
+    "snapshot_retention": q_snapshot_retention,
     "domain_quality": q_domain_quality,
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
@@ -1100,6 +1112,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "crawl_schedule": osqlo.sql_crawl_schedule(4),
     "robots_filter": osqlo.sql_robots_filter(),
     "related_items": osqlo.sql_related_items(360, 2, 5, 20),
+    "snapshot_retention": osqlo.sql_snapshot_retention(2),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
     "priority_sample": osqlo.sql_priority_sample(50),
