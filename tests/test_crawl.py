@@ -178,3 +178,22 @@ def test_snapshot_retention_policy(spark):
         4: (True, "recent"),
         5: (True, "recent"),
     }
+
+
+def test_crawl_traps_detection(spark):
+    from themis_search_engine_spark.pipeline_ops.crawl import crawl_traps
+
+    rows = (
+        # trap.org: 12 urls over ONE stem (query-id explosion)
+        [(f"https://trap.org/cal?id={i}",) for i in range(12)]
+        # ok.org: 12 urls over 12 stems (real pages)
+        + [(f"https://ok.org/page{i}",) for i in range(12)]
+        # small.org: huge ratio but too few urls to convict
+        + [(f"https://small.org/x?id={i}",) for i in range(4)]
+    )
+    urls = spark.createDataFrame(rows, "canon_url string")
+    got = {r.host: r for r in crawl_traps(
+        urls, min_urls=10, max_ratio=3.0).collect()}
+    assert got["trap.org"].trap and got["trap.org"].url_ratio == 12.0
+    assert not got["ok.org"].trap and got["ok.org"].url_ratio == 1.0
+    assert not got["small.org"].trap  # min_urls floor

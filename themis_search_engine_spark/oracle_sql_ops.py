@@ -1994,6 +1994,34 @@ FROM u LEFT JOIN (SELECT url, rule_path, allow FROM m WHERE rn = 1) m
   ON u.url = m.url"""
 
 
+def sql_crawl_traps(min_urls: int = 10, max_ratio: float = 3.0) -> str:
+    """Oracle twin of crawl.crawl_traps over url_canon's output: same
+    host/stem extraction, same floor(x·10⁶+0.5) ratio grain, trap flag
+    read from the quantized ratio."""
+    return rf"""WITH canon AS ({sql_url_canon()}),
+staged AS (
+  SELECT regexp_extract(canon_url, '^https?://([^/]+)', 1) AS host,
+         canon_url AS u,
+         regexp_replace(canon_url, '\?.*$', '') AS stem
+  FROM canon
+),
+agg AS (
+  SELECT host,
+         count(DISTINCT u)::BIGINT AS n_urls,
+         count(DISTINCT stem)::BIGINT AS n_stems
+  FROM staged GROUP BY host
+),
+q AS (
+  SELECT host, n_urls, n_stems,
+         floor(n_urls * 1000000.0 / n_stems + 0.5) / 1000000.0
+           AS url_ratio
+  FROM agg
+)
+SELECT host, n_urls, n_stems, url_ratio,
+       (n_urls >= {min_urls} AND url_ratio > {max_ratio}) AS trap
+FROM q"""
+
+
 def sql_snapshot_retention(keep_last: int = 2) -> str:
     """Oracle twin of websnap.snapshot_retention over snapshot_view:
     keep_last newest per url (recent) + first per (url, UTC day)

@@ -287,3 +287,51 @@ def fixture_robots_rules(hosts: DataFrame, *, host_col: str = "host") -> DataFra
         F.lit(True).alias("allow"),
     )
     return specific.unionByName(broad).unionByName(override)
+
+
+def crawl_traps(
+    urls: DataFrame,
+    *,
+    url_col: str = "canon_url",
+    min_urls: int = 10,
+    max_ratio: float = 3.0,
+) -> DataFrame:
+    """(host, n_urls, n_stems, url_ratio, trap) — crawl-trap detection
+    by URL-space explosion: a host whose distinct (canonicalized) URL
+    count vastly exceeds its distinct path-stem count (the URL minus
+    its query string) is generating pages faster than it has templates
+    — the calendar/session-id/faceted-navigation trap signature every
+    production crawler guards against (Heritrix's TooManyPathSegments /
+    queue budgets). Run AFTER url_canon: tracking params are already
+    stripped, so surviving query-string fan-out is real server-side
+    state space.
+
+    ``url_ratio = floor(n_urls·10⁶/n_stems + 0.5)/10⁶``; ``trap`` fires
+    when the host has at least ``min_urls`` urls AND the ratio exceeds
+    ``max_ratio``. One host-keyed aggregate over the frontier spine —
+    two count-distincts per host, no text, no joins; feed ``trap``
+    hosts a crawl budget cut (or a robots_filter-style deny rule)
+    rather than deleting history."""
+    staged = urls.select(
+        F.regexp_extract(url_col, r"^https?://([^/]+)", 1).alias("host"),
+        F.col(url_col).alias("_u"),
+        F.regexp_replace(url_col, r"\?.*$", "").alias("_stem"),
+    )
+    agg = staged.groupBy("host").agg(
+        F.countDistinct("_u").cast("long").alias("n_urls"),
+        F.countDistinct("_stem").cast("long").alias("n_stems"),
+    )
+    ratio = F.floor(
+        F.col("n_urls") * F.lit(1000000.0) / F.col("n_stems") + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return agg.select(
+        "host", "n_urls", "n_stems", ratio.alias("url_ratio"),
+    ).select(
+        "host", "n_urls", "n_stems", "url_ratio",
+        # the trap predicate reads the QUANTIZED ratio, so the flag can
+        # never disagree with the reported number (engine or oracle)
+        (
+            (F.col("n_urls") >= min_urls)
+            & (F.col("url_ratio") > max_ratio)
+        ).alias("trap"),
+    )

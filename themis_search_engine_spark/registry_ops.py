@@ -740,6 +740,18 @@ def q_related_items(spark, sf_dir):
     )
 
 
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (crawl.crawl_traps): hosts whose distinct
+    canonical-URL count explodes past their path-stem count (query-id /
+    calendar trap signature), over the canonicalized messy-URL fixture
+    — one host-keyed aggregate, no text, no joins."""
+    from .pipeline_ops.crawl import crawl_traps
+    from .pipeline_ops.websnap import messy_url_view, url_canon
+
+    canon = url_canon(messy_url_view(_docs(spark, sf_dir)))
+    return crawl_traps(canon, min_urls=10, max_ratio=3.0)
+
+
 def q_snapshot_retention(spark, sf_dir):
     """Snapshot expiry marking (websnap.snapshot_retention): per-URL
     keep_last newest + first-of-each-UTC-day downsampled history, rest
@@ -1042,6 +1054,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_filter": q_robots_filter,
     "related_items": q_related_items,
     "snapshot_retention": q_snapshot_retention,
+    "crawl_traps": q_crawl_traps,
     "domain_quality": q_domain_quality,
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
@@ -1113,6 +1126,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "robots_filter": osqlo.sql_robots_filter(),
     "related_items": osqlo.sql_related_items(360, 2, 5, 20),
     "snapshot_retention": osqlo.sql_snapshot_retention(2),
+    "crawl_traps": osqlo.sql_crawl_traps(10, 3.0),
     "domain_quality": osqlo.sql_domain_quality(0.5, 0.5),
     "cardinality_kmv": osqlo.sql_cardinality_kmv(3, 128),
     "priority_sample": osqlo.sql_priority_sample(50),
