@@ -51,3 +51,32 @@ def test_match_and_coverage_features(spark, tiny_docs_df):
         assert r["min_idf"] <= r["max_idf"]
         assert 0 < r["coverage"] <= 1.0
         assert r["length"] > 0
+
+
+def test_hard_negatives_triples(spark):
+    from themis_search_engine_spark.queryeng.ltr import hard_negatives
+
+    ranked = spark.createDataFrame(
+        # qid 1 ranking: 10 (pos), 11, 12, 13 (pos), 14
+        [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        # qid 2: only positives retrieved -> no negatives -> no rows
+        + [(2, 20, 1)],
+        "qid long, doc_id long, rank long",
+    )
+    judgments = spark.createDataFrame(
+        [(1, 10, 1), (1, 13, 1), (1, 11, 0),   # 11 judged-irrelevant
+         (2, 20, 1),
+         (3, 30, 1)],                           # qid 3 never ranked
+        "qid long, doc_id long, relevance int",
+    )
+    got = {
+        (r.qid, r.pos_doc_id, r.neg_doc_id, r.neg_rank)
+        for r in hard_negatives(ranked, judgments, per_query=2).collect()
+    }
+    # negatives for qid 1: 11 (judged-0 still qualifies) then 12;
+    # each pairs with both positives
+    want = {
+        (1, 10, 11, 1), (1, 10, 12, 2),
+        (1, 13, 11, 1), (1, 13, 12, 2),
+    }
+    assert got == want

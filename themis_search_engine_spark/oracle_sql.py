@@ -2202,6 +2202,45 @@ SELECT qid,
 FROM w2 GROUP BY qid"""
 
 
+def sql_hard_negatives(k: int = 20, per_query: int = 3) -> str:
+    """Oracle twin of ltr.hard_negatives over the eval ranking +
+    synthetic judgments: judged positives × the query's per_query
+    highest-ranked non-relevant results."""
+    qid_vals = ", ".join(f"({q})" for q in EVAL_QUERYSET)
+    return f"""{_bm25_scored_cte(queryset=EVAL_QUERYSET)},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+judg AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN ((d.doc_id // 7) + q.qid) % 2 = 0 THEN 1 ELSE 0 END
+           AS relevance
+  FROM documents d CROSS JOIN (VALUES {qid_vals}) q(qid)
+  WHERE d.doc_id % 7 = q.qid % 7
+),
+pos AS (SELECT qid, doc_id AS pos_doc_id FROM judg WHERE relevance = 1),
+pool AS (
+  SELECT r.qid, r.doc_id, r.rank
+  FROM ranked r
+  WHERE r.rank <= {k}
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.qid = r.qid AND p.pos_doc_id = r.doc_id)
+),
+negs AS (
+  SELECT qid, doc_id AS neg_doc_id,
+         (row_number() OVER (PARTITION BY qid
+                             ORDER BY rank ASC, doc_id ASC))::BIGINT
+           AS neg_rank
+  FROM pool
+)
+SELECT p.qid, p.pos_doc_id, n.neg_doc_id, n.neg_rank
+FROM pos p JOIN negs n ON p.qid = n.qid
+WHERE n.neg_rank <= {per_query}"""
+
+
 def sql_doc_keywords(top_terms: int = 3) -> str:
     """Oracle twin of mlt.doc_keywords: corpus-wide top cnt·idf terms per
     doc, BM25-idf salience, rounded-salience rank with term-asc ties."""

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .bm25 import MAX_PRUNE_LITERALS, bm25_part_expr
 
@@ -87,4 +88,48 @@ def ltr_features(
         "qid", "doc_id", "bm25", "n_matched",
         (F.col("n_matched") / F.col("_n_q")).alias("coverage"),
         "sum_tf", "max_tf", "min_idf", "max_idf", "length",
+    )
+
+
+def hard_negatives(
+    ranked: DataFrame,
+    judgments: DataFrame,
+    *,
+    per_query: int = 3,
+) -> DataFrame:
+    """(qid, pos_doc_id, neg_doc_id, neg_rank) — training triples for
+    retrieval-model fine-tuning (the DPR/sentence-transformers recipe):
+    each judged-relevant doc pairs with the query's ``per_query``
+    HIGHEST-RANKED non-relevant results — "hard" negatives, because the
+    ranker already scored them above most of the corpus, unlike random
+    negatives which are trivially separable. Docs judged relevant are
+    excluded from the negative pool; unjudged and judged-irrelevant
+    docs both qualify (the standard top-k-minus-positives heuristic —
+    some negatives are false, which the literature tolerates).
+
+    Shape: one qid-keyed window picks the negative pool (per_query rows
+    per query — a results page, not a corpus slice); the pos × neg
+    cross is per-qid and bounded by |positives|·per_query. Queries with
+    no judged positive or no surviving negative emit nothing.
+    """
+    pos = judgments.where(F.col("relevance") == 1).select(
+        "qid", F.col("doc_id").alias("pos_doc_id")
+    )
+    neg_pool = (
+        ranked.select("qid", "doc_id", "rank")
+        .join(
+            judgments.where(F.col("relevance") == 1)
+            .select("qid", "doc_id"),
+            ["qid", "doc_id"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"), F.asc("doc_id"))
+    negs = (
+        neg_pool.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= per_query)
+        .select("qid", F.col("doc_id").alias("neg_doc_id"), "neg_rank")
+    )
+    return pos.join(negs, "qid").select(
+        "qid", "pos_doc_id", "neg_doc_id", "neg_rank"
     )

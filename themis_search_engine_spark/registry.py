@@ -654,6 +654,31 @@ QUERIES["eval_rbp_err"] = q_eval_rbp_err
 ORACLE_SQL["eval_rbp_err"] = osql.sql_eval_rbp_err(20, 0.5)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval-model training
+    (queryeng/ltr.hard_negatives — the DPR recipe): judged positives ×
+    the query's highest-ranked non-relevant BM25 results; one qid-keyed
+    window over a results page, pos×neg bounded per query."""
+    from .corpus import load_documents
+    from .queryeng.evalmetrics import synthetic_judgments
+    from .queryeng.ltr import hard_negatives
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        qterms_df(spark, osql.EVAL_QUERYSET, stem=False),
+        idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl,
+    )
+    ranked = _rounded_rank_topk(scored, 20)
+    judgments = synthetic_judgments(
+        load_documents(spark, sf_dir).select("doc_id"), osql.EVAL_QUERYSET
+    )
+    return hard_negatives(ranked, judgments, per_query=3)
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLE_SQL["hard_negatives"] = osql.sql_hard_negatives(20, 3)
+
+
 def q_eval_prf_mrr(spark, sf_dir):
     """E-family extension: precision@k / recall@k / MRR over the same
     ranking + judgments as eval_ap_ndcg (full-rank positions —
