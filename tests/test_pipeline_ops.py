@@ -969,3 +969,30 @@ def test_related_items_lift_and_cap(spark):
         ).collect()
     }
     assert got2 == {(10, 11), (11, 10)}  # item 12 fell past the cap
+
+
+def test_boilerplate_strip_domain_scoped(spark):
+    from themis_search_engine_spark.pipeline_ops.dedup import (
+        boilerplate_strip,
+    )
+
+    banner = "b1 b2 b3 b4"  # span_tokens=4 for the test
+    rows = []
+    # domain A: 3 docs, all carry the banner → frequent (min_docs=2,
+    # min_frac=0.5 → threshold max(2, 2)=2) → stripped from ALL docs.
+    for i in range(3):
+        rows.append((i, "a", f"{banner} body{i} w{i} x{i} y{i}"))
+    # domain B: one doc with the SAME banner — not frequent in B, kept.
+    rows.append((10, "b", f"{banner} solo tail here now"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(
+            df, span_tokens=4, min_docs=2, min_frac=0.5
+        ).collect()
+    }
+    for i in range(3):
+        assert out[i]["n_boiler_spans"] == 1, out[i]
+        assert out[i]["clean_text"] == f"body{i} w{i} x{i} y{i}"
+    assert out[10]["n_boiler_spans"] == 0
+    assert out[10]["clean_text"].startswith(banner)

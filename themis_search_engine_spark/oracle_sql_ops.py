@@ -2252,3 +2252,63 @@ for _fn in (sql_web_latest_snapshot, sql_web_domain_stats,
         assert ("1546300800 + ((doc_id * 37) % 1000) * 3600" in _sql), (
             f"{_fn.__name__} lost the warc_ts fixture formula"
         )
+
+
+def sql_boilerplate_strip(
+    span_tokens: int = 4, min_docs: int = 5, min_frac: float = 0.5
+) -> str:
+    """Oracle twin of dedup.boilerplate_strip over the boiler-corpus view
+    (documents with a domain-specific 'cookie consent banner <source>'
+    header injected — the same synthesis the registered query applies):
+    same fixed-window spans, same domain doc-frequency threshold."""
+    st = span_tokens
+    return f"""WITH corpus AS (
+  SELECT doc_id, source AS domain,
+         'cookie consent banner ' || source || ' ' || text AS text
+  FROM documents
+),
+tokarr AS (
+  SELECT doc_id, domain, {TOKS} AS toks FROM corpus
+),
+idx AS (
+  SELECT doc_id, domain, toks,
+         unnest(range(0, cast(ceil(len(toks) / {st}.0) AS BIGINT))) AS i
+  FROM tokarr WHERE len(toks) > 0
+),
+spans AS (
+  SELECT doc_id, domain, i::BIGINT AS span_idx,
+         array_to_string(toks[(i * {st} + 1):(i * {st} + {st})], ' ')
+           AS span_text
+  FROM idx
+),
+dom AS (
+  SELECT domain, count(*)::BIGINT AS dom_docs FROM corpus GROUP BY domain
+),
+spanstats AS (
+  SELECT domain, span_text, count(DISTINCT doc_id)::BIGINT AS span_docs
+  FROM spans GROUP BY domain, span_text
+),
+boiler AS (
+  SELECT s.domain, s.span_text
+  FROM spanstats s JOIN dom d USING (domain)
+  WHERE s.span_docs >= greatest(
+    {min_docs}, cast(ceil({min_frac} * d.dom_docs) AS BIGINT))
+),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY doc_id
+),
+kept AS (
+  SELECT sp.* FROM spans sp
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                    WHERE b.domain = sp.domain
+                      AND b.span_text = sp.span_text)
+),
+rolled AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       (t.n_spans - coalesce(r.n_kept, 0))::BIGINT AS n_boiler_spans,
+       coalesce(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rolled r USING (doc_id)"""

@@ -984,6 +984,25 @@ def q_cardinality_kmv(spark, sf_dir):
     return kmv_distinct(keyed, "source", "shingle", k=128)
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Domain-scoped boilerplate removal (dedup.boilerplate_strip — the
+    CCNet-style cleaning step): a 'cookie consent banner <source>' header
+    is injected into every document (the synthesis the oracle mirrors),
+    and the operator must strip exactly the spans frequent within each
+    source domain."""
+    from .pipeline_ops.dedup import boilerplate_strip
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.lit("cookie consent banner"), F.col("source"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return boilerplate_strip(docs, span_tokens=4, min_docs=5, min_frac=0.5)
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
@@ -1059,6 +1078,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cardinality_kmv": q_cardinality_kmv,
     "priority_sample": q_priority_sample,
     "length_quantiles": q_length_quantiles,
+    "boilerplate_strip": q_boilerplate_strip,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -1136,4 +1156,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
     "centroid_classify": osqlo.sql_centroid_classify(5),
     "ann_quantized_topk": osqlo.sql_quantized_topk(5, 50, 3),
+    "boilerplate_strip": osqlo.sql_boilerplate_strip(4, 5, 0.5),
 }
