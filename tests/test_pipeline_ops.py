@@ -996,3 +996,28 @@ def test_boilerplate_strip_domain_scoped(spark):
         assert out[i]["clean_text"] == f"body{i} w{i} x{i} y{i}"
     assert out[10]["n_boiler_spans"] == 0
     assert out[10]["clean_text"].startswith(banner)
+
+
+def test_semdedup_within_cluster_only(spark):
+    from themis_search_engine_spark.pipeline_ops.simsearch import semdedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # cell 0
+            (1, [0.9, 0.1]),   # cell 0, cos(0,1)=0.993 → dup of 0
+            (2, [0.0, 1.0]),   # cell 1
+            (3, [0.1, 1.0]),   # cell 1, cos(2,3)=0.995 → dup of 2
+            (4, [0.7, 0.7]),   # tie → cell 0 (asc); cos to 0/1 < 0.9
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(embs, cents, tau=0.9).collect()
+    }
+    assert [out[i]["is_dup"] for i in range(5)] == [0, 1, 0, 1, 0]
+    assert out[4]["cell"] == 0  # cosine tie breaks on cell asc

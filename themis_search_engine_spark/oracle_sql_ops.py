@@ -2312,3 +2312,41 @@ SELECT t.doc_id, t.n_spans,
        (t.n_spans - coalesce(r.n_kept, 0))::BIGINT AS n_boiler_spans,
        coalesce(r.clean_text, '') AS clean_text
 FROM totals t LEFT JOIN rolled r USING (doc_id)"""
+
+
+def sql_semdedup(
+    every_m: int = 25, iters: int = 2, grain: int = 6, tau: float = 0.5
+) -> str:
+    """Oracle twin of simsearch.semdedup over kmeans_centroids(every_m,
+    iters, grain) clusters: final-centroid assignment (one extra
+    scored/cells pass against cents{iters}), then within-cell pairs
+    a.vec_id < b.vec_id at round-6 cosine ≥ tau mark the higher id."""
+    dot_c = ("list_sum([a.embedding[i]::DOUBLE * c.cv[i] "
+             "for i in range(1, len(a.embedding) + 1)])")
+    norm_c = ("sqrt(list_sum([c.cv[i] * c.cv[i] "
+              "for i in range(1, len(c.cv) + 1)]))")
+    return f"""WITH {_kmeans_ctes(every_m, iters, grain)},
+fscored AS (
+  SELECT a.vec_id AS _id, c.centroid_id AS cell,
+         {dot_c} / ({_NORM_A} * {norm_c}) AS c_cos
+  FROM embeddings a, cents{iters} c
+),
+fcells AS (
+  SELECT _id, cell FROM (
+    SELECT _id, cell,
+           row_number() OVER (PARTITION BY _id
+             ORDER BY round(c_cos, 6) DESC, cell ASC) AS r
+    FROM fscored) WHERE r = 1
+),
+pairs AS (
+  SELECT ca.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cos
+  FROM embeddings a
+  JOIN fcells ca ON ca._id = a.vec_id
+  JOIN fcells cb ON cb.cell = ca.cell AND cb._id > ca._id
+  JOIN embeddings b ON b.vec_id = cb._id
+),
+dups AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= {tau})
+SELECT c._id::BIGINT AS vec_id, c.cell::BIGINT AS cell,
+       (CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_dup
+FROM fcells c LEFT JOIN dups d ON d.id_b = c._id"""

@@ -931,3 +931,69 @@ def ivf_topk_persisted(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    embs: DataFrame,
+    centroids: DataFrame,
+    *,
+    tau: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cell, is_dup) — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): semantic near-duplicate marking INSIDE k-means
+    clusters. A vector is a duplicate when some LOWER-id vector in the
+    SAME cluster has round-6 cosine ≥ tau with it (deterministic
+    keep-lowest-id stand-in for the paper's keep-farthest-from-centroid,
+    which ties on unordered floats).
+
+    This is the scale path between exact dedup and corpus-wide
+    emb_lsh_pairs: clustering first means pair enumeration is bounded by
+    the cluster size, not the corpus — k balanced cells cut the all-pairs
+    cost by ~k, and each cell's pair block is an independent task. The
+    hazard is cluster-size skew (one mega-cell re-creates all-pairs);
+    production sizing picks k ∝ √N or recursively splits cells over a
+    member-count threshold — at the fixture scale cells are ~every_m
+    members by construction.
+
+    Plan: one broadcast nearest-centroid assignment (assign_cells), one
+    cell-keyed self-join restricted a.id < b.id with JVM-side zip_with
+    cosine, one distinct + left join to flag. No UDFs, no collect.
+    """
+    cells = assign_cells(embs, centroids, vec_col=vec_col, id_col=id_col)
+    v = with_norm(
+        embs.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        ),
+        "_v",
+    ).join(cells, "_id")
+    a = v.select(
+        F.col("_id").alias("_ida"), "cell",
+        F.col("_v").alias("_va"), F.col("_norm").alias("_na"),
+    )
+    b = v.select(
+        F.col("_id").alias("_idb"), "cell",
+        F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            )
+            >= tau
+        )
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_flag", F.lit(1))
+    )
+    return cells.join(dups, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("cell").cast("long").alias("cell"),
+        F.coalesce(F.col("_flag"), F.lit(0)).cast("long").alias("is_dup"),
+    )

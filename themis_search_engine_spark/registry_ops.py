@@ -984,6 +984,18 @@ def q_cardinality_kmv(spark, sf_dir):
     return kmv_distinct(keyed, "source", "shingle", k=128)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (simsearch.semdedup): k-means-clustered semantic
+    near-duplicate marking — within-cell round-6 cosine ≥ tau flags the
+    higher vec_id; clusters from the same grain-6 deterministic Lloyd
+    training the kmeans_centroids entry oracles."""
+    from .pipeline_ops.simsearch import kmeans_centroids, semdedup
+
+    embs = _embs(spark, sf_dir)
+    cents = kmeans_centroids(embs, every_m=25, iters=2, grain=6)
+    return semdedup(embs, cents, tau=0.3)
+
+
 def q_boilerplate_strip(spark, sf_dir):
     """Domain-scoped boilerplate removal (dedup.boilerplate_strip — the
     CCNet-style cleaning step): a 'cookie consent banner <source>' header
@@ -1079,6 +1091,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": q_priority_sample,
     "length_quantiles": q_length_quantiles,
     "boilerplate_strip": q_boilerplate_strip,
+    "semdedup": q_semdedup,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -1157,4 +1170,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "centroid_classify": osqlo.sql_centroid_classify(5),
     "ann_quantized_topk": osqlo.sql_quantized_topk(5, 50, 3),
     "boilerplate_strip": osqlo.sql_boilerplate_strip(4, 5, 0.5),
+    "semdedup": osqlo.sql_semdedup(25, 2, 6, 0.3),
 }
