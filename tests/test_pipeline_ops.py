@@ -1021,3 +1021,27 @@ def test_semdedup_within_cluster_only(spark):
     }
     assert [out[i]["is_dup"] for i in range(5)] == [0, 1, 0, 1, 0]
     assert out[4]["cell"] == 0  # cosine tie breaks on cell asc
+
+
+def test_readability_flesch_hand_computed(spark):
+    from themis_search_engine_spark.pipeline_ops.textstats import (
+        readability,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat"),        # syl: 1+1+1=3, w=3, s=1
+            (1, "42 7"),               # digit tokens floor to 1 syl each
+            (2, ""),                   # zero words → dropped
+            (3, "beautiful analysis"), # beau-ti-ful=3 (eau,i,u... groups)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(df, words_per_sentence=20).collect()}
+    assert 2 not in out
+    r0 = out[0]
+    assert (r0["n_words"], r0["n_syllables"], r0["n_sentences"]) == (3, 3, 1)
+    assert abs(r0["flesch"] - round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)) < 1e-9
+    assert out[1]["n_syllables"] == 2
+    # vowel-GROUP counting: 'beautiful' → eau|i|u = 3, 'analysis' → a|a|y|i = 4
+    assert out[3]["n_syllables"] == 7

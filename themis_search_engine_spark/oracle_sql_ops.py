@@ -2350,3 +2350,29 @@ dups AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= {tau})
 SELECT c._id::BIGINT AS vec_id, c.cell::BIGINT AS cell,
        (CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_dup
 FROM fcells c LEFT JOIN dups d ON d.id_b = c._id"""
+
+
+def sql_readability(words_per_sentence: int = 20) -> str:
+    """Oracle twin of textstats.readability: vowel-group syllables
+    (floor 1), fixed-window sentence surrogate, Flesch reading-ease."""
+    wps = words_per_sentence
+    syl = (
+        "greatest(1, len(list_filter("
+        "regexp_split_to_array(w, '[^aeiouy]+'), x -> x <> '')))"
+    )
+    return f"""WITH tokarr AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         list_sum(list_transform(toks, w -> {syl}))::BIGINT AS n_syllables
+  FROM tokarr WHERE len(toks) > 0
+)
+SELECT doc_id, n_words, n_syllables,
+       cast(ceil(n_words / {wps}.0) AS BIGINT) AS n_sentences,
+       round(206.835
+             - 1.015 * (n_words * 1.0
+                        / cast(ceil(n_words / {wps}.0) AS BIGINT))
+             - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+FROM base"""

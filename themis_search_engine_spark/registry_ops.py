@@ -984,6 +984,15 @@ def q_cardinality_kmv(spark, sf_dir):
     return kmv_distinct(keyed, "source", "shingle", k=128)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease (textstats.readability): vowel-group syllable
+    heuristic, fixed-window sentence surrogate — the classic readability
+    filter feature, all in-row arithmetic."""
+    from .pipeline_ops.textstats import readability
+
+    return readability(_docs(spark, sf_dir), words_per_sentence=20)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (simsearch.semdedup): k-means-clustered semantic
     near-duplicate marking — within-cell round-6 cosine ≥ tau flags the
@@ -1092,6 +1101,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles": q_length_quantiles,
     "boilerplate_strip": q_boilerplate_strip,
     "semdedup": q_semdedup,
+    "readability": q_readability,
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
@@ -1171,4 +1181,5 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "ann_quantized_topk": osqlo.sql_quantized_topk(5, 50, 3),
     "boilerplate_strip": osqlo.sql_boilerplate_strip(4, 5, 0.5),
     "semdedup": osqlo.sql_semdedup(25, 2, 6, 0.3),
+    "readability": osqlo.sql_readability(20),
 }
