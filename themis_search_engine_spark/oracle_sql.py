@@ -2455,3 +2455,39 @@ ranked AS (
 )
 SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def sql_bm25_topk_msm(k: int = 10, min_match: int = 2) -> str:
+    """Oracle twin of metadata.conjunctive_scores(min_match=m) + top-k:
+    docs must contain at least min(m, #known-terms) of the query's
+    distinct dictionary-known terms — Lucene's minimum_should_match."""
+    return f"""WITH {TOK_CTE},
+qt AS (SELECT DISTINCT qid, term FROM {_qterms_values()}),
+need AS (
+  SELECT qt.qid, count(DISTINCT qt.term) AS n
+  FROM qt JOIN dict d ON qt.term = d.term GROUP BY qt.qid
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score,
+         count(DISTINCT t.term) AS m
+  FROM tfn t
+  JOIN qt q ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT sc.qid, sc.doc_id, round(sc.score, 6) AS score,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC)
+           AS rank
+  FROM scored sc
+  JOIN need ON sc.qid = need.qid
+            AND sc.m >= least({min_match}, need.n)
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""

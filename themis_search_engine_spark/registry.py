@@ -1091,6 +1091,26 @@ QUERIES["bm25_topk_conjunctive"] = q_bm25_topk_conjunctive
 ORACLE_SQL["bm25_topk_conjunctive"] = osql.sql_bm25_topk_conjunctive(10)
 
 
+def q_bm25_topk_msm(spark, sf_dir):
+    """minimum_should_match retrieval (Lucene's msm, the web-search
+    middle ground between OR and AND): BM25 top-10 over docs matching at
+    least min(2, #known-terms) of the query's distinct known terms —
+    same plan as conjunctive_scores, the requirement rides the one
+    aggregation as a post-agg filter."""
+    from .queryeng.metadata import conjunctive_scores
+
+    idx = get_index(spark, sf_dir)
+    scored = conjunctive_scores(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, min_match=2,
+    )
+    return _rounded_rank_topk(scored, 10)
+
+
+QUERIES["bm25_topk_msm"] = q_bm25_topk_msm
+ORACLE_SQL["bm25_topk_msm"] = osql.sql_bm25_topk_msm(10, 2)
+
+
 def q_bm25_topk_negated(spark, sf_dir):
     """NOT-semantics retrieval: standard BM25 top-10 minus docs matching
     any of the qid's negated terms (queryeng/metadata.negated_scores)."""
