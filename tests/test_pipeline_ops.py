@@ -1045,3 +1045,38 @@ def test_readability_flesch_hand_computed(spark):
     assert out[1]["n_syllables"] == 2
     # vowel-GROUP counting: 'beautiful' → eau|i|u = 3, 'analysis' → a|a|y|i = 4
     assert out[3]["n_syllables"] == 7
+
+
+def test_combmnz_fuse_semantics(spark):
+    from themis_search_engine_spark.pipeline_ops.simsearch import (
+        combmnz_fuse,
+    )
+
+    # qid 1: doc 10 in both lanes (agreement doubles), 11/12 one-sided;
+    # qid 2: constant text lane (max == min) normalizes to 1.0.
+    text = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (2, 20, 3.0), (2, 21, 3.0)],
+        "qid int, doc_id long, score double",
+    )
+    vec = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 12, 1.0)],
+        "qid int, doc_id long, score double",
+    )
+    out = {
+        (r["qid"], r["doc_id"]): r
+        for r in combmnz_fuse(text, vec, k=10).collect()
+    }
+    # qid 1 text: 10→1.0, 11→0.0; vec: 12→1.0, 10→0.0
+    assert out[(1, 10)]["fused"] == 2.0       # (1.0 + 0.0) * 2 lanes
+    assert out[(1, 12)]["fused"] == 1.0       # vec-only
+    assert out[(1, 11)]["fused"] == 0.0       # text floor, single lane
+    assert out[(1, 10)]["rank"] == 1
+    # constant lane → 1.0 each, never 0/0
+    assert out[(2, 20)]["fused"] == 1.0 and out[(2, 21)]["fused"] == 1.0
+    assert out[(2, 20)]["rank"] == 1          # doc_id tiebreak
+    # CombSUM twin: no agreement multiplier
+    sums = {
+        (r["qid"], r["doc_id"]): r["fused"]
+        for r in combmnz_fuse(text, vec, k=10, mnz=False).collect()
+    }
+    assert sums[(1, 10)] == 1.0

@@ -897,6 +897,77 @@ SELECT qid, doc_id, rrf, rank::INT AS rank
 FROM franked WHERE rank <= {k}"""
 
 
+def sql_fusion_topk(k: int = 10, every_m: int = 50) -> str:
+    """CombMNZ twin of sql_hybrid_topk: both lanes' ROUNDED top-k scores
+    min-max normalized per qid (constant lane → 1.0), normalized values
+    rounded at 6 dp, summed and multiplied by the lane-match count.
+    Identical doubles on both engines → identical fusion."""
+    from .oracle_sql import _bm25_scored_cte
+
+    return f"""{_bm25_scored_cte()},
+t_ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS s,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS trank
+  FROM scored
+),
+t_top AS (SELECT * FROM t_ranked WHERE trank <= {k}),
+t_norm AS (
+  SELECT qid, doc_id,
+         round(CASE WHEN max(s) OVER (PARTITION BY qid)
+                         = min(s) OVER (PARTITION BY qid) THEN 1.0
+                    ELSE (s - min(s) OVER (PARTITION BY qid))
+                         / (max(s) OVER (PARTITION BY qid)
+                            - min(s) OVER (PARTITION BY qid)) END,
+               6) AS tn
+  FROM t_top
+),
+vq AS (
+  SELECT (vec_id / {every_m})::INT AS qid, embedding
+  FROM embeddings
+  WHERE vec_id % {every_m} = 0 AND vec_id / {every_m} BETWEEN 1 AND 6
+),
+v_scored AS (
+  SELECT b.qid, a.vec_id AS doc_id,
+         {_DOT} / ({_NORM_A} * {_NORM_B}) AS cosine
+  FROM embeddings a, vq b
+),
+v_ranked AS (
+  SELECT qid, doc_id, round(cosine, 6) AS s,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cosine, 6) DESC, doc_id ASC) AS vrank
+  FROM v_scored
+),
+v_top AS (SELECT * FROM v_ranked WHERE vrank <= {k}),
+v_norm AS (
+  SELECT qid, doc_id,
+         round(CASE WHEN max(s) OVER (PARTITION BY qid)
+                         = min(s) OVER (PARTITION BY qid) THEN 1.0
+                    ELSE (s - min(s) OVER (PARTITION BY qid))
+                         / (max(s) OVER (PARTITION BY qid)
+                            - min(s) OVER (PARTITION BY qid)) END,
+               6) AS vn
+  FROM v_top
+),
+fused AS (
+  SELECT COALESCE(t.qid, v.qid) AS qid,
+         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         round((COALESCE(t.tn, 0) + COALESCE(v.vn, 0))
+               * ((t.tn IS NOT NULL)::INT + (v.vn IS NOT NULL)::INT), 6)
+           AS fused
+  FROM t_norm t FULL JOIN v_norm v
+    ON t.qid = v.qid AND t.doc_id = v.doc_id
+),
+franked AS (
+  SELECT qid, doc_id, fused,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY fused DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT qid, doc_id, fused, rank::BIGINT AS rank
+FROM franked WHERE rank <= {k}"""
+
+
 # --- web snapshots (pipeline_ops.websnap) ------------------------------------
 
 # the deterministic (url, warc_ts) fixture view of `documents` — MUST stay

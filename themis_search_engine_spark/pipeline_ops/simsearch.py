@@ -780,6 +780,63 @@ def rrf_fuse(
     )
 
 
+def combmnz_fuse(
+    text_scored: DataFrame,
+    vec_scored: DataFrame,
+    k: int = 10,
+    *,
+    mnz: bool = True,
+) -> DataFrame:
+    """Score-based hybrid fusion — CombSUM / CombMNZ (Fox & Shaw,
+    TREC-2 1994) beside :func:`rrf_fuse`'s rank-based lane: each side's
+    scores are min-max normalized to [0,1] PER QUERY, summed, and (for
+    CombMNZ, the default) multiplied by the number of lanes that matched
+    the doc — rewarding agreement, the reason MNZ usually edges SUM on
+    web collections.
+
+    Inputs are (qid, doc_id, score) frames — the engine's ROUNDED top-k
+    outputs (score already at the 6-dp grain), so the normalization
+    arithmetic runs over identical doubles on every engine and the
+    result is deterministic. A lane whose scores are constant for a qid
+    (max == min, e.g. a single hit) normalizes to 1.0, not 0/0. Both
+    inputs are ≤ |Q|·k rows: every window and the full-outer join are
+    trivially small at any corpus scale.
+    """
+    from pyspark.sql.window import Window
+
+    def _norm_lane(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("qid")
+        s = F.col("score")
+        mn, mx = F.min(s).over(w), F.max(s).over(w)
+        return df.select(
+            "qid", "doc_id",
+            F.round(
+                F.when(mx == mn, F.lit(1.0)).otherwise((s - mn) / (mx - mn)),
+                6,
+            ).alias(out),
+        )
+
+    t = _norm_lane(text_scored.select("qid", "doc_id", "score"), "_tn")
+    v = _norm_lane(vec_scored.select("qid", "doc_id", "score"), "_vn")
+    hits = (
+        F.when(F.col("_tn").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("_vn").isNotNull(), 1).otherwise(0)
+    )
+    fused = t.join(v, ["qid", "doc_id"], "full_outer").select(
+        "qid", "doc_id",
+        F.round(
+            (F.coalesce("_tn", F.lit(0.0)) + F.coalesce("_vn", F.lit(0.0)))
+            * (hits if mnz else F.lit(1)),
+            6,
+        ).alias("fused"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("fused"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def build_ivf_index(
     embs: DataFrame,
     path: str,

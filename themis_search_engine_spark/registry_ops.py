@@ -188,6 +188,32 @@ def q_hybrid_topk(spark, sf_dir):
     return rrf_fuse(text, vec, k=10)
 
 
+def q_fusion_topk(spark, sf_dir):
+    """Score-based hybrid fusion (CombMNZ) over the SAME two lanes as
+    hybrid_topk: BM25 top-k scores min-max-normalized per query, fused
+    with normalized cosine ANN scores, doubled where both lanes agree
+    (pipeline_ops.simsearch.combmnz_fuse). Rank-based RRF next door;
+    this is the Fox-Shaw score-based alternative."""
+    from .pipeline_ops.simsearch import combmnz_fuse
+    from .registry import q_bm25_topk
+
+    text = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "score")
+    embs = _embs(spark, sf_dir)
+    qv = embs.where(
+        (F.col("vec_id") % 50 == 0)
+        & (F.col("vec_id") / 50).between(1, 6)
+    ).select(
+        (F.col("vec_id") / 50).cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = cosine_topk(embs, qv, k=10).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("doc_id"),
+        F.round("cosine", 6).alias("score"),
+    )
+    return combmnz_fuse(text, vec, k=10)
+
+
 def q_emb_cosine_pairs(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     return cosine_pairs(embs, tau=0.4).select(
@@ -1051,6 +1077,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_filtered": q_ann_cosine_topk_filtered,
     "hybrid_topk": q_hybrid_topk,
+    "fusion_topk": q_fusion_topk,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_lsh_pairs": q_emb_lsh_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1126,6 +1153,7 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": osqlo.sql_cosine_topk(5, 50),
     "ann_cosine_topk_filtered": osqlo.sql_cosine_topk(5, 50, "a.label % 2 = 0"),
     "hybrid_topk": osqlo.sql_hybrid_topk(10),
+    "fusion_topk": osqlo.sql_fusion_topk(10),
     "emb_cosine_pairs": osqlo.sql_cosine_pairs(0.4),
     "emb_lsh_pairs": osqlo.sql_srp_lsh_pairs(0.4, 16, 8, 64),
     "ann_ivf_topk": osqlo.sql_ivf_topk(5, 50, 2, 25),
