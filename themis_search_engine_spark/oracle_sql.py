@@ -1971,6 +1971,24 @@ def sql_bm25_topk_expanded_emb(
 # edge cases the synthetic corpus can't.
 S2_FIXTURE = "/root/repo/tests/fixtures/s2_sample.jsonl"
 ACCENTS_FIXTURE = "/root/repo/tests/fixtures/webtext_accents.jsonl"
+CJK_FIXTURE = "/root/repo/tests/fixtures/webtext_cjk.jsonl"
+
+
+def sql_cjk_tokens() -> str:
+    """Oracle twin of registry.q_cjk_tokens — CJK-bigram-analyzed token
+    counts over the checked-in mixed-script webtext fixture. The whole
+    analyzer SQL is compiled from textproc's OWN class constant
+    (cjk_terms_sql), so the oracle exercises the exact segmentation /
+    bigram expansion the Column runs."""
+    from .textproc import cjk_terms_sql
+
+    src = (
+        f"read_json('{CJK_FIXTURE}', format='newline_delimited', "
+        "columns={doc_id: 'BIGINT', text: 'VARCHAR'})"
+    )
+    return f"""WITH {cjk_terms_sql(src, _STOP_LIST_SQL)}
+SELECT doc_id, term, count(*)::BIGINT AS cnt FROM cjk_terms
+GROUP BY doc_id, term"""
 
 
 def sql_fold_tokens() -> str:

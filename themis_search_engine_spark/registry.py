@@ -1561,6 +1561,25 @@ def q_fold_tokens(spark, sf_dir):
 QUERIES["fold_tokens"] = q_fold_tokens
 ORACLE_SQL["fold_tokens"] = osql.sql_fold_tokens()
 
+
+def q_cjk_tokens(spark, sf_dir):
+    """CJK bigram analyzer (textproc.cjk_term_counts — the Lucene
+    CJKAnalyzer idea): CJK runs survive normalization and index as
+    overlapping character bigrams; Latin text takes the reference
+    pipeline. Runs over the checked-in mixed-script webtext fixture
+    (sf_dir-independent); both engines analyze with the SAME class
+    constant."""
+    from .textproc import cjk_term_counts
+
+    df = spark.read.schema("doc_id LONG, text STRING").json(
+        osql.CJK_FIXTURE
+    )
+    return cjk_term_counts(df)
+
+
+QUERIES["cjk_tokens"] = q_cjk_tokens
+ORACLE_SQL["cjk_tokens"] = osql.sql_cjk_tokens()
+
 GREP_QUERYSET = {1: "hash join", 2: "sort merge", 3: "slow query",
                  4: "Big, DATA!"}
 

@@ -128,6 +128,108 @@ def fold_accents_sql(expr: str) -> str:
     return f"translate({out}, '{FOLD_SRC}', '{FOLD_DST}')"
 
 
+# --- CJK bigram analyzer (webtext lane beside fold_accents) -----------------
+#
+# P2 is ASCII-only (Indexer.java:307-364): every CJK character becomes a
+# space and Chinese/Japanese/Korean web pages index as NOTHING. The
+# standard unsegmented-text answer (Lucene's CJKAnalyzer/CJKBigramFilter)
+# is overlapping character bigrams: '东京大学' → 东京, 京大, 大学 — no
+# dictionary, no segmenter, recall via shared bigrams. This lane keeps
+# CJK codepoints through normalization, isolates CJK runs from Latin
+# text, bigrams the runs in-plan (sequence + substr — codegen, no UDF),
+# and sends everything else through the reference pipeline (lower,
+# non-alnum → space, stopwords). A lone CJK char emits itself (substr
+# clips at the run end). Subset note: runs are bigrammed across Han /
+# kana / Hangul boundaries (Lucene's default flag set does the same);
+# halfwidth kana and Ext-B+ ideographs are outside the class and fall to
+# P2's space. The SAME class constant feeds the Column, the Python twin
+# and the DuckDB SQL builder, so the three cannot drift.
+
+CJK_CLASS = (
+    "一-鿿"   # CJK Unified Ideographs (Han)
+    "぀-ゟ"   # Hiragana
+    "゠-ヿ"   # Katakana (incl. ー U+30FC prolonged-sound mark)
+    "가-힯"   # Hangul syllables
+)
+_CJK_RE = re.compile(f"[{CJK_CLASS}]+")
+
+
+def cjk_segment(col: Column) -> Column:
+    """lower + keep [a-z0-9 + CJK] + isolate CJK runs with spaces — the
+    analyzer's P2 replacement, one codegen projection."""
+    low = F.lower(col)
+    kept = F.regexp_replace(low, f"[^a-z0-9{CJK_CLASS}]", " ")
+    return F.regexp_replace(kept, f"([{CJK_CLASS}]+)", " $1 ")
+
+
+def cjk_term_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, cnt) under the CJK bigram analyzer. All narrow
+    codegen until the final (doc_id, term) groupBy — same shuffle shape
+    as the ASCII pipeline's A1."""
+    tok = F.col("tk")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tok) - 1, F.lit(1))),
+        lambda i: tok.substr(i, F.lit(2)),
+    )
+    latin = F.when(
+        tok.isin(*sorted(STOPWORDS)), F.array().cast("array<string>")
+    ).otherwise(F.array(tok))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(cjk_segment(F.col(text_col)), r"\s+")
+        ).alias("tk"),
+    ).where(F.col("tk") != "")
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(tok.rlike(f"^[{CJK_CLASS}]+$"), bigrams)
+                .otherwise(latin)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cjk_tokenize_py(text: str) -> list[str]:
+    """Python twin of the CJK analyzer (for oracles and tests)."""
+    low = re.sub(f"[^a-z0-9{CJK_CLASS}]", " ", (text or "").lower())
+    out: list[str] = []
+    for tk in re.sub(f"([{CJK_CLASS}]+)", r" \1 ", low).split():
+        if _CJK_RE.fullmatch(tk):
+            if len(tk) == 1:
+                out.append(tk)
+            else:
+                out.extend(tk[i:i + 2] for i in range(len(tk) - 1))
+        elif tk not in STOPWORDS:
+            out.append(tk)
+    return out
+
+
+def cjk_terms_sql(source_sql: str, stop_list_sql: str) -> str:
+    """The analyzer as DuckDB SQL over ``source_sql`` (doc_id, text) —
+    built from the SAME class constant as the Column."""
+    return rf"""tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+    regexp_replace(regexp_replace(lower(text), '[^a-z0-9{CJK_CLASS}]', ' ', 'g'),
+                   '([{CJK_CLASS}]+)', ' \1 ', 'g'), '\s+')) AS tk
+  FROM {source_sql}
+),
+cjk_terms AS (
+  SELECT doc_id, unnest(
+    CASE WHEN regexp_matches(tk, '^[{CJK_CLASS}]+$')
+         THEN [substr(tk, i, 2)
+               for i in range(1, greatest(length(tk) - 1, 1) + 1)]
+         WHEN tk <> '' AND tk NOT IN ({stop_list_sql}) THEN [tk]
+         ELSE []::VARCHAR[] END) AS term
+  FROM tok
+)"""
+
+
 def tokens_native(
     df: DataFrame,
     text_col: str = "text",
