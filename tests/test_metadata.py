@@ -554,3 +554,40 @@ def test_compound_split_qterms(spark):
     assert by_qid[2] == ["window"]   # in-dictionary: no split attempted
     assert by_qid[3] == ["zzzz"]     # unsplittable: verbatim passthrough
     assert by_qid[4] == ["big", "data"]
+
+
+def test_sort_by_field_topk(spark):
+    from themis_search_engine_spark.queryeng.metadata import (
+        sort_by_field_topk,
+    )
+
+    qterms = spark.createDataFrame(
+        [(1, "alpha", 1.0), (2, "beta", 1.0)],
+        "qid int, term string, qweight double",
+    )
+    postings = spark.createDataFrame(
+        [("alpha", 10, 1), ("alpha", 11, 1), ("alpha", 12, 1),
+         ("beta", 11, 2)],
+        "term string, doc_id long, cnt long",
+    )
+    attrs = spark.createDataFrame(
+        [(10, 100), (11, 300), (12, 300)], "doc_id long, ts long"
+    )
+    out = sort_by_field_topk(qterms, postings, attrs, "ts", k=2)
+    got = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["sort_val"])
+        for r in out.collect()
+    }
+    # qid 1: ts desc, doc_id asc tiebreak between 11 and 12; k=2 cuts 10
+    assert got[(1, 1)] == (11, 300) and got[(1, 2)] == (12, 300)
+    assert (1, 3) not in got
+    assert got[(2, 1)] == (11, 300)
+    # ascending flips the order
+    asc = sort_by_field_topk(qterms, postings, attrs, "ts", k=1,
+                             ascending=True)
+    assert [(r["qid"], r["doc_id"]) for r in asc.collect()
+            if r["qid"] == 1] == [(1, 10)]
+    # rank <= k compiles to WindowGroupLimit: per-task k-row heaps, a
+    # head-term match set never fully sorts in one place
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -1718,6 +1718,30 @@ FROM cand c JOIN documents d ON c.doc_id = d.doc_id
 GROUP BY c.qid, {cols}"""
 
 
+def sql_sort_field_topk(k: int = 10) -> str:
+    """Oracle twin of metadata.sort_by_field_topk over the warc_ts
+    fixture: the existential match set ranked newest-first with doc_id
+    tiebreak. warc_ts comes from THE fixture formula (single source each
+    side: websnap.warc_ts_expr / this literal)."""
+    return f"""WITH {TOK_CTE},
+cand AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+),
+ranked AS (
+  SELECT c.qid, c.doc_id,
+         (1546300800 + ((c.doc_id * 37) % 1000) * 3600)::BIGINT AS sort_val,
+         row_number() OVER (
+           PARTITION BY c.qid
+           ORDER BY (1546300800 + ((c.doc_id * 37) % 1000) * 3600) DESC,
+                    c.doc_id ASC) AS rank
+  FROM cand c
+)
+SELECT qid, doc_id, sort_val, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_range_facets(value_col: str, edges: list[float]) -> str:
     """Oracle twin of metadata.range_facets over n_chars-style numeric
     doc attributes: same distinct-candidate head as facet_counts, the

@@ -111,6 +111,48 @@ def matching_docs(
     return pruned.join(q, "term").select("qid", "doc_id").distinct()
 
 
+def sort_by_field_topk(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    doc_attrs: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    *,
+    ascending: bool = False,
+    term_list: list[str] | None = None,
+) -> DataFrame:
+    """Field-sorted retrieval (the Lucene ``Sort(SortField)`` surface):
+    the query's match set ordered by a DOCUMENT ATTRIBUTE instead of
+    relevance — "newest first", "largest first" — the other half of
+    every search UI's sort dropdown.
+
+    Candidates are :func:`matching_docs` (IN-pushed existential scan);
+    the attribute join is doc_id-keyed and candidate-bounded (a
+    column-pruned scan of the attr table, never the corpus). The
+    per-query top-k is a rank window over (attr, doc_id) — Spark
+    rewrites ``rank <= k`` to WindowGroupLimit, so each task keeps a
+    k-row heap per query rather than sorting its full candidate slice; a
+    head-term query's match set never fully sorts anywhere. At 10¹² docs
+    the scale lever is the same one the score path uses: the window
+    input is |matches|, already bounded by the batch terms' postings.
+    """
+    from pyspark.sql.window import Window
+
+    cand = matching_docs(qterms, postings_flat, term_list)
+    vals = doc_attrs.select("doc_id", F.col(sort_col).alias("sort_val"))
+    order = (
+        F.asc("sort_val") if ascending else F.desc("sort_val"),
+        F.asc("doc_id"),
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        cand.join(vals, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", "sort_val", "rank")
+    )
+
+
 def conjunctive_scores(
     qterms: DataFrame,
     postings_flat: DataFrame,

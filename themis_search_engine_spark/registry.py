@@ -821,6 +821,28 @@ QUERIES["facet_counts"] = q_facet_counts
 ORACLE_SQL["facet_counts"] = osql.sql_facet_counts(("lang",))
 
 
+def q_sort_field_topk(spark, sf_dir):
+    """Field-sorted retrieval: newest-first top-10 of each query's match
+    set, ordered by the deterministic warc_ts fixture instead of the
+    score (queryeng/metadata.sort_by_field_topk — the Lucene
+    Sort(SortField) surface; warc_ts collides above 1000 docs, so the
+    doc_id tiebreak is exercised at every sf)."""
+    from .pipeline_ops.websnap import snapshot_view
+    from .queryeng.metadata import sort_by_field_topk
+
+    idx = get_index(spark, sf_dir)
+    page_ts = snapshot_view(load_documents(spark, sf_dir)).select(
+        "doc_id", "warc_ts"
+    )
+    return sort_by_field_topk(
+        _qt(spark, stem=False), idx.postings_flat, page_ts, "warc_ts", 10
+    )
+
+
+QUERIES["sort_field_topk"] = q_sort_field_topk
+ORACLE_SQL["sort_field_topk"] = osql.sql_sort_field_topk(10)
+
+
 def q_bm25_topk_recency(spark, sf_dir):
     """Recency-boosted retrieval: BM25 top-10 with a 7-day-half-life
     time-decay boost from the deterministic warc_ts fixture — the boost
