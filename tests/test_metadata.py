@@ -591,3 +591,45 @@ def test_sort_by_field_topk(spark):
     # head-term match set never fully sorts in one place
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_common_terms_topk(spark):
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+    from themis_search_engine_spark.queryeng.metadata import (
+        common_terms_topk,
+    )
+
+    # 'hot' matches 4/5 docs (common at frac 0.5), 'rare' matches 1
+    postings = spark.createDataFrame(
+        [("hot", 10, 1.0, 3), ("hot", 11, 1.0, 3), ("hot", 12, 1.0, 3),
+         ("hot", 13, 0.5, 3), ("rare", 13, 1.0, 3)],
+        "term string, doc_id long, tf double, length long",
+    )
+    dictionary = spark.createDataFrame(
+        [("hot", 4, 0.3), ("rare", 1, 2.0)], "term string, df long, idf double"
+    )
+    doc_stats = spark.createDataFrame(
+        [(d, 3, 2) for d in (10, 11, 12, 13)],
+        "doc_id long, length long, maxcnt long",
+    )
+    qterms = spark.createDataFrame(
+        [(1, "hot", 1, 1.0), (1, "rare", 1, 1.0), (2, "hot", 1, 1.0)],
+        "qid int, term string, qtf long, qweight double",
+    )
+    out = common_terms_topk(
+        qterms, postings, dictionary, doc_stats, 3.0, 5, k=10,
+        max_df_frac=0.5,
+    )
+    rows = {(r["qid"], r["doc_id"]): r["score"] for r in out.collect()}
+    # qid 1: only doc 13 matched the rare term → common-only docs drop
+    assert {q_d for q_d in rows if q_d[0] == 1} == {(1, 13)}
+    # the survivor's score is the FULL OR sum (both terms contribute)
+    full = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in bm25_score_all(
+            qterms, postings, dictionary, doc_stats, 3.0
+        ).collect()
+    }
+    assert abs(rows[(1, 13)] - full[(1, 13)]) < 1e-12
+    # qid 2: all terms common → plain-OR fallback keeps every match
+    assert {d for (q, d) in rows if q == 2} == {10, 11, 12, 13}

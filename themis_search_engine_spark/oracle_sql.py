@@ -1718,6 +1718,44 @@ FROM cand c JOIN documents d ON c.doc_id = d.doc_id
 GROUP BY c.qid, {cols}"""
 
 
+def sql_common_terms_topk(
+    k: int, max_df_frac: float, queryset: dict[int, str]
+) -> str:
+    """Oracle twin of metadata.common_terms_topk: candidates from the
+    per-query rare-term match set (rare = df <= frac·N; a query whose
+    known terms are all common treats them all as rare), scores the
+    full-OR BM25 sum restricted to candidates."""
+    return f"""{_bm25_scored_cte(queryset=queryset)},
+qdf AS (
+  SELECT DISTINCT q.qid, q.term, d.df
+  FROM {_qterms_values(False, queryset)} JOIN dict d ON q.term = d.term
+),
+qflag AS (
+  SELECT qid, term,
+         df <= {max_df_frac!r} * (SELECT n_docs FROM gstats) AS is_rare
+  FROM qdf
+),
+qrare AS (
+  SELECT qid, term FROM qflag WHERE is_rare
+  UNION ALL
+  SELECT qid, term FROM qflag
+  WHERE qid IN (SELECT qid FROM qflag
+                GROUP BY qid HAVING bool_and(NOT is_rare))
+),
+cand AS (
+  SELECT DISTINCT r.qid, t.doc_id FROM tfn t JOIN qrare r ON t.term = r.term
+),
+ranked AS (
+  SELECT s.qid, s.doc_id, round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY round(s.score, 6) DESC,
+                                     s.doc_id ASC) AS rank
+  FROM scored s JOIN cand c ON s.qid = c.qid AND s.doc_id = c.doc_id
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_sort_field_topk(k: int = 10) -> str:
     """Oracle twin of metadata.sort_by_field_topk over the warc_ts
     fixture: the existential match set ranked newest-first with doc_id

@@ -111,6 +111,84 @@ def matching_docs(
     return pruned.join(q, "term").select("qid", "doc_id").distinct()
 
 
+def common_terms_topk(
+    qterms: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    n_docs: int,
+    k: int = 10,
+    *,
+    max_df_frac: float = 0.05,
+    topk_fn=topk,
+) -> DataFrame:
+    """Head-term demotion (Lucene's CommonTermsQuery): query terms whose
+    df exceeds ``max_df_frac``·N stop GENERATING candidates — they only
+    contribute score to docs some rare term already matched. On a web
+    corpus a head term ("www", "home") matches 10%+ of 10¹² docs; pure
+    OR retrieval drags that term's full posting list through scoring for
+    every query containing it. Here the candidate set is the RARE terms'
+    match set, and the common terms' postings are read through a doc_id
+    semi-join on those candidates — both prunings sit below the score
+    aggregation, so the head term's posting list is never aggregated
+    corpus-wide. Scores of surviving docs are EXACTLY the full-OR BM25
+    sum (both term classes contribute); what changes is which docs
+    qualify — docs matching only common terms drop, the CommonTermsQuery
+    contract.
+
+    Per-query fallback: a query whose known terms are ALL common treats
+    them all as rare (plain OR) — it stays answerable, like Lucene's
+    must-match fallback. Classification is driver-side over the batch
+    vocabulary (a query-bounded dictionary lookup, the Q1 shape).
+    """
+    qrows = [
+        (int(r["qid"]), r["term"])
+        for r in qterms.select("qid", "term").distinct().collect()
+    ]
+    terms = sorted({t for _, t in qrows})
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in dictionary.where(F.col("term").isin(terms))
+        .select("term", "df").collect()
+    }
+    cutoff = max_df_frac * n_docs
+    by_qid: dict[int, list[str]] = {}
+    for qid, t in qrows:
+        by_qid.setdefault(qid, []).append(t)
+    rare_pairs: list[tuple[int, str]] = []
+    for qid, ts in by_qid.items():
+        known = [t for t in ts if t in df_map]
+        rare = [t for t in known if df_map[t] <= cutoff]
+        rare_pairs.extend((qid, t) for t in (rare or known))
+    spark = qterms.sparkSession
+    rare_union = sorted({t for _, t in rare_pairs})
+    common_union = sorted(set(df_map) - set(rare_union))
+
+    rq = F.broadcast(
+        spark.createDataFrame(
+            rare_pairs or [(None, None)], "qid int, term string"
+        ).where("qid is not null")
+    )
+    pruned_r = postings_flat
+    if 0 < len(rare_union) <= MAX_PRUNE_LITERALS:
+        pruned_r = postings_flat.where(F.col("term").isin(rare_union))
+    cand = pruned_r.join(rq, "term").select("qid", "doc_id").distinct()
+
+    legs = pruned_r.where(F.col("term").isin(rare_union))
+    if common_union:
+        pruned_c = postings_flat.where(F.col("term").isin(common_union))
+        legs = legs.unionByName(
+            pruned_c.join(
+                cand.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+        )
+    scored = bm25_score_all(
+        qterms, legs, dictionary, doc_stats, avgdl, term_list=terms
+    )
+    return topk_fn(scored.join(cand, ["qid", "doc_id"], "left_semi"), k)
+
+
 def sort_by_field_topk(
     qterms: DataFrame,
     postings_flat: DataFrame,

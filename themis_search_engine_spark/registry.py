@@ -842,6 +842,33 @@ def q_sort_field_topk(spark, sf_dir):
 QUERIES["sort_field_topk"] = q_sort_field_topk
 ORACLE_SQL["sort_field_topk"] = osql.sql_sort_field_topk(10)
 
+# mixes rare ('dup', df≈0.05·N at every sf) with head terms (df≈0.77·N),
+# so demotion, the all-common fallback, and rare-only queries all fire
+CT_QUERYSET = {1: "dup spark", 2: "spark join", 3: "dup"}
+
+
+def q_common_terms_topk(spark, sf_dir):
+    """Head-term demotion (queryeng/metadata.common_terms_topk — the
+    Lucene CommonTermsQuery): common terms (df > 0.5·N) stop generating
+    candidates and are read through a doc_id semi-join on the rare
+    terms' match set; surviving docs keep their EXACT full-OR BM25
+    score. qid 1 demotes 'spark', qid 2 falls back to plain OR (all
+    terms common), qid 3 is rare-only."""
+    from .queryeng.metadata import common_terms_topk
+
+    idx = get_index(spark, sf_dir)
+    return common_terms_topk(
+        qterms_df(spark, CT_QUERYSET, stem=False), idx.postings_flat,
+        idx.dictionary, idx.doc_stats, idx.avgdl, idx.n_docs, 10,
+        max_df_frac=0.5, topk_fn=_rounded_rank_topk,
+    )
+
+
+QUERIES["common_terms_topk"] = q_common_terms_topk
+ORACLE_SQL["common_terms_topk"] = osql.sql_common_terms_topk(
+    10, 0.5, CT_QUERYSET
+)
+
 
 def q_bm25_topk_recency(spark, sf_dir):
     """Recency-boosted retrieval: BM25 top-10 with a 7-day-half-life
