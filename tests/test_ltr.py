@@ -80,3 +80,29 @@ def test_hard_negatives_triples(spark):
         (1, 13, 11, 1), (1, 13, 12, 2),
     }
     assert got == want
+
+
+def test_ltr_rerank_topk(spark):
+    from themis_search_engine_spark.queryeng.ltr import ltr_rerank_topk
+
+    feats = spark.createDataFrame(
+        [(1, 10, 2.0, 1.0), (1, 11, 3.0, 0.5), (1, 12, 1.0, 1.0),
+         (2, 20, 0.0, 1.0)],
+        "qid int, doc_id long, bm25 double, coverage double",
+    )
+    out = {
+        (r["qid"], r["rank"]): (r["doc_id"], r["ltr_score"])
+        for r in ltr_rerank_topk(
+            feats, {"bm25": 1.0, "coverage": 2.0}, k=2
+        ).collect()
+    }
+    # doc 10: 2+2=4, doc 11: 3+1=4 (tie → doc_id asc), doc 12: 3 cut by k
+    assert out[(1, 1)] == (10, 4.0)
+    assert out[(1, 2)] == (11, 4.0)
+    assert (1, 3) not in out
+    assert out[(2, 1)] == (20, 2.0)
+    # unknown feature names fail loud, never silently score 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown features"):
+        ltr_rerank_topk(feats, {"bm25": 1.0, "pagerank": 1.0})

@@ -1380,6 +1380,59 @@ SELECT f.qid, f.doc_id, round(f.bm25, 6) AS bm25, f.n_matched,
 FROM feat f JOIN nq USING (qid)"""
 
 
+def sql_ltr_rerank_topk(weights: dict[str, float], k: int = 10) -> str:
+    """Oracle twin of ltr.ltr_rerank_topk over sql_ltr_features' feat
+    CTE: the SAME 6-dp-rounded features dotted with the SAME literal
+    weights, ranked on the rounded model score."""
+    idf = "log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    part = (
+        f"{idf} * t.tf * ({K1} + 1.0)"
+        f" / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl))"
+    )
+    rounded = {
+        "bm25": "round(f.bm25, 6)",
+        "n_matched": "f.n_matched",
+        "coverage": "round(f.n_matched * 1.0 / nq.n_q, 6)",
+        "sum_tf": "round(f.sum_tf, 6)",
+        "max_tf": "round(f.max_tf, 6)",
+        "min_idf": "round(f.min_idf, 6)",
+        "max_idf": "round(f.max_idf, 6)",
+        "length": "f.length",
+    }
+    dot = " + ".join(
+        f"{weights[name]!r} * {rounded[name]}" for name in sorted(weights)
+    )
+    return f"""WITH {TOK_CTE},
+nq AS (
+  SELECT qid, count(DISTINCT term)::BIGINT AS n_q
+  FROM {_qterms_values()} GROUP BY qid
+),
+feat AS (
+  SELECT q.qid, t.doc_id, s.length,
+         sum({part}) AS bm25,
+         count(DISTINCT t.term)::BIGINT AS n_matched,
+         sum(t.tf) AS sum_tf,
+         max(t.tf) AS max_tf,
+         min({idf}) AS min_idf,
+         max({idf}) AS max_idf
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id, s.length
+),
+ranked AS (
+  SELECT f.qid, f.doc_id, round(0.0 + {dot}, 6) AS ltr_score,
+         row_number() OVER (
+           PARTITION BY f.qid
+           ORDER BY round(0.0 + {dot}, 6) DESC, f.doc_id ASC) AS rank
+  FROM feat f JOIN nq USING (qid)
+)
+SELECT qid, doc_id, ltr_score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_percolate(mode: str = "all") -> str:
     """Oracle twin of percolate.percolate over the unstemmed pipeline:
     distinct doc terms x distinct stored-query terms, per-(doc, qid)

@@ -91,6 +91,49 @@ def ltr_features(
     )
 
 
+def ltr_rerank_topk(
+    features: DataFrame,
+    weights: dict[str, float],
+    k: int = 10,
+    *,
+    intercept: float = 0.0,
+) -> DataFrame:
+    """(qid, doc_id, ltr_score, rank) — apply a LINEAR ranking model
+    (weights trained offline on :func:`ltr_features` output + the
+    judgments/:func:`hard_negatives` lanes) to rerank each query's
+    candidates. This closes the LTR loop end-to-end: feature extraction
+    (one grouped pass), model application (ONE codegen projection — the
+    dot product is a literal-weighted column sum, no UDF, no model
+    server), per-query top-k.
+
+    A linear model is deliberately the engine surface: GBDT/neural
+    rerankers plug in by swapping this projection for an Arrow-batched
+    pandas UDF over the SAME feature frame — the plan shape (feature
+    pass → candidate-bounded rerank → top-k window) is what matters at
+    10¹² docs, and it never rescans the corpus. Deterministic: rounded
+    score desc, doc_id asc (the house ranking grain). Unknown feature
+    names raise rather than silently score 0.
+    """
+    from pyspark.sql.window import Window
+
+    missing = sorted(set(weights) - set(features.columns))
+    if missing:
+        raise ValueError(f"ltr_rerank_topk: unknown features {missing}")
+    score = F.lit(float(intercept))
+    for name in sorted(weights):
+        score = score + F.lit(float(weights[name])) * F.col(name)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("ltr_score", 6)), F.asc("doc_id")
+    )
+    return (
+        features.select(
+            "qid", "doc_id", F.round(score, 6).alias("ltr_score")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def hard_negatives(
     ranked: DataFrame,
     judgments: DataFrame,

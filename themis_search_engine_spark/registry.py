@@ -936,6 +936,40 @@ def q_ltr_features(spark, sf_dir):
 QUERIES["ltr_features"] = q_ltr_features
 ORACLE_SQL["ltr_features"] = osql.sql_ltr_features()
 
+# an offline-trained linear ranker: relevance ~ bm25 + coverage bonus +
+# tf evidence − length prior (the registered model-apply fixture).
+# Weights are integers (plus an exact-2-decimal length prior) so the dot
+# over 6-dp-rounded features stays AT the 6-dp grain — a 0.5-style
+# weight would manufacture exact 7th-decimal midpoints where Spark
+# (BigDecimal HALF_UP on binary) and DuckDB (×1e6 float rounding)
+# legitimately disagree.
+LTR_WEIGHTS = {"bm25": 1.0, "coverage": 2.0, "max_tf": 3.0,
+               "length": -0.01}
+
+
+def q_ltr_rerank_topk(spark, sf_dir):
+    """LTR end-to-end: the feature pass feeding a linear model apply
+    (queryeng/ltr.ltr_rerank_topk — ONE codegen projection, no UDF) and
+    a per-query top-10. Features are rounded at the house 6-dp grain
+    before the dot product so both engines score identical doubles."""
+    from .queryeng.ltr import ltr_features as _ltr2
+    from .queryeng.ltr import ltr_rerank_topk
+
+    idx = get_index(spark, sf_dir)
+    f = _ltr2(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    rounded = f.select(
+        "qid", "doc_id",
+        *[F.round(c, 6).alias(c) for c in sorted(LTR_WEIGHTS)],
+    )
+    return ltr_rerank_topk(rounded, LTR_WEIGHTS, 10)
+
+
+QUERIES["ltr_rerank_topk"] = q_ltr_rerank_topk
+ORACLE_SQL["ltr_rerank_topk"] = osql.sql_ltr_rerank_topk(LTR_WEIGHTS, 10)
+
 
 def q_index_profile(spark, sf_dir):
     """Index observability: log2-bucketed df histogram of the dictionary
