@@ -1809,6 +1809,87 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_interleave_topk(k: int = 10) -> str:
+    """Oracle twin of registry.q_interleave_topk: the team-draft greedy
+    merge replayed as a RECURSIVE CTE — one pick per recursion step,
+    next candidate per side = first not-yet-picked list element
+    (list_filter), tie coin = parity of the last hex digit of
+    md5('qid|round') (≡ interleave._coin's int(hexdigest,16) & 1 — the
+    low bit of a hex number IS its last digit's low bit)."""
+    head = _bm25_scored_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    coin = (
+        "(strpos('0123456789abcdef', "
+        "substr(md5(d0.qid::VARCHAR || '|' || d0.rnd::VARCHAR), 32, 1))"
+        " - 1) % 2"
+    )
+    pick_a = (
+        "ca IS NOT NULL AND (cb IS NULL OR d.na < d.nb"
+        " OR (d.na = d.nb AND d.coin = 0))"
+    )
+    return f"""{head},
+a_ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+a_top AS (SELECT * FROM a_ranked WHERE rank <= {k}),
+cand AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM tfn t JOIN {_qterms_values()} ON t.term = q.term
+),
+b_ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY (1546300800 + ((doc_id * 37) % 1000) * 3600) DESC,
+                    doc_id ASC) AS rank
+  FROM cand
+),
+b_top AS (SELECT * FROM b_ranked WHERE rank <= {k}),
+la_t AS (SELECT qid, list(doc_id ORDER BY rank) AS la FROM a_top GROUP BY qid),
+lb_t AS (SELECT qid, list(doc_id ORDER BY rank) AS lb FROM b_top GROUP BY qid),
+lists AS (
+  SELECT coalesce(la_t.qid, lb_t.qid) AS qid,
+         coalesce(la, []) AS la, coalesce(lb, []) AS lb
+  FROM la_t FULL JOIN lb_t ON la_t.qid = lb_t.qid
+),
+draft AS (
+  SELECT qid, []::BIGINT[] AS picked, []::VARCHAR[] AS teams,
+         0 AS na, 0 AS nb, 0 AS rnd
+  FROM lists
+  UNION ALL
+  SELECT d.qid, list_append(d.picked, d.pick),
+         list_append(d.teams, d.team),
+         d.na + CASE WHEN d.team = 'a' THEN 1 ELSE 0 END,
+         d.nb + CASE WHEN d.team = 'b' THEN 1 ELSE 0 END,
+         d.rnd + 1
+  FROM (
+    SELECT d.qid, d.picked, d.teams, d.na, d.nb, d.rnd,
+           CASE WHEN {pick_a} THEN 'a' ELSE 'b' END AS team,
+           CASE WHEN {pick_a} THEN ca ELSE cb END AS pick
+    FROM (
+      SELECT d0.*,
+             list_filter(l.la,
+                         x -> NOT list_contains(d0.picked, x))[1] AS ca,
+             list_filter(l.lb,
+                         x -> NOT list_contains(d0.picked, x))[1] AS cb,
+             {coin} AS coin
+      FROM draft d0 JOIN lists l USING (qid)
+    ) d
+  ) d
+  WHERE d.pick IS NOT NULL
+),
+done AS (
+  SELECT qid, arg_max(picked, rnd) AS picked, arg_max(teams, rnd) AS teams
+  FROM draft GROUP BY qid
+)
+SELECT qid, unnest(picked) AS doc_id,
+       unnest(range(1, len(picked) + 1)) AS pos,
+       unnest(teams) AS team
+FROM done"""
+
+
 def sql_sort_field_topk(k: int = 10) -> str:
     """Oracle twin of metadata.sort_by_field_topk over the warc_ts
     fixture: the existential match set ranked newest-first with doc_id

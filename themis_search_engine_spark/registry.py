@@ -870,6 +870,24 @@ ORACLE_SQL["common_terms_topk"] = osql.sql_common_terms_topk(
 )
 
 
+def q_interleave_topk(spark, sf_dir):
+    """Team-draft interleaving of two LIVE rankers — relevance (BM25
+    top-10, team a) vs freshness (newest-first top-10, team b) — the
+    online-A/B impression (queryeng/interleave.team_draft_interleave).
+    The DuckDB twin replays the draft as a recursive CTE with the SAME
+    md5(qid|round) coin, so the greedy merge is value-pinned end to
+    end."""
+    from .queryeng.interleave import team_draft_interleave
+
+    a = q_bm25_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    b = q_sort_field_topk(spark, sf_dir).select("qid", "doc_id", "rank")
+    return team_draft_interleave(a, b)
+
+
+QUERIES["interleave_topk"] = q_interleave_topk
+ORACLE_SQL["interleave_topk"] = osql.sql_interleave_topk(10)
+
+
 def q_bm25_topk_recency(spark, sf_dir):
     """Recency-boosted retrieval: BM25 top-10 with a 7-day-half-life
     time-decay boost from the deterministic warc_ts fixture — the boost
