@@ -194,6 +194,12 @@ def _encode_groups(
     """
     import pyarrow as pa
 
+    if pa.types.is_dictionary(terms_out.type):
+        # one entry per GROUP (not per posting) — casting the take result
+        # back to dense string here is O(groups) and keeps every emitted
+        # batch on the declared string schema
+        terms_out = terms_out.cast(pa.string())
+
     n = len(doc_ids)
     gstart = np.asarray(gstart, dtype=np.int64)
     gend = np.concatenate([gstart[1:], [n]])
@@ -337,11 +343,15 @@ def _compress_batches(batches, chunk_bits: int, avgdl: float):
     pend: dict | None = None  # carried last group (numpy arrays + key)
 
     def np_cols(rb: "pa.RecordBatch") -> dict:
-        return {
-            name: rb.column(name).to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            for name in ("chunk", "doc_id", "cnt", "maxcnt", "length")
-        }
+        # int64 is required downstream (delta/shift math), but skip the
+        # copy when the column already IS int64 — astype always copies,
+        # and at 10^8 postings the redundant copies are pure memory
+        # traffic in the phase that's bandwidth-bound at high core counts
+        out = {}
+        for name in ("chunk", "doc_id", "cnt", "maxcnt", "length"):
+            arr = rb.column(name).to_numpy(zero_copy_only=False)
+            out[name] = arr if arr.dtype == np.int64 else arr.astype(np.int64)
+        return out
 
     def flush(p: dict) -> "pa.RecordBatch":
         return _encode_groups(
@@ -357,9 +367,16 @@ def _compress_batches(batches, chunk_bits: int, avgdl: float):
             continue
         term = rb.column("term")
         cols = np_cols(rb)
-        codes = pc.dictionary_encode(term).indices.to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        if pa.types.is_dictionary(term.type):
+            # file-parallel path reads with read_dictionary=["term"]: the
+            # codes already exist — adjacent-equality on them is exact
+            # (parquet dictionaries hold unique values) and the 10^8 dense
+            # term strings never materialize at all
+            codes = term.indices.to_numpy(zero_copy_only=False)
+        else:
+            codes = pc.dictionary_encode(term).indices.to_numpy(
+                zero_copy_only=False
+            )
         newg = np.empty(n, dtype=bool)
         newg[0] = True
         np.logical_or(
@@ -474,7 +491,12 @@ def compress_files(
 
         t0 = _time.perf_counter()
         src = f"{raw_path}/{fname}"
-        pf = _pq.ParquetFile(src)
+        # read term dictionary-encoded: group-boundary detection runs on
+        # the int32 codes and the dense string column (the widest column
+        # of the raw table) is never materialized — measured, this is the
+        # difference between the compress phase scaling with cores and
+        # saturating memory bandwidth
+        pf = _pq.ParquetFile(src, read_dictionary=["term"])
         cols = ["term", "chunk", "doc_id", "cnt", "maxcnt", "length"]
         out_batches = list(
             _compress_batches(
