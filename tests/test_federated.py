@@ -1,0 +1,139 @@
+"""Federated multi-index retrieval (queryeng/federated.py): scoring N
+independently-built sub-indexes with merged global stats must be
+rank-identical to one index over the union corpus — and provably would
+NOT be without the global-stats phase (the distributed-IR pitfall the
+module exists to fix).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from themis_search_engine_spark.indexing import build_index
+from themis_search_engine_spark.queryeng import (
+    federated_topk,
+    merged_global_stats,
+    qterms_df,
+)
+from themis_search_engine_spark.queryeng.bm25 import bm25_score_all, topk
+
+# Skewed on purpose: "fox" is rare in one half and common in the other,
+# so local-df scoring visibly disagrees with union-corpus scoring.
+DOCS = {
+    0: "the quick brown fox jumps over the lazy dog",
+    1: "sparking sparks spark sparked in the engine engine",
+    2: "a lazy dog and another lazy lazy dog",
+    3: "fox fox den",
+    4: "quick queries query the index indexes indexing",
+    5: "fox field fox trot fox",
+    6: "engine engine engine room",
+    7: "dog walker walks a dog",
+    8: "query the fox index quickly",
+    9: "lazy summer day by the engine",
+}
+QUERIES = {1: "lazy dog", 2: "fox engine", 3: "quick query"}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(k, v) for k, v in DOCS.items()], "doc_id long, text string"
+    )
+
+
+def _splits(docs_df, n):
+    return tuple(
+        build_index(
+            docs_df.where(F.pmod("doc_id", F.lit(n)) == i),
+            stem=False, use_arrow=False,
+        ).cache()
+        for i in range(n)
+    )
+
+
+def _ranked(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    return {q: [d for _, d in sorted(v)] for q, v in out.items()}
+
+
+def test_merged_stats_exact(spark, docs_df):
+    """N, avgdl, and per-term df merged across sub-indexes equal the
+    union index's own stats — the exactness claim of step 1."""
+    union = build_index(docs_df, stem=False, use_arrow=False)
+    for n in (2, 3):
+        gdict, n_total, avgdl = merged_global_stats(_splits(docs_df, n))
+        assert n_total == union.n_docs
+        assert avgdl == pytest.approx(union.avgdl)
+        got = {r["term"]: r["df"] for r in gdict.collect()}
+        want = {r["term"]: r["df"] for r in union.dictionary.collect()}
+        assert got == want
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_federated_rank_identical_to_union(spark, docs_df, n):
+    union = build_index(docs_df, stem=False, use_arrow=False).cache()
+    qt = qterms_df(spark, QUERIES)
+    single = _ranked(
+        topk(
+            bm25_score_all(
+                qt, union.postings_flat, union.dictionary,
+                union.doc_stats, union.avgdl,
+            ),
+            k=5,
+        ).collect()
+    )
+    fed = _ranked(federated_topk(qt, _splits(docs_df, n), k=5).collect())
+    assert fed == single
+
+
+def test_local_stats_would_disagree(spark, docs_df):
+    """Negative control: scoring each half with its LOCAL (df, N, avgdl)
+    — the naive federation the module's docstring warns about — yields
+    scores that disagree with union-corpus scores on the skewed corpus
+    (the incomparability pitfall itself). The globally-scored legs, by
+    contrast, reproduce every union score exactly. If the naive check
+    ever stops failing, the global-stats phase stopped being
+    load-bearing."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from themis_search_engine_spark.queryeng.federated import (
+        federated_scores,
+    )
+
+    union = build_index(docs_df, stem=False, use_arrow=False).cache()
+    qt = qterms_df(spark, QUERIES)
+
+    def score_map(df):
+        return {
+            (r["qid"], r["doc_id"]): round(r["score"], 6)
+            for r in df.collect()
+        }
+
+    want = score_map(
+        bm25_score_all(
+            qt, union.postings_flat, union.dictionary,
+            union.doc_stats, union.avgdl,
+        )
+    )
+    halves = _splits(docs_df, 2)
+    naive = score_map(
+        reduce(
+            DataFrame.unionByName,
+            [
+                bm25_score_all(
+                    qt, ix.postings_flat, ix.dictionary,
+                    ix.doc_stats, ix.avgdl,
+                )
+                for ix in halves
+            ],
+        )
+    )
+    assert naive != want  # local stats: scores not comparable
+
+    fed = score_map(
+        reduce(DataFrame.unionByName, federated_scores(qt, halves))
+    )
+    assert fed == want  # merged stats: exactly the union-index scores

@@ -2,6 +2,7 @@ from .bm25 import bm25_score_all, bm25_topk  # noqa: F401
 from .boolquery import boolean_score_all, parse_boolean  # noqa: F401
 from .cache import cached_query_topk, index_generation  # noqa: F401
 from .explain import explain_scores, search_after, total_hits  # noqa: F401
+from .federated import federated_topk, merged_global_stats  # noqa: F401
 from .evalmetrics import rbp_err  # noqa: F401
 from .grepdocs import grep_docs, grep_snippets, regex_grep  # noqa: F401
 from .ql import ql_score_all  # noqa: F401

@@ -1,0 +1,149 @@
+"""Federated multi-index retrieval: one logical query over several
+independently-built inverted indexes, rank-identical to a single index
+over the union corpus.
+
+Why this exists at web scale: a 10^12-doc crawl is never one index build —
+it's per-crawl / per-datacenter sub-indexes built at different times, and
+the serving tier must query them together. Scoring each sub-index with its
+LOCAL (df, N, avgdl) makes scores incomparable across indexes (the classic
+distributed-IR pitfall; Elasticsearch's dfs_query_then_fetch exists for
+exactly this). The fix is a global-stats phase — the reference engine
+never needed one because it is single-index by construction
+(Index.java:209-228 loads exactly one vocabulary), so this operator is a
+Spark-first extension of its Q1-Q8 query family to the multi-index layout.
+
+BM25's per-(term,doc) part splits cleanly into doc-local inputs (tf, dl —
+stored in each sub-index's postings) and corpus-global inputs (idf from
+(N, df), avgdl). So:
+
+  1. merge stats: N = Σ N_i, avgdl = Σ N_i·avgdl_i / N (exact — each
+     avgdl_i is Σ length / N_i), df(t) = Σ df_i(t); recompute idf on the
+     merged (N, df). One groupBy over the union of the (tiny) dictionaries.
+  2. score each sub-index with the GLOBAL dictionary + avgdl — the scores
+     are then exactly what a single union index would produce.
+  3. per-index top-k, then a global top-k over the union of candidates.
+     Admissible: scores are globally comparable after step 2, and the
+     per-index prune uses the SAME (score, doc_id) ordering grain as the
+     final rank, so any doc in the global top-k ranks ≤ k inside its own
+     index — nothing the global phase needs is ever dropped.
+
+Plan shape per sub-index is the standard batch plan (bm25.bm25_score_all:
+IN-list pushdown into the postings scan, broadcast qterms⋈dictionary, one
+partial-agg shuffle). The cross-index union touches only per-index top-k
+rows — |indexes|·|queries|·k, not postings — so federation adds no wide
+shuffle. At cluster scale each sub-index keeps its own bucketing; nothing
+is co-partitioned across indexes.
+
+Correctness pin: the registered ``federated_topk`` splits the corpus in
+two, builds two real indexes, and must hash-match the UNCHANGED
+single-index oracle SQL (oracle_sql.sql_bm25_topk) — federation must be
+invisible in the results.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .bm25 import TOPK_SALT, bm25_score_all
+
+
+def merged_global_stats(indexes) -> tuple[DataFrame, int, float]:
+    """(global_dictionary, n_docs_total, avgdl_global) across sub-indexes.
+
+    The merged dictionary carries (term, df, idf) with df summed across
+    indexes and idf recomputed on the merged N — the single-index idf
+    formula (OkapiBM25.java:104-107) applied to union-corpus counts.
+    """
+    n_total = sum(int(ix.n_docs) for ix in indexes)
+    total_len = sum(int(ix.n_docs) * float(ix.avgdl) for ix in indexes)
+    avgdl = (total_len / n_total) if n_total else 0.0
+    dicts = [ix.dictionary.select("term", "df") for ix in indexes]
+    union = reduce(DataFrame.unionByName, dicts)
+    gdict = (
+        union.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log2(
+                (F.lit(float(n_total)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    return gdict, n_total, avgdl
+
+
+def federated_scores(
+    qterms: DataFrame, indexes, *, term_list: list[str] | None = None
+) -> list[DataFrame]:
+    """One (qid, doc_id, score) frame per sub-index, all scored with the
+    merged global stats — globally comparable by construction."""
+    gdict, _n, avgdl = merged_global_stats(indexes)
+    return [
+        bm25_score_all(
+            qterms, ix.postings_flat, gdict, ix.doc_stats, avgdl,
+            term_list=term_list,
+        )
+        for ix in indexes
+    ]
+
+
+def federated_topk(
+    qterms: DataFrame,
+    indexes,
+    k: int = 10,
+    *,
+    round_dp: int | None = None,
+    term_list: list[str] | None = None,
+) -> DataFrame:
+    """(qid, doc_id, score, rank): global BM25 top-k over every sub-index.
+
+    ``round_dp`` sets the ranking grain (round(score, dp) desc, doc_id
+    asc) used by BOTH the per-index prune and the global merge — pass the
+    engine-independence grain (6) when comparing against a SQL oracle;
+    ``None`` ranks on raw scores (deterministic within one engine). Using
+    one grain for both phases is what keeps the prune admissible: the
+    global ordering restricted to one index IS that index's ordering, so
+    the global top-k is contained in the union of per-index top-k.
+    """
+    legs = federated_scores(qterms, indexes, term_list=term_list)
+    score_key = (
+        F.round("score", round_dp) if round_dp is not None else F.col("score")
+    )
+    # Per-leg prune is itself salted (same two-phase trick as bm25.topk):
+    # a head-term query's candidate set inside ONE sub-index is still
+    # ~half that index, and a plain per-qid window would sort it in one
+    # task. Salting by doc_id keeps every phase-1 sort at 1/TOPK_SALT the
+    # size; admissibility is unchanged because all three windows use the
+    # SAME (score_key desc, doc_id asc) grain — top-k restricted to a
+    # salt bucket / a leg is that bucket's / leg's top-k.
+    salt = F.pmod(F.col("doc_id"), F.lit(TOPK_SALT))
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.desc(score_key), F.asc("doc_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(score_key), F.asc("doc_id"))
+    pruned = [
+        leg.withColumn("salt", salt)
+        .withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= k)
+        .drop("salt", "r")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .drop("r")
+        for leg in legs
+    ]
+    merged = reduce(DataFrame.unionByName, pruned)
+    out_score = (
+        F.round("score", round_dp).alias("score")
+        if round_dp is not None
+        else F.col("score")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", out_score, "rank")
+    )

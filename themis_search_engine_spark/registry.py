@@ -1840,6 +1840,37 @@ def q_mmr_topk(spark, sf_dir):
 QUERIES["mmr_topk"] = q_mmr_topk
 ORACLE_SQL["mmr_topk"] = osql.sql_mmr_topk(5, 20, 0.7)
 
+
+_FED_CACHE: dict[str, tuple] = {}
+
+
+def q_federated_topk(spark, sf_dir):
+    """Federated multi-index retrieval (queryeng/federated.py): the corpus
+    split into two independently-built sub-indexes (even/odd doc_id), each
+    scored with the MERGED global (df, N, avgdl), per-leg salted top-k,
+    then a global merge — must hash-match the UNCHANGED single-index BM25
+    oracle (sql_bm25_topk). Federation has to be invisible in the results;
+    that is the whole correctness claim of the global-stats phase."""
+    from .queryeng.federated import federated_topk
+
+    if sf_dir not in _FED_CACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        halves = tuple(
+            build_index(
+                docs.where(F.pmod("doc_id", F.lit(2)) == i),
+                stem=False, use_arrow=False,
+            ).cache()
+            for i in (0, 1)
+        )
+        _FED_CACHE[sf_dir] = halves
+    return federated_topk(
+        _qt(spark, stem=False), _FED_CACHE[sf_dir], k=10, round_dp=6
+    )
+
+
+QUERIES["federated_topk"] = q_federated_topk
+ORACLE_SQL["federated_topk"] = osql.sql_bm25_topk(10)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
