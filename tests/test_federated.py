@@ -137,3 +137,55 @@ def test_local_stats_would_disagree(spark, docs_df):
         reduce(DataFrame.unionByName, federated_scores(qt, halves))
     )
     assert fed == want  # merged stats: exactly the union-index scores
+
+
+def test_select_shards_bounded(spark, docs_df):
+    from themis_search_engine_spark.queryeng.federated import select_shards
+
+    qt = qterms_df(spark, QUERIES)
+    sel = select_shards(qt, _splits(docs_df, 3), m=2).collect()
+    per_q = {}
+    for r in sel:
+        per_q.setdefault(r["qid"], set()).add(r["shard"])
+    assert per_q  # at least one query routed
+    assert all(len(s) <= 2 for s in per_q.values())
+    assert all(0 <= sh < 3 for s in per_q.values() for sh in s)
+
+
+def test_selective_full_selection_equals_federated(spark, docs_df):
+    """m = n_shards selects every shard — selective search must then be
+    exactly federated search (routing is the ONLY thing it changes)."""
+    from themis_search_engine_spark.queryeng.federated import selective_topk
+
+    qt = qterms_df(spark, QUERIES)
+    halves = _splits(docs_df, 2)
+    fed = sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in federated_topk(qt, halves, k=5, round_dp=6).collect()
+    )
+    sel = sorted(
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in selective_topk(qt, halves, k=5, m=2, round_dp=6).collect()
+    )
+    assert sel == fed
+
+
+def test_selective_score_fidelity(spark, docs_df):
+    """Every (qid, doc) selective search returns carries the UNION
+    index's exact score — selection bounds recall, never score values."""
+    from themis_search_engine_spark.queryeng.federated import selective_topk
+
+    union = build_index(docs_df, stem=False, use_arrow=False).cache()
+    qt = qterms_df(spark, QUERIES)
+    want = {
+        (r["qid"], r["doc_id"]): round(r["score"], 6)
+        for r in bm25_score_all(
+            qt, union.postings_flat, union.dictionary,
+            union.doc_stats, union.avgdl,
+        ).collect()
+    }
+    got = selective_topk(qt, _splits(docs_df, 3), k=5, m=1, round_dp=6)
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert round(r["score"], 6) == want[(r["qid"], r["doc_id"])]

@@ -23,6 +23,10 @@ from .stopwords import STOPWORDS
 
 K1 = 2.0
 B = 0.75
+# CORI resource-selection constants (Callan et al., SIGIR'95) — must match
+# queryeng.federated.CORI_DB / CORI_DK.
+CORI_DB = 50.0
+CORI_DK = 150.0
 
 # Only ASCII-alnum stopwords can ever match a post-normalization token
 # (P2 maps everything else to spaces), so the SQL IN-list needs only those.
@@ -283,6 +287,66 @@ def sql_bm25_topk(k: int = 10) -> str:
     # across engines at ~1e-15, rounding absorbs it so ranking is engine-
     # independent and deterministic.
     return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_selective_topk(k: int = 10, m: int = 2, n_shards: int = 4) -> str:
+    """Oracle twin of queryeng.federated.selective_topk: shards are
+    doc_id % n_shards; CORI beliefs (T·I with b=50, k=150, shard-level
+    idf on log2) from per-shard df / word counts; top-m shards per query
+    by (round(belief,6) desc, shard asc); then the standard BM25 score —
+    GLOBAL stats, unchanged — restricted to docs whose shard was
+    selected for that query, rounded-rank top-k."""
+    return f"""WITH {TOK_CTE},
+shard_df AS (
+  SELECT term, (doc_id % {n_shards}) AS shard, count(*)::BIGINT AS df_s
+  FROM counts GROUP BY term, doc_id % {n_shards}
+),
+shard_cw AS (
+  SELECT (doc_id % {n_shards}) AS shard, sum(length)::DOUBLE AS cw
+  FROM docstat GROUP BY doc_id % {n_shards}
+),
+avgcw AS (SELECT avg(cw)::DOUBLE AS acw FROM shard_cw),
+term_cf AS (SELECT term, count(*)::BIGINT AS cf FROM shard_df GROUP BY term),
+belief AS (
+  SELECT q.qid, sd.shard,
+         sum( (sd.df_s / (sd.df_s + {CORI_DB!r} + {CORI_DK!r} * sc.cw / a.acw))
+              * (log2(({n_shards} + 0.5) / tc.cf) / log2({n_shards} + 1.0))
+         ) AS sscore
+  FROM (SELECT DISTINCT qid, term FROM {_qterms_values()}) q
+  JOIN shard_df sd ON q.term = sd.term
+  JOIN shard_cw sc ON sd.shard = sc.shard
+  JOIN term_cf tc ON q.term = tc.term
+  CROSS JOIN avgcw a
+  GROUP BY q.qid, sd.shard
+),
+sel AS (
+  SELECT qid, shard FROM (
+    SELECT qid, shard,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY round(sscore, 6) DESC, shard ASC) AS r
+    FROM belief) WHERE r <= {m}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN sel ON sel.qid = q.qid AND sel.shard = (t.doc_id % {n_shards})
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
 ranked AS (
   SELECT qid, doc_id, round(score, 6) AS score,
          row_number() OVER (PARTITION BY qid

@@ -42,6 +42,7 @@ invisible in the results.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -137,6 +138,158 @@ def federated_topk(
         for leg in legs
     ]
     merged = reduce(DataFrame.unionByName, pruned)
+    out_score = (
+        F.round("score", round_dp).alias("score")
+        if round_dp is not None
+        else F.col("score")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", out_score, "rank")
+    )
+
+
+# --- selective search: CORI shard selection ---------------------------------
+#
+# At 10^3+ shards, querying EVERY sub-index per query wastes the cluster:
+# most shards contribute nothing to a given query's top-k. Selective search
+# (Kulkarni & Callan, SIGIR'10; the CORI resource-selection formula,
+# Callan et al., SIGIR'95) ranks shards by a belief score computed from
+# per-shard TERM STATISTICS ONLY — df_s(t), shard word count cw_s — and
+# routes the query to the top-m shards. The stats tables are
+# vocabulary-sized, not corpus-sized, so selection costs no postings I/O.
+
+CORI_DB = 50.0   # CORI's df smoothing constant (b in the paper)
+CORI_DK = 150.0  # CORI's cw scaling constant (k in the paper)
+
+
+def shard_beliefs(qterms: DataFrame, indexes) -> DataFrame:
+    """(qid, shard, sscore): CORI belief of each sub-index for each query.
+
+    T = df_s / (df_s + 50 + 150·cw_s/avg_cw)   (df normalized by shard size)
+    I = log2((n_shards + 0.5)/cf(t)) / log2(n_shards + 1)  (shard-level idf)
+    sscore(q, s) = Σ_{t ∈ q, df_s(t) > 0} T·I
+
+    Everything derives from the per-shard dictionaries (df) and one
+    Σ length scalar per shard — no postings are touched. The per-shard
+    (shard, cw) table is |shards| rows and broadcast; cf(t) is one
+    vocabulary-sized groupBy. At 10³ shards × 10⁸ terms the stats union
+    is ~10¹¹ rows worst-case but query-vocabulary-filtered first (the
+    broadcast qterms semi-join below), so the belief job only ever
+    aggregates |q-vocab|·|shards| rows.
+    """
+    n_shards = len(indexes)
+    qv = F.broadcast(qterms.select("qid", "term").distinct())
+    sdf = reduce(
+        DataFrame.unionByName,
+        [
+            ix.dictionary.select(
+                "term", F.col("df").alias("df_s"),
+                F.lit(i).alias("shard"),
+            )
+            for i, ix in enumerate(indexes)
+        ],
+    ).join(qv.select("term").distinct(), "term")  # vocab-bounded early
+    cws = [
+        float(ix.doc_stats.agg(F.sum("length")).first()[0] or 0.0)
+        for ix in indexes
+    ]
+    acw = sum(cws) / len(cws) if cws else 0.0
+    spark = qterms.sparkSession
+    cw_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, cw) for i, cw in enumerate(cws)], "shard int, cw double"
+        )
+    )
+    cf = sdf.groupBy("term").agg(F.count("*").alias("cf"))
+    t_part = F.col("df_s") / (
+        F.col("df_s") + F.lit(CORI_DB)
+        + F.lit(CORI_DK) * F.col("cw") / F.lit(acw)
+    )
+    i_part = F.log2(F.lit(n_shards + 0.5) / F.col("cf")) / F.lit(
+        math.log2(n_shards + 1.0)
+    )
+    return (
+        qv.join(sdf, "term")
+        .join(cw_df, "shard")
+        .join(F.broadcast(cf), "term")
+        .groupBy("qid", "shard")
+        .agg(F.sum(t_part * i_part).alias("sscore"))
+    )
+
+
+def select_shards(
+    qterms: DataFrame, indexes, m: int, *, round_dp: int = 6
+) -> DataFrame:
+    """(qid, shard): the top-m shards per query by rounded CORI belief
+    (sscore desc, shard asc — the engine-independence grain). Queries
+    whose terms live in fewer than m shards select fewer."""
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("sscore", round_dp)), F.asc("shard")
+    )
+    return (
+        shard_beliefs(qterms, indexes)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= m)
+        .select("qid", "shard")
+    )
+
+
+def selective_topk(
+    qterms: DataFrame,
+    indexes,
+    k: int = 10,
+    m: int = 2,
+    *,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """(qid, doc_id, score, rank): federated BM25 top-k over ONLY each
+    query's top-m CORI-selected shards. Scores still use the MERGED
+    global stats, so any returned (qid, doc) score equals the union
+    index's score for it exactly — selection bounds recall (that is its
+    contract), never score fidelity.
+
+    Routing is physical, not a post-filter: the (qid, shard) selection —
+    ≤ |queries|·m rows, driver-trivial like qterms itself — is collected
+    and each leg runs with only ITS queries' qterms; an unselected leg
+    never scans a byte. That is the 10³-shard win: per-query fan-out is
+    m, not |shards|.
+    """
+    sel = select_shards(qterms, indexes, m).collect()
+    by_shard: dict[int, list] = {}
+    for r in sel:
+        by_shard.setdefault(r["shard"], []).append(r["qid"])
+    gdict, _n, avgdl = merged_global_stats(indexes)
+    score_key = (
+        F.round("score", round_dp) if round_dp is not None else F.col("score")
+    )
+    salt = F.pmod(F.col("doc_id"), F.lit(TOPK_SALT))
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.desc(score_key), F.asc("doc_id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(score_key), F.asc("doc_id"))
+    legs = []
+    for i, ix in enumerate(indexes):
+        qids = by_shard.get(i)
+        if not qids:
+            continue  # leg not selected by any query: zero I/O
+        qt_i = qterms.where(F.col("qid").isin(qids))
+        scored = bm25_score_all(
+            qt_i, ix.postings_flat, gdict, ix.doc_stats, avgdl
+        )
+        legs.append(
+            scored.withColumn("salt", salt)
+            .withColumn("r", F.row_number().over(w1))
+            .where(F.col("r") <= k)
+            .drop("salt", "r")
+        )
+    if not legs:
+        spark = qterms.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, score double, rank long"
+        )
+    merged = reduce(DataFrame.unionByName, legs)
     out_score = (
         F.round("score", round_dp).alias("score")
         if round_dp is not None

@@ -1871,6 +1871,34 @@ def q_federated_topk(spark, sf_dir):
 QUERIES["federated_topk"] = q_federated_topk
 ORACLE_SQL["federated_topk"] = osql.sql_bm25_topk(10)
 
+
+def q_selective_topk(spark, sf_dir):
+    """Selective search (queryeng/federated.py): CORI resource selection
+    routes each query to its top-2 of 4 doc_id%4 shards; BM25 with MERGED
+    global stats runs only on selected legs. The oracle replays the same
+    belief formula, selection grain, and restricted scoring in SQL
+    (sql_selective_topk) — recall loss from routing is part of the
+    contract and identical on both sides."""
+    from .queryeng.federated import selective_topk
+
+    key = (sf_dir, 4)
+    if key not in _FED_CACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        _FED_CACHE[key] = tuple(
+            build_index(
+                docs.where(F.pmod("doc_id", F.lit(4)) == i),
+                stem=False, use_arrow=False,
+            ).cache()
+            for i in range(4)
+        )
+    return selective_topk(
+        _qt(spark, stem=False), _FED_CACHE[key], k=10, m=2, round_dp=6
+    )
+
+
+QUERIES["selective_topk"] = q_selective_topk
+ORACLE_SQL["selective_topk"] = osql.sql_selective_topk(10, 2, 4)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
