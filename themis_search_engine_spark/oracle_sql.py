@@ -357,6 +357,38 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_query_difficulty() -> str:
+    """Oracle twin of queryeng.qpp.query_difficulty: He & Ounis / SCQ
+    pre-retrieval predictors over the query's in-vocabulary terms, from
+    the same counts/dict/gstats CTEs every other unstemmed oracle uses."""
+    return f"""WITH {TOK_CTE},
+totc AS (SELECT sum(cnt)::DOUBLE AS c FROM counts),
+cf AS (SELECT term, sum(cnt)::DOUBLE AS cf FROM counts GROUP BY term),
+qv AS (SELECT DISTINCT qid, term FROM {_qterms_values()}),
+idft AS (
+  SELECT d.term,
+         log2((g.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+  FROM dict d CROSS JOIN gstats g
+),
+per AS (
+  SELECT q.qid, i.idf,
+         log2(t.c / c.cf) AS ictf,
+         (1.0 + ln(c.cf)) * i.idf AS scq_t
+  FROM qv q
+  JOIN idft i ON q.term = i.term
+  JOIN cf c ON q.term = c.term
+  CROSS JOIN totc t
+)
+SELECT qid,
+       count(*)::BIGINT AS n_terms,
+       round(avg(idf), 6) AS avg_idf,
+       round(max(idf), 6) AS max_idf,
+       round(var_pop(idf), 6) AS var_idf,
+       round(avg(ictf), 6) AS avg_ictf,
+       round(sum(scq_t), 6) AS scq
+FROM per GROUP BY qid"""
+
+
 def sql_bm25f_topk(
     k: int = 10,
     title_tokens: int = 8,

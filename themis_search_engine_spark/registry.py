@@ -1899,6 +1899,25 @@ def q_selective_topk(spark, sf_dir):
 QUERIES["selective_topk"] = q_selective_topk
 ORACLE_SQL["selective_topk"] = osql.sql_selective_topk(10, 2, 4)
 
+
+def q_query_difficulty(spark, sf_dir):
+    """Pre-retrieval QPP (queryeng/qpp.py): idf-profile + ICTF + SCQ
+    predictors per query from dictionary/collection stats only — the
+    routing signal a selective/hedged serving tier reads before spending
+    postings I/O. |C| comes from global_stats (n_docs·avgdl), no extra
+    corpus aggregate."""
+    from .queryeng.qpp import query_difficulty
+
+    idx = get_index(spark, sf_dir)
+    return query_difficulty(
+        _qt(spark, stem=False), idx.dictionary, idx.counts,
+        total_tokens=idx.n_docs * idx.avgdl,
+    )
+
+
+QUERIES["query_difficulty"] = q_query_difficulty
+ORACLE_SQL["query_difficulty"] = osql.sql_query_difficulty()
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
