@@ -389,6 +389,45 @@ SELECT qid,
 FROM per GROUP BY qid"""
 
 
+def sql_tiered_topk(k: int = 10, c: int = 40) -> str:
+    """Oracle twin of queryeng.tiered.tiered_topk: per-term champion
+    lists (top-c by rounded idf-free BM25 impact, doc_id-asc tiebreak),
+    then the standard full-stats BM25 top-k restricted to tier rows."""
+    return f"""WITH {TOK_CTE},
+imp AS (
+  SELECT t.term, t.doc_id, t.tf, s.length,
+         round(t.tf * ({K1} + 1.0)
+               / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)),
+               6) AS impact
+  FROM tfn t JOIN docstat s USING (doc_id) CROSS JOIN gstats g
+),
+tier AS (
+  SELECT term, doc_id, tf, length FROM (
+    SELECT *, row_number() OVER (PARTITION BY term
+                                 ORDER BY impact DESC, doc_id ASC) AS r
+    FROM imp) WHERE r <= {c}
+),
+scored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * t.length / g.avgdl)) ) AS score
+  FROM tier t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_bm25f_topk(
     k: int = 10,
     title_tokens: int = 8,

@@ -1918,6 +1918,33 @@ def q_query_difficulty(spark, sf_dir):
 QUERIES["query_difficulty"] = q_query_difficulty
 ORACLE_SQL["query_difficulty"] = osql.sql_query_difficulty()
 
+
+_TIER_CACHE: dict[str, DataFrame] = {}
+
+
+def q_tiered_topk(spark, sf_dir):
+    """Tiered retrieval (queryeng/tiered.py): BM25 top-k over per-term
+    champion lists (top-40 by rounded idf-free impact) — a head term
+    contributes at most c candidates regardless of df. Scores keep full
+    corpus stats summed over tier-surviving pairs (a lower bound, exact
+    when every matched term's tier holds the doc); the oracle replays
+    tier membership and the restricted scoring in SQL."""
+    from .queryeng.tiered import champion_lists, tiered_topk
+
+    idx = get_index(spark, sf_dir)
+    if sf_dir not in _TIER_CACHE:
+        _TIER_CACHE[sf_dir] = champion_lists(
+            idx.postings_flat, idx.doc_stats, idx.avgdl, c=40
+        ).cache()
+    return tiered_topk(
+        _qt(spark, stem=False), _TIER_CACHE[sf_dir], idx.dictionary,
+        idx.doc_stats, idx.avgdl, k=10, round_dp=6,
+    )
+
+
+QUERIES["tiered_topk"] = q_tiered_topk
+ORACLE_SQL["tiered_topk"] = osql.sql_tiered_topk(10, 40)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
