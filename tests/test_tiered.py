@@ -127,3 +127,58 @@ def test_score_bound_contract(spark, idx):
         assert got <= full + 1e-9
         if r["qid"] == 1:  # single-term query: exact
             assert got == full
+
+
+def test_fallback_composite(spark, idx):
+    """Under-filled queries return EXACTLY the full-plan top-k; filled
+    queries keep their tier-1 rows; the union is per-qid disjoint."""
+    from pyspark.sql.window import Window
+
+    from themis_search_engine_spark.queryeng.tiered import (
+        tiered_topk_with_fallback,
+    )
+
+    qt = qterms_df(spark, QUERIES, stem=False)
+    tier = champion_lists(idx.postings_flat, idx.doc_stats, idx.avgdl, c=1)
+    k = 3
+    got = tiered_topk_with_fallback(
+        qt, tier, idx.postings_flat, idx.dictionary, idx.doc_stats,
+        idx.avgdl, k=k, round_dp=6,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+
+    # full-plan reference
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    full = {}
+    for r in (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
+        .collect()
+    ):
+        full.setdefault(r["qid"], []).append(r)
+
+    t1 = {
+        r["qid"]: r["n"]
+        for r in tiered_topk(
+            qt, tier, idx.dictionary, idx.doc_stats, idx.avgdl,
+            k=k, round_dp=6,
+        ).groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    assert any(n < k for n in t1.values())  # c=1 under-fills someone
+    for qid, n in t1.items():
+        if n < k:  # fell back: rows are the full plan's, verbatim
+            assert sorted(map(tuple, by_q[qid])) == sorted(
+                map(tuple, full[qid])
+            )
+        else:      # served from tier: exactly k rows, ranks 1..k
+            assert sorted(r["rank"] for r in by_q[qid]) == list(
+                range(1, k + 1)
+            )

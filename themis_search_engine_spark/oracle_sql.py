@@ -428,6 +428,74 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_tiered_fallback_topk(k: int = 10, c: int = 8) -> str:
+    """Oracle twin of queryeng.tiered.tiered_topk_with_fallback: tier-1
+    ranked results for queries the tier fills to k; the full-postings
+    BM25 top-k for queries it leaves short."""
+    return f"""WITH {TOK_CTE},
+imp AS (
+  SELECT t.term, t.doc_id, t.tf, s.length,
+         round(t.tf * ({K1} + 1.0)
+               / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)),
+               6) AS impact
+  FROM tfn t JOIN docstat s USING (doc_id) CROSS JOIN gstats g
+),
+tier AS (
+  SELECT term, doc_id, tf, length FROM (
+    SELECT *, row_number() OVER (PARTITION BY term
+                                 ORDER BY impact DESC, doc_id ASC) AS r
+    FROM imp) WHERE r <= {c}
+),
+tscored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * t.length / g.avgdl)) ) AS score
+  FROM tier t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+tranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM tscored
+),
+fscored AS (
+  SELECT q.qid, t.doc_id,
+         sum( log2((g.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * t.tf * ({K1} + 1.0)
+              / (t.tf + {K1} * (1.0 - {B} + {B} * s.length / g.avgdl)) ) AS score
+  FROM tfn t
+  JOIN {_qterms_values()} ON t.term = q.term
+  JOIN dict d ON t.term = d.term
+  JOIN docstat s ON t.doc_id = s.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, t.doc_id
+),
+franked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM fscored
+),
+short AS (
+  SELECT qid FROM (
+    SELECT q.qid, count(t.doc_id) AS n
+    FROM (SELECT DISTINCT qid FROM {_qterms_values()}) q
+    LEFT JOIN (SELECT * FROM tranked WHERE rank <= {k}) t ON q.qid = t.qid
+    GROUP BY q.qid
+  ) WHERE n < {k}
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank FROM tranked
+WHERE rank <= {k} AND qid NOT IN (SELECT qid FROM short)
+UNION ALL
+SELECT qid, doc_id, score, rank::BIGINT AS rank FROM franked
+WHERE rank <= {k} AND qid IN (SELECT qid FROM short)"""
+
+
 def sql_bm25f_topk(
     k: int = 10,
     title_tokens: int = 8,

@@ -127,3 +127,61 @@ def tiered_topk(
         .where(F.col("rank") <= k)
         .select("qid", "doc_id", out_score, "rank")
     )
+
+
+def tiered_topk_with_fallback(
+    qterms: DataFrame,
+    champions: DataFrame,
+    postings_flat: DataFrame,
+    dictionary: DataFrame,
+    doc_stats: DataFrame,
+    avgdl: float,
+    k: int = 10,
+    *,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Tier-1 serving with the standard fallback: answer from the
+    champion tier; any query whose tier yields FEWER than k results
+    re-runs on the full postings. This is how tiered engines actually
+    serve (tier-1 absorbs most traffic at O(|q|·c) postings; only thin
+    queries pay the full-index cost), and it restores the everything-
+    the-full-plan-returns guarantee: a fallback query's results are
+    exactly bm25 top-k.
+
+    The under-filled check is one count per qid over the tier's ≤ k-row
+    output — |queries| rows, collected like qterms itself — and the
+    fallback leg runs with ONLY the short queries' qterms, so a batch
+    where every query fills from the tier never touches full postings.
+    """
+    t1 = tiered_topk(
+        qterms, champions, dictionary, doc_stats, avgdl, k,
+        round_dp=round_dp,
+    )
+    got = {
+        r["qid"]: r["n"]
+        for r in t1.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    all_qids = [r["qid"] for r in qterms.select("qid").distinct().collect()]
+    short = [q for q in all_qids if got.get(q, 0) < k]
+    filled = t1.where(~F.col("qid").isin(short)) if short else t1
+    if not short:
+        return filled
+    qt_short = qterms.where(F.col("qid").isin(short))
+    scored = bm25_score_all(
+        qt_short, postings_flat, dictionary, doc_stats, avgdl
+    )
+    score_key = (
+        F.round("score", round_dp) if round_dp is not None else F.col("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(score_key), F.asc("doc_id"))
+    out_score = (
+        F.round("score", round_dp).alias("score")
+        if round_dp is not None
+        else F.col("score")
+    )
+    full = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", out_score, "rank")
+    )
+    return filled.unionByName(full)

@@ -1919,7 +1919,7 @@ QUERIES["query_difficulty"] = q_query_difficulty
 ORACLE_SQL["query_difficulty"] = osql.sql_query_difficulty()
 
 
-_TIER_CACHE: dict[str, DataFrame] = {}
+_TIER_CACHE: dict[tuple[str, int], DataFrame] = {}  # (sf_dir, c) → tier
 
 
 def q_tiered_topk(spark, sf_dir):
@@ -1932,18 +1932,42 @@ def q_tiered_topk(spark, sf_dir):
     from .queryeng.tiered import champion_lists, tiered_topk
 
     idx = get_index(spark, sf_dir)
-    if sf_dir not in _TIER_CACHE:
-        _TIER_CACHE[sf_dir] = champion_lists(
+    key = (sf_dir, 40)
+    if key not in _TIER_CACHE:
+        _TIER_CACHE[key] = champion_lists(
             idx.postings_flat, idx.doc_stats, idx.avgdl, c=40
         ).cache()
     return tiered_topk(
-        _qt(spark, stem=False), _TIER_CACHE[sf_dir], idx.dictionary,
+        _qt(spark, stem=False), _TIER_CACHE[key], idx.dictionary,
         idx.doc_stats, idx.avgdl, k=10, round_dp=6,
     )
 
 
 QUERIES["tiered_topk"] = q_tiered_topk
 ORACLE_SQL["tiered_topk"] = osql.sql_tiered_topk(10, 40)
+
+
+def q_tiered_fallback_topk(spark, sf_dir):
+    """Tier-1 + fallback serving composite (queryeng/tiered.py): c=8 so
+    some of the driver queries fill from the tier and others re-run on
+    full postings — both legs exercised in one registered query; the
+    oracle replays the under-filled detection and both rankings."""
+    from .queryeng.tiered import champion_lists, tiered_topk_with_fallback
+
+    idx = get_index(spark, sf_dir)
+    key = (sf_dir, 8)
+    if key not in _TIER_CACHE:
+        _TIER_CACHE[key] = champion_lists(
+            idx.postings_flat, idx.doc_stats, idx.avgdl, c=8
+        ).cache()
+    return tiered_topk_with_fallback(
+        _qt(spark, stem=False), _TIER_CACHE[key], idx.postings_flat,
+        idx.dictionary, idx.doc_stats, idx.avgdl, k=10, round_dp=6,
+    )
+
+
+QUERIES["tiered_fallback_topk"] = q_tiered_fallback_topk
+ORACLE_SQL["tiered_fallback_topk"] = osql.sql_tiered_fallback_topk(10, 8)
 
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
