@@ -186,3 +186,58 @@ def test_suffix_qterms_range_predicate_plan(spark):
         spark, dictionary, {1: "er"}
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Contains" not in plan and "LIKE" not in plan.upper()
+
+
+# --- Count-Min heavy hitters -------------------------------------------------
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are ≥ the true count for EVERY value (the
+    one-sided error guarantee), and the sketch is depth·width rows max."""
+    from collections import Counter
+
+    from themis_search_engine_spark.pipeline_ops.sketches import (
+        cms_counts,
+        cms_heavy_hitters,
+    )
+
+    vals = [f"u{i % 17}" for i in range(500)] + ["hot"] * 200
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sketch = cms_counts(df, "v", depth=4, width=16).collect()
+    assert len(sketch) <= 4 * 16
+    hh = cms_heavy_hitters(df, "v", depth=4, width=16, top_n=50).collect()
+    got = {r["value"]: r["est"] for r in hh}
+    assert set(got) == set(truth)  # top_n=50 > 18 distinct: all probed
+    for v, est in got.items():
+        assert est >= truth[v], (v, est, truth[v])
+
+
+def test_cms_top1_is_true_top1(spark):
+    """With a width giving few collisions, the estimated top-1 is the
+    true heavy hitter and its estimate is exact (no colliding value in
+    any of its 4 buckets at width=256 for 18 distinct values — pinned
+    by this test; a collision would only RAISE a lighter value)."""
+    from themis_search_engine_spark.pipeline_ops.sketches import (
+        cms_heavy_hitters,
+    )
+
+    vals = [f"u{i % 17}" for i in range(340)] + ["hot"] * 99
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    hh = cms_heavy_hitters(df, "v", depth=4, width=256, top_n=3).collect()
+    top = {r["rank"]: r for r in hh}
+    assert top[1]["value"] == "hot"
+    assert top[1]["est"] == 99
+
+
+def test_cms_weighted(spark):
+    """weight_col: the sketch counts Σ weight, not rows."""
+    from themis_search_engine_spark.pipeline_ops.sketches import (
+        cms_heavy_hitters,
+    )
+
+    rows = [("a", 10), ("a", 5), ("b", 1), ("c", 2)]
+    df = spark.createDataFrame(rows, "v string, w long")
+    hh = cms_heavy_hitters(
+        df, "v", depth=4, width=256, top_n=1, weight_col="w"
+    ).collect()
+    assert hh[0]["value"] == "a" and hh[0]["est"] == 15

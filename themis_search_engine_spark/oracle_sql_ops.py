@@ -2447,3 +2447,43 @@ SELECT doc_id, n_words, n_syllables,
                         / cast(ceil(n_words / {wps}.0) AS BIGINT))
              - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
 FROM base"""
+
+
+def sql_heavy_hitters(depth: int = 4, width: int = 64, top_n: int = 10) -> str:
+    """Oracle twin of sketches.cms_heavy_hitters over events.user_id:
+    the same seeded-md5 Count-Min sketch (depth rows × width buckets,
+    bucket = first 13 hex digits of md5(j || ':' || value) mod width),
+    min-over-rows estimates for the distinct values, (est desc, value
+    asc) top-n."""
+    return f"""WITH ev AS (
+  SELECT user_id::VARCHAR AS v FROM events
+),
+cms AS (
+  SELECT j,
+         ('0x' || substr(md5(j::VARCHAR || ':' || v), 1, 13))::BIGINT
+           % {width} AS bucket,
+         count(*)::BIGINT AS c
+  FROM ev, generate_series(0, {depth - 1}) AS t(j)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT v FROM ev
+),
+probe AS (
+  SELECT p.v, min(cms.c) AS est
+  FROM (
+    SELECT v, j,
+           ('0x' || substr(md5(j::VARCHAR || ':' || v), 1, 13))::BIGINT
+             % {width} AS bucket
+    FROM cand, generate_series(0, {depth - 1}) AS t(j)
+  ) p
+  JOIN cms ON cms.j = p.j AND cms.bucket = p.bucket
+  GROUP BY p.v
+),
+ranked AS (
+  SELECT v, est,
+         row_number() OVER (ORDER BY est DESC, v ASC) AS rank
+  FROM probe
+)
+SELECT v AS value, est::BIGINT AS est, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {top_n}"""

@@ -178,3 +178,115 @@ def kmv_distinct(
         F.col("m").cast("long").alias("sketch_size"),
         est.alias("est_distinct"),
     )
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(j, bucket, c): a Count-Min sketch [Cormode & Muthukrishnan '05]
+    of ``value_col``'s (optionally ``weight_col``-weighted) frequencies —
+    ``depth`` seeded hash rows × ``width`` buckets, so the whole sketch
+    is depth·width rows regardless of input size.
+
+    Why CMS at 100 TB: exact per-value counts of a hot column (terms,
+    URLs, user ids) are a vocabulary-sized shuffle; the CMS is a FIXED-
+    SIZE, MERGEABLE summary — per-partition sketches add cell-wise, which
+    is exactly what a map-side-combinable groupBy(j, bucket) does, so one
+    linear pass yields a structure that answers any point query with an
+    overestimate bounded by ε·total (ε = e/width) at confidence 1−e^−depth.
+    Streaming twin for free: the same groupBy under Structured Streaming
+    maintains the sketch incrementally (update mode, depth·width state
+    rows).
+
+    Determinism: row j's hash is md5(j || ':' || value) — seeded by
+    concatenation, no RNG — with the first 13 hex digits (52 bits, exact
+    in a double) taken mod width; the DuckDB twin replays it bit-for-bit.
+    """
+    v = F.col(value_col).cast("string")
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(v.alias("v"), wt.alias("wt")).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("v"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.sum("wt").alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    top_n: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(value, est, rank): the top-n values by CMS-estimated frequency
+    (min over the depth rows — never an underestimate), ranked
+    (est desc, value asc) for engine-independent determinism.
+
+    The candidate set is the column's distinct values probed against the
+    BROADCAST sketch (depth·width rows) — a narrow join, no shuffle of
+    the sketch. At stream scale one keeps an explicit candidate list
+    (the values seen in the current window) instead of a full distinct;
+    the probe path is identical.
+    """
+    sketch = F.broadcast(
+        cms_counts(
+            df, value_col, depth=depth, width=width, weight_col=weight_col
+        )
+    )
+    v = F.col(value_col).cast("string")
+    cand = df.select(v.alias("v")).distinct().withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(depth)]))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("v"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
+        % width
+    )
+    est = (
+        cand.withColumn("bucket", bucket)
+        .join(sketch, ["j", "bucket"])
+        .groupBy("v")
+        .agg(F.min("c").alias("est"))
+    )
+    # global top-n via orderBy+limit → TakeOrderedAndProject (per-task
+    # n-row heaps + an n-row driver merge); the rank window then runs on
+    # ≤ top_n rows — the distinct-value set never sorts in one task.
+    top = est.orderBy(F.desc("est"), F.asc("v")).limit(top_n)
+    w = Window.orderBy(F.desc("est"), F.asc("v"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("v").alias("value"),
+            F.col("est").cast("long").alias("est"),
+            "rank",
+        )
+    )

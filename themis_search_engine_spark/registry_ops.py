@@ -1050,7 +1050,20 @@ def q_boilerplate_strip(spark, sf_dir):
     return boilerplate_strip(docs, span_tokens=4, min_docs=5, min_frac=0.5)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """CMS heavy hitters (pipeline_ops/sketches.py): top-10 users by
+    Count-Min-estimated event count — the fixed-size mergeable sketch a
+    query-log / abuse monitor keeps at stream scale; estimates are
+    deterministic (seeded md5) and replayed exactly by the SQL twin."""
+    from .pipeline_ops.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _events(spark, sf_dir), "user_id", depth=4, width=64, top_n=10
+    )
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "heavy_hitters": q_heavy_hitters,
     "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
     "cluster_sample": q_cluster_sample,
@@ -1132,6 +1145,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OPS_ORACLE_SQL: dict[str, str] = {
+    "heavy_hitters": osqlo.sql_heavy_hitters(4, 64, 10),
     "sessionize": osqlo.sql_sessionize(360),
     "session_stats": osqlo.sql_session_stats(360),
     "hash_split": osqlo.sql_hash_split(SPLIT_WEIGHTS),
