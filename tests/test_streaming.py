@@ -326,3 +326,52 @@ def test_streaming_event_window_counts_equals_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 4
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    """The streaming Count-Min sketch drained over micro-batches equals
+    the one-shot batch sketch cell-for-cell — CMS merges are exact (sums
+    commute), so stream order cannot matter."""
+    from themis_search_engine_spark.pipeline_ops.sketches import cms_counts
+    from themis_search_engine_spark.streaming.windows import (
+        streaming_cms_counts,
+    )
+
+    rows1 = [(i, f"u{i % 13}") for i in range(300)]
+    rows2 = [(1000 + i, "hot") for i in range(80)]
+    schema = "event_id long, user_id string"
+    in_dir = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_cms_counts(stream, "user_id", depth=4, width=32)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in spark.table("cms_stream").collect()
+    }
+    want = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in cms_counts(
+            spark.read.parquet(in_dir), "user_id", depth=4, width=32
+        ).collect()
+    }
+    assert got == want and len(want) > 10

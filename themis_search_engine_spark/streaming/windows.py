@@ -41,3 +41,29 @@ def streaming_event_window_counts(
             "total_value",
         )
     )
+
+
+def streaming_cms_counts(
+    events_stream: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Incrementally-maintained Count-Min sketch over a stream — the
+    streaming twin of pipeline_ops.sketches.cms_counts, and literally
+    the SAME plan applied to a streaming frame: the sketch is a
+    groupBy(j, bucket) aggregate, so Structured Streaming's state store
+    holds exactly depth·width rows no matter how much data flows
+    through (update/complete mode; no watermark needed — the state is
+    fixed-size by construction, the property that makes CMS the
+    canonical streaming summary). Point-query/heavy-hitter probes run
+    against the memory-sink table between micro-batches.
+    """
+    from ..pipeline_ops.sketches import cms_counts
+
+    return cms_counts(
+        events_stream, value_col, depth=depth, width=width,
+        weight_col=weight_col,
+    )
