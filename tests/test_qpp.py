@@ -71,3 +71,23 @@ def test_total_tokens_scalar_matches_gstats(spark, idx):
                 assert math.isclose(va, vb, rel_tol=0, abs_tol=0)
             else:
                 assert va == vb
+
+
+def test_route_by_difficulty(spark, idx):
+    from themis_search_engine_spark.queryeng.qpp import route_by_difficulty
+
+    qt = qterms_df(spark, QUERIES, stem=False)
+    pred = query_difficulty(qt, idx.dictionary, idx.counts)
+    # median split: both routes non-empty on a mixed batch, disjoint,
+    # and together exactly the predicted qids
+    easy, hard = route_by_difficulty(pred)
+    assert easy and hard
+    assert not (set(easy) & set(hard))
+    assert set(easy) | set(hard) == {1, 2, 4}
+    # explicit threshold: everything above it is easy
+    easy_all, hard_all = route_by_difficulty(
+        pred, max_idf_threshold=-1e9
+    )
+    assert set(easy_all) == {1, 2, 4} and hard_all == []
+    # empty predictor frame → no routes
+    assert route_by_difficulty(pred.where("qid = 999")) == ([], [])

@@ -95,3 +95,34 @@ def query_difficulty(
         r(F.avg("ictf")).alias("avg_ictf"),
         r(F.sum("scq_t")).alias("scq"),
     )
+
+
+def route_by_difficulty(
+    pred: DataFrame, *, max_idf_threshold: float | None = None
+) -> tuple[list, list]:
+    """(easy_qids, hard_qids): split a predictor frame for plan routing.
+
+    ``hard`` = queries whose BEST term is still a head term
+    (max_idf ≤ threshold): no discriminative anchor exists, the
+    candidate set is corpus-scale, and the batch tier should use its
+    pruning/sharded plan. ``easy`` queries have at least one rare term
+    and the naive IN-pushed plan's candidate set is already small.
+    ``max_idf_threshold=None`` splits at the midpoint of the batch's
+    min/max predictor (deterministic for a fixed batch, and both routes
+    are non-empty whenever the batch has ≥ 2 distinct max_idf values —
+    a median split can put everything on one side when the top value
+    ties).
+
+    The predictor frame is |queries| rows — collected like qterms
+    itself. Queries with no predictor row (no in-vocab terms) are in
+    NEITHER list: no plan can return rows for them.
+    """
+    rows = pred.select("qid", "max_idf").collect()
+    if not rows:
+        return [], []
+    if max_idf_threshold is None:
+        vals = [r["max_idf"] for r in rows]
+        max_idf_threshold = (min(vals) + max(vals)) / 2.0
+    easy = [r["qid"] for r in rows if r["max_idf"] > max_idf_threshold]
+    hard = [r["qid"] for r in rows if r["max_idf"] <= max_idf_threshold]
+    return easy, hard

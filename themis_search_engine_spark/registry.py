@@ -1969,6 +1969,50 @@ def q_tiered_fallback_topk(spark, sf_dir):
 QUERIES["tiered_fallback_topk"] = q_tiered_fallback_topk
 ORACLE_SQL["tiered_fallback_topk"] = osql.sql_tiered_fallback_topk(10, 8)
 
+
+def q_routed_topk(spark, sf_dir):
+    """QPP-driven plan routing (queryeng/qpp.route_by_difficulty): the
+    batch splits at the midpoint max_idf — queries with a rare anchor term
+    take the naive IN-pushed plan (candidate set already small), head-
+    term-only queries take the block-max WAND pruned plan. Routing picks
+    the PHYSICAL plan only; both legs are rank-identical to the same
+    naive SQL oracle, so the union must hash-match sql_bm25_topk
+    unchanged — the correctness claim of plan routing is precisely that
+    it is invisible in results."""
+    from .queryeng.qpp import query_difficulty, route_by_difficulty
+    from .queryeng.wand import wand_topk
+
+    idx = get_index(spark, sf_dir)
+    qt = _qt(spark, stem=False)
+    pred = query_difficulty(
+        qt, idx.dictionary, idx.counts,
+        total_tokens=idx.n_docs * idx.avgdl,
+    )
+    easy, hard = route_by_difficulty(pred)
+    legs = []
+    if easy:
+        scored = bm25_score_all(
+            qt.where(F.col("qid").isin(easy)), idx.postings_flat,
+            idx.dictionary, idx.doc_stats, idx.avgdl,
+        )
+        legs.append(_rounded_rank_topk(scored, 10))
+    if hard:
+        comp = get_compressed(spark, sf_dir)
+        wide = wand_topk(
+            qt.where(F.col("qid").isin(hard)), comp, idx.dictionary,
+            idx.avgdl, k=30,
+        )
+        legs.append(
+            _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, legs)
+
+
+QUERIES["routed_topk"] = q_routed_topk
+ORACLE_SQL["routed_topk"] = osql.sql_bm25_topk(10)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
