@@ -91,3 +91,48 @@ def test_route_by_difficulty(spark, idx):
     assert set(easy_all) == {1, 2, 4} and hard_all == []
     # empty predictor frame → no routes
     assert route_by_difficulty(pred.where("qid = 999")) == ([], [])
+
+
+# --- significant terms (result-set analytics, queryeng/mlt.py) --------------
+
+def test_significant_terms_semantics(spark, idx):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+    from themis_search_engine_spark.queryeng.mlt import significant_terms
+
+    qt = qterms_df(spark, {1: "lazy dog"}, stem=False)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    fg = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where("rank <= 3")
+        .select("qid", "doc_id", "score", "rank")
+    )
+    out = significant_terms(
+        fg, idx.counts, idx.dictionary, idx.n_docs, top_terms=5, min_fg=2
+    ).collect()
+    assert out
+    terms = [r["term"] for r in sorted(out, key=lambda r: r["rank"])]
+    # the query's own vocabulary is concentrated in its result set — it
+    # must surface among the significant terms
+    assert {"lazy", "dog"} & set(terms)
+    # min_fg: every surfaced term occurs in >= 2 foreground docs
+    fg_ids = {r["doc_id"] for r in fg.collect()}
+    cnt = {}
+    for r in idx.counts.collect():
+        if r["doc_id"] in fg_ids:
+            cnt[r["term"]] = cnt.get(r["term"], 0) + 1
+    assert all(cnt[t] >= 2 for t in terms)
+    # ranks are 1..n dense and ordered by score desc
+    byrank = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in byrank] == list(range(1, len(out) + 1))
+    assert all(
+        byrank[i]["score"] >= byrank[i + 1]["score"]
+        for i in range(len(byrank) - 1)
+    )

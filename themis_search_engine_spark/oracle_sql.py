@@ -496,6 +496,47 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank FROM franked
 WHERE rank <= {k} AND qid IN (SELECT qid FROM short)"""
 
 
+def sql_significant_terms(
+    k: int = 10, top_terms: int = 5, min_fg: int = 2
+) -> str:
+    """Oracle twin of queryeng.mlt.significant_terms: foreground = each
+    query's rounded-rank BM25 top-k, JLH = (fgp−bgp)·(fgp/bgp), min_fg
+    floor, (round(score,6) desc, term asc) top-terms per query."""
+    return f"""{_bm25_scored_cte()},
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+fg AS (SELECT qid, doc_id FROM ranked WHERE rank <= {k}),
+fgsz AS (SELECT qid, count(*) AS fg_n FROM fg GROUP BY qid),
+fgdf AS (
+  SELECT f.qid, c.term, count(*) AS fg_df
+  FROM fg f JOIN counts c USING (doc_id)
+  GROUP BY f.qid, c.term
+),
+sc AS (
+  SELECT fd.qid, fd.term,
+         round( ((fd.fg_df::DOUBLE / z.fg_n) - (d.df::DOUBLE / g.n_docs))
+                * ((fd.fg_df::DOUBLE / z.fg_n)
+                   / (d.df::DOUBLE / g.n_docs)), 6) AS score
+  FROM fgdf fd
+  JOIN fgsz z USING (qid)
+  JOIN dict d USING (term)
+  CROSS JOIN gstats g
+  WHERE fd.fg_df >= {min_fg}
+),
+r2 AS (
+  SELECT qid, term, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM sc
+)
+SELECT qid, term, score, rank::BIGINT AS rank
+FROM r2 WHERE rank <= {top_terms}"""
+
+
 def sql_bm25f_topk(
     k: int = 10,
     title_tokens: int = 8,

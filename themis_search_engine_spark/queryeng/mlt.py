@@ -107,3 +107,63 @@ def doc_keywords(
             "rank",
         )
     )
+
+
+def significant_terms(
+    topk: DataFrame,
+    counts: DataFrame,
+    dictionary: DataFrame,
+    n_docs: int,
+    *,
+    top_terms: int = 5,
+    min_fg: int = 2,
+) -> DataFrame:
+    """(qid, term, score, rank) — Elasticsearch-style significant-terms
+    aggregation over each query's RESULT SET: terms that are unusually
+    frequent in the foreground (the query's top-k docs) relative to the
+    background corpus. The "related searches / drill-down" surface —
+    unlike doc_keywords (per-document salience) this is per-QUERY, and
+    unlike query expansion it mines the result set, not the vocabulary.
+
+    Scoring is the JLH heuristic (ES's classic default):
+        score = (fgp − bgp) · (fgp / bgp)
+    with fgp = fg_df / |foreground|, bgp = df / N — absolute lift times
+    relative lift, so terms must be both common-in-results and rare-in-
+    corpus. ``min_fg`` drops terms seen in fewer than that many
+    foreground docs (the ES shard_min_doc_count analog; single-doc terms
+    are noise, not signal). Rank on round(score, 6) desc, term asc — the
+    house engine-independence grain.
+
+    Scale: the foreground is |queries|·k doc ids — broadcast; the join
+    against counts is therefore a broadcast semi-join on doc_id (no
+    shuffle of the corpus-sized table), the per-(qid, term) aggregate is
+    |fg_docs|·|their vocab| rows, and dictionary/df attaches by broadcast.
+    Nothing scales with corpus size except the one counts probe.
+    """
+    fg = F.broadcast(topk.select("qid", "doc_id"))
+    fg_size = topk.groupBy("qid").agg(F.count("*").alias("fg_n"))
+    fg_df = (
+        fg.join(counts.select("doc_id", "term"), "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    scored = (
+        fg_df.where(F.col("fg_df") >= min_fg)
+        .join(F.broadcast(fg_size), "qid")
+        .join(F.broadcast(dictionary.select("term", "df")), "term")
+        .withColumn("fgp", F.col("fg_df") / F.col("fg_n"))
+        .withColumn("bgp", F.col("df") / F.lit(float(n_docs)))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("fgp") - F.col("bgp")) * (F.col("fgp") / F.col("bgp")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_terms)
+        .select("qid", "term", "score", "rank")
+    )

@@ -2013,6 +2013,29 @@ def q_routed_topk(spark, sf_dir):
 QUERIES["routed_topk"] = q_routed_topk
 ORACLE_SQL["routed_topk"] = osql.sql_bm25_topk(10)
 
+
+def q_significant_terms(spark, sf_dir):
+    """Result-set significant-terms aggregation (queryeng/mlt.py): JLH
+    lift of each term in a query's BM25 top-10 foreground vs the corpus
+    background — the related-searches / drill-down surface, computed
+    from a broadcast foreground probe of the counts table."""
+    from .queryeng.mlt import significant_terms
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    fg = _rounded_rank_topk(scored, 10)
+    return significant_terms(
+        fg, idx.counts, idx.dictionary, idx.n_docs,
+        top_terms=5, min_fg=2,
+    )
+
+
+QUERIES["significant_terms"] = q_significant_terms
+ORACLE_SQL["significant_terms"] = osql.sql_significant_terms(10, 5, 2)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
