@@ -113,3 +113,42 @@ def test_rbp_err_hand_computed(spark):
     assert got[1]["err"] == 0.3125
     assert got[2]["rbp"] == 0.0 and got[2]["err"] == 0.0
     assert got[3]["rbp"] == 0.0 and got[3]["err"] == 0.0
+
+
+# --- paired randomization significance test ---------------------------------
+
+def test_randomization_identical_rankers_p1(spark):
+    from themis_search_engine_spark.queryeng.evalmetrics import (
+        paired_randomization_test,
+    )
+
+    rows = [(q, 0.1 * (q % 5)) for q in range(1, 21)]
+    a = spark.createDataFrame(rows, "qid int, ap double")
+    out = paired_randomization_test(a, a, "ap", rounds=64).collect()[0]
+    # identical metrics: zero diff, every permutation ties the observed 0
+    assert out["n_queries"] == 20
+    assert out["mean_diff"] == 0.0
+    assert out["p_value"] == 1.0
+
+
+def test_randomization_consistent_winner_significant(spark):
+    from themis_search_engine_spark.queryeng.evalmetrics import (
+        paired_randomization_test,
+    )
+
+    a = spark.createDataFrame(
+        [(q, 0.8) for q in range(1, 17)], "qid int, ap double"
+    )
+    b = spark.createDataFrame(
+        [(q, 0.3) for q in range(1, 17)], "qid int, ap double"
+    )
+    out = paired_randomization_test(a, b, "ap", rounds=256).collect()[0]
+    # 16 equal diffs: a permutation ties |obs| only when all 16 signs
+    # agree — vanishingly rare under the md5 assignment, so p is at the
+    # add-one floor and the advantage is significant.
+    assert out["mean_diff"] == 0.5
+    assert out["p_value"] < 0.05
+    # symmetry: swapping the rankers flips the sign, not the p-value
+    swapped = paired_randomization_test(b, a, "ap", rounds=256).collect()[0]
+    assert swapped["mean_diff"] == -0.5
+    assert swapped["p_value"] == out["p_value"]

@@ -2516,6 +2516,85 @@ SELECT p.qid, round(p.ap_num / p.found_total, 6) AS ap,
 FROM perq p JOIN rq USING (qid) WHERE p.found_total > 0"""
 
 
+def sql_eval_significance(k: int = 20, rounds: int = 256) -> str:
+    """Oracle twin of evalmetrics.paired_randomization_test applied to
+    AP(bm25 top-k) vs AP(existential doc_id-asc top-k) over
+    EVAL_QUERYSET: same judgments rule, integer-quantized diffs, md5
+    sign-flip permutations, add-one p-value."""
+    qid_vals = ", ".join(f"({q})" for q in EVAL_QUERYSET)
+    return f"""{_bm25_scored_cte(queryset=EVAL_QUERYSET)},
+rankedA AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+),
+hitsB AS (
+  SELECT DISTINCT q.qid, c.doc_id
+  FROM counts c JOIN {_qterms_values(queryset=EVAL_QUERYSET)}
+    ON c.term = q.term
+),
+rankedB AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY doc_id ASC) AS rank
+  FROM hitsB
+),
+judg AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN ((d.doc_id // 7) + q.qid) % 2 = 0 THEN 1 ELSE 0 END
+           AS relevance
+  FROM documents d CROSS JOIN (VALUES {qid_vals}) q(qid)
+  WHERE d.doc_id % 7 = q.qid % 7
+),
+walkedA AS (
+  SELECT r.qid, r.rank, j.relevance,
+         count(*) OVER (PARTITION BY r.qid ORDER BY r.rank) AS counter,
+         sum(j.relevance) OVER (PARTITION BY r.qid ORDER BY r.rank) AS found
+  FROM rankedA r JOIN judg j ON r.qid = j.qid AND r.doc_id = j.doc_id
+  WHERE r.rank <= {k}
+),
+apA AS (
+  SELECT qid,
+         round(sum(CASE WHEN relevance = 1 THEN found * 1.0 / counter
+                        ELSE 0.0 END) / max(found), 6) AS ap
+  FROM walkedA GROUP BY qid HAVING max(found) > 0
+),
+walkedB AS (
+  SELECT r.qid, r.rank, j.relevance,
+         count(*) OVER (PARTITION BY r.qid ORDER BY r.rank) AS counter,
+         sum(j.relevance) OVER (PARTITION BY r.qid ORDER BY r.rank) AS found
+  FROM rankedB r JOIN judg j ON r.qid = j.qid AND r.doc_id = j.doc_id
+  WHERE r.rank <= {k}
+),
+apB AS (
+  SELECT qid,
+         round(sum(CASE WHEN relevance = 1 THEN found * 1.0 / counter
+                        ELSE 0.0 END) / max(found), 6) AS ap
+  FROM walkedB GROUP BY qid HAVING max(found) > 0
+),
+base AS (
+  SELECT a.qid,
+         CAST(round((a.ap - b.ap) * 1e6) AS BIGINT) AS d
+  FROM apA a JOIN apB b USING (qid)
+),
+obs AS (
+  SELECT abs(sum(d)) AS obs, sum(d) AS sd, count(*) AS n FROM base
+),
+perm AS (
+  SELECT t.r, abs(sum(
+    CASE WHEN ('0x' || substr(md5(t.r::VARCHAR || ':' || base.qid::VARCHAR),
+                              1, 13))::BIGINT % 2 = 0
+         THEN base.d ELSE -base.d END)) AS s
+  FROM base, generate_series(1, {rounds}) AS t(r)
+  GROUP BY t.r
+)
+SELECT min(o.n)::BIGINT AS n_queries,
+       round(min(o.sd) / 1e6 / min(o.n), 6) AS mean_diff,
+       round((1 + sum(CASE WHEN p.s >= o.obs THEN 1 ELSE 0 END))
+             / ({rounds} + 1.0), 6) AS p_value
+FROM perm p CROSS JOIN obs o"""
+
+
 def sql_existential() -> str:
     return f"""WITH {TOK_CTE}
 SELECT DISTINCT q.qid, c.doc_id, 1.0::DOUBLE AS score

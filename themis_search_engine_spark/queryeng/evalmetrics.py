@@ -230,3 +230,73 @@ def prf_mrr(ranked: DataFrame, judgments: DataFrame, k: int = 20) -> DataFrame:
             F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+def paired_randomization_test(
+    metrics_a: DataFrame,
+    metrics_b: DataFrame,
+    metric_col: str = "ap",
+    *,
+    rounds: int = 256,
+) -> DataFrame:
+    """One row (n_queries, mean_diff, p_value): two-sided paired
+    randomization (sign-flip) test between two rankers' per-query
+    metrics — the standard IR significance test [Smucker, Allan &
+    Carterette, CIKM'07: randomization beats the t-test's normality
+    assumption on skewed AP distributions]. The reference's eval tool
+    stops at per-query metrics and aggregates (themisEval.java:94-273);
+    deciding whether ranker A actually beats ranker B needs this.
+
+    Under H0 (no difference) each per-query diff's sign is arbitrary, so
+    the null distribution is the observed |Σ diff| re-computed under
+    ``rounds`` deterministic sign assignments; p = (1 + #{perm ≥ obs})
+    / (rounds + 1) (add-one: the identity assignment is always ≥).
+
+    Engine-exactness: diffs are quantized to the house 1e-6 grain and
+    summed as BIGINTs — the permutation statistics are INTEGER, so the
+    ≥ comparison can never be flipped by float association order in
+    either engine. Signs are md5(r:qid) parity — seeded, no RNG.
+
+    Scale: |queries|·rounds rows through one combinable groupBy(r) —
+    a million-query eval at 1000 rounds is 10⁹ tiny rows, embarrassingly
+    parallel; nothing is per-corpus.
+    """
+    a = metrics_a.select("qid", F.col(metric_col).alias("ma"))
+    b = metrics_b.select("qid", F.col(metric_col).alias("mb"))
+    base = a.join(b, "qid").select(
+        "qid",
+        F.round((F.col("ma") - F.col("mb")) * F.lit(1e6))
+        .cast("long").alias("d"),
+    )
+    obs = base.agg(
+        F.abs(F.sum("d")).alias("obs"),
+        F.sum("d").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    spark = metrics_a.sparkSession
+    rdf = spark.range(1, rounds + 1).select(F.col("id").alias("r"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"),
+                               F.col("qid").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    perm = (
+        base.crossJoin(F.broadcast(rdf))
+        .groupBy("r")
+        .agg(F.abs(F.sum(sign * F.col("d"))).alias("s"))
+    )
+    return perm.crossJoin(F.broadcast(obs)).agg(
+        F.min("n").cast("long").alias("n_queries"),
+        F.round(F.min("sd") / F.lit(1e6) / F.min("n"), 6).alias("mean_diff"),
+        F.round(
+            (F.lit(1) + F.sum((F.col("s") >= F.col("obs")).cast("int")))
+            / F.lit(float(rounds + 1)),
+            6,
+        ).alias("p_value"),
+    )

@@ -2036,6 +2036,46 @@ def q_significant_terms(spark, sf_dir):
 QUERIES["significant_terms"] = q_significant_terms
 ORACLE_SQL["significant_terms"] = osql.sql_significant_terms(10, 5, 2)
 
+
+def q_eval_significance(spark, sf_dir):
+    """Paired randomization significance test (evalmetrics.py): does
+    BM25 beat the boolean-OR ranker on AP over the wide eval queryset?
+    Per-query APs from the same judged walk as eval_ap_ndcg; diffs
+    quantized to 1e-6 and summed as integers so the 256 md5-signed
+    permutation statistics are engine-exact."""
+    from pyspark.sql.window import Window
+
+    from .corpus import load_documents
+    from .queryeng.evalmetrics import (
+        ap_ndcg,
+        paired_randomization_test,
+        synthetic_judgments,
+    )
+
+    idx = get_index(spark, sf_dir)
+    qt_eval = qterms_df(spark, osql.EVAL_QUERYSET, stem=False)
+    judgments = synthetic_judgments(
+        load_documents(spark, sf_dir).select("doc_id"), osql.EVAL_QUERYSET
+    )
+    scored = bm25_score_all(
+        qt_eval, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    ranked_a = _rounded_rank_topk(scored, 20)
+    hits = existential(qt_eval, idx.postings_flat)
+    w = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    ranked_b = (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("qid", "doc_id", "rank")
+    )
+    ap_a = ap_ndcg(ranked_a, judgments).select("qid", "ap")
+    ap_b = ap_ndcg(ranked_b, judgments).select("qid", "ap")
+    return paired_randomization_test(ap_a, ap_b, "ap", rounds=256)
+
+
+QUERIES["eval_significance"] = q_eval_significance
+ORACLE_SQL["eval_significance"] = osql.sql_eval_significance(20, 256)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
