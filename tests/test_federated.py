@@ -189,3 +189,55 @@ def test_selective_score_fidelity(spark, docs_df):
     assert rows
     for r in rows:
         assert round(r["score"], 6) == want[(r["qid"], r["doc_id"])]
+
+
+def test_federated_wand_equals_union(spark, docs_df, tmp_path):
+    """Compressed-serving federation: two on-disk serving indexes with
+    DIFFERENT encode-time avgdls (short docs in one leg, long in the
+    other, so the per-leg bound scales are exercised in both
+    directions), queried via block-max WAND with merged stats — rank-
+    and score-identical (at 6 dp) to the union index's naive plan."""
+    from pyspark.sql.window import Window
+
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.queryeng.federated import (
+        federated_wand_topk,
+    )
+
+    # split by doc LENGTH so leg avgdls genuinely differ
+    short = docs_df.where(F.length("text") < 40)
+    long_ = docs_df.where(F.length("text") >= 40)
+    legs = []
+    for name, part in (("short", short), ("long", long_)):
+        p = str(tmp_path / name)
+        build_and_save_serving(part, p, stem=False, partitions=4)
+        legs.append(load_serving_index(spark, p))
+    assert legs[0].avgdl != legs[1].avgdl  # scales non-trivial both ways
+
+    qt = qterms_df(spark, QUERIES, stem=False)
+    got = sorted(
+        tuple(r)
+        for r in federated_wand_topk(qt, legs, k=5, round_dp=6).collect()
+    )
+
+    union = build_index(docs_df, stem=False, use_arrow=False).cache()
+    scored = bm25_score_all(
+        qt, union.postings_flat, union.dictionary, union.doc_stats,
+        union.avgdl,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= 5)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
+        .collect()
+    )
+    assert got == want

@@ -150,6 +150,68 @@ def federated_topk(
     )
 
 
+def federated_wand_topk(
+    qterms: DataFrame,
+    indexes,
+    k: int = 10,
+    *,
+    round_dp: int | None = None,
+    prune: bool = True,
+    overfetch: int = 3,
+) -> DataFrame:
+    """(qid, doc_id, score, rank): federated top-k over COMPRESSED
+    serving indexes (indexing.build.ServingIndex / load_serving_index)
+    through the block-max WAND plans — the production path of the
+    federated story: per-crawl indexes stay in their own on-disk chunk
+    layouts, and only global stats are merged at query time.
+
+    Soundness under merged stats: WAND's chunk metadata (core_min/
+    core_max) is idf-FREE — query time multiplies it by whatever
+    dictionary is passed, so the merged idf needs no correction — but it
+    WAS encoded under each leg's own avgdl. Passing bound_scales
+    (max(1, g/enc), min(1, g/enc)) per leg keeps stale upper bounds
+    sound exactly as multi-segment delta merges do (indexing/merge.py
+    derives the monotonicity argument); exact scoring decodes lengths
+    and uses the merged avgdl, so scores are union-index-exact either
+    way. Legs that are themselves multi-segment should fold their own
+    serving_bound_scales into the encode avgdl span before calling.
+
+    Per-leg results over-fetch ``overfetch``·k at raw-score grain, then
+    the global merge ranks at ``round_dp`` — the same wide-then-rounded
+    pattern every registered WAND query uses.
+    """
+    from .wand import wand_topk
+
+    gdict, _n, avgdl = merged_global_stats(indexes)
+    legs = []
+    for ix in indexes:
+        enc = float(ix.avgdl)
+        scales = (
+            max(1.0, avgdl / enc) if enc else 1.0,
+            min(1.0, avgdl / enc) if enc else 1.0,
+        )
+        wide = wand_topk(
+            qterms, ix.compressed, gdict, avgdl, k=overfetch * k,
+            chunk_bits=ix.chunk_bits, prune=prune, bound_scales=scales,
+        )
+        legs.append(wide.select("qid", "doc_id", "score"))
+    merged = reduce(DataFrame.unionByName, legs)
+    score_key = (
+        F.round("score", round_dp) if round_dp is not None else F.col("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(score_key), F.asc("doc_id"))
+    out_score = (
+        F.round("score", round_dp).alias("score")
+        if round_dp is not None
+        else F.col("score")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", out_score, "rank")
+    )
+
+
 # --- selective search: CORI shard selection ---------------------------------
 #
 # At 10^3+ shards, querying EVERY sub-index per query wastes the cluster:

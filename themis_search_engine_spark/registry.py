@@ -2076,6 +2076,41 @@ def q_eval_significance(spark, sf_dir):
 QUERIES["eval_significance"] = q_eval_significance
 ORACLE_SQL["eval_significance"] = osql.sql_eval_significance(20, 256)
 
+
+_FEDW_CACHE: dict[str, tuple] = {}
+
+
+def q_federated_wand_topk(spark, sf_dir):
+    """Federated serving over COMPRESSED on-disk indexes (queryeng/
+    federated.federated_wand_topk): two independently-built serving
+    indexes (even/odd halves, each with its own chunk layout and
+    encode-time avgdl) queried through block-max WAND with merged global
+    stats and per-leg bound scales — must hash-match the UNCHANGED
+    single-index naive oracle, like every WAND plan."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving, load_serving_index
+    from .queryeng.federated import federated_wand_topk
+
+    if sf_dir not in _FEDW_CACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        legs = []
+        for i in (0, 1):
+            p = tempfile.mkdtemp(prefix="themis_fedw_") + "/idx"
+            build_and_save_serving(
+                docs.where(F.pmod("doc_id", F.lit(2)) == i), p,
+                stem=False, partitions=16,
+            )
+            legs.append(load_serving_index(spark, p))
+        _FEDW_CACHE[sf_dir] = tuple(legs)
+    return federated_wand_topk(
+        _qt(spark, stem=False), _FEDW_CACHE[sf_dir], k=10, round_dp=6,
+    )
+
+
+QUERIES["federated_wand_topk"] = q_federated_wand_topk
+ORACLE_SQL["federated_wand_topk"] = osql.sql_bm25_topk(10)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
