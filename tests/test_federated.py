@@ -241,3 +241,41 @@ def test_federated_wand_equals_union(spark, docs_df, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_selective_wand_matches_logical_plan(spark, docs_df, tmp_path):
+    """Routing and scores are plan-independent: selective search on the
+    compressed serving path returns exactly what the logical-table plan
+    returns for the same shard split."""
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.queryeng.federated import (
+        selective_topk,
+        selective_wand_topk,
+    )
+
+    n = 3
+    legs = []
+    for i in range(n):
+        p = str(tmp_path / f"leg{i}")
+        build_and_save_serving(
+            docs_df.where(F.pmod("doc_id", F.lit(n)) == i), p,
+            stem=False, partitions=4,
+        )
+        legs.append(load_serving_index(spark, p))
+    qt = qterms_df(spark, QUERIES, stem=False)
+    wand = sorted(
+        tuple(r)
+        for r in selective_wand_topk(
+            qt, legs, k=5, m=2, round_dp=6
+        ).collect()
+    )
+    logical = sorted(
+        tuple(r)
+        for r in selective_topk(
+            qt, _splits(docs_df, n), k=5, m=2, round_dp=6
+        ).collect()
+    )
+    assert wand == logical and wand

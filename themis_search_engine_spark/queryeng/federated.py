@@ -212,6 +212,68 @@ def federated_wand_topk(
     )
 
 
+def selective_wand_topk(
+    qterms: DataFrame,
+    indexes,
+    k: int = 10,
+    m: int = 2,
+    *,
+    round_dp: int | None = None,
+    prune: bool = True,
+    overfetch: int = 3,
+) -> DataFrame:
+    """Selective search on the SERVING path: CORI-route each query to
+    its top-m compressed legs, then block-max WAND with merged global
+    stats and per-leg bound scales — :func:`selective_topk`'s routing
+    composed with :func:`federated_wand_topk`'s physical plan. Same
+    contracts: routing bounds recall, scores stay union-index-exact,
+    unselected legs run zero tasks.
+    """
+    from .wand import wand_topk
+
+    sel = select_shards(qterms, indexes, m).collect()
+    by_shard: dict[int, list] = {}
+    for r in sel:
+        by_shard.setdefault(r["shard"], []).append(r["qid"])
+    gdict, _n, avgdl = merged_global_stats(indexes)
+    legs = []
+    for i, ix in enumerate(indexes):
+        qids = by_shard.get(i)
+        if not qids:
+            continue
+        enc = float(ix.avgdl)
+        scales = (
+            max(1.0, avgdl / enc) if enc else 1.0,
+            min(1.0, avgdl / enc) if enc else 1.0,
+        )
+        wide = wand_topk(
+            qterms.where(F.col("qid").isin(qids)), ix.compressed, gdict,
+            avgdl, k=overfetch * k, chunk_bits=ix.chunk_bits, prune=prune,
+            bound_scales=scales,
+        )
+        legs.append(wide.select("qid", "doc_id", "score"))
+    if not legs:
+        spark = qterms.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, doc_id long, score double, rank long"
+        )
+    merged = reduce(DataFrame.unionByName, legs)
+    score_key = (
+        F.round("score", round_dp) if round_dp is not None else F.col("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(score_key), F.asc("doc_id"))
+    out_score = (
+        F.round("score", round_dp).alias("score")
+        if round_dp is not None
+        else F.col("score")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "doc_id", out_score, "rank")
+    )
+
+
 # --- selective search: CORI shard selection ---------------------------------
 #
 # At 10^3+ shards, querying EVERY sub-index per query wastes the cluster:

@@ -2111,6 +2111,38 @@ def q_federated_wand_topk(spark, sf_dir):
 QUERIES["federated_wand_topk"] = q_federated_wand_topk
 ORACLE_SQL["federated_wand_topk"] = osql.sql_bm25_topk(10)
 
+
+def q_selective_wand_topk(spark, sf_dir):
+    """Selective search on the serving path (queryeng/federated.
+    selective_wand_topk): CORI-route to top-2 of 4 on-disk compressed
+    legs, then WAND with merged stats — must hash-match the SAME
+    selection oracle as the logical-table selective_topk (routing and
+    scores are plan-independent; only the physical path differs)."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving, load_serving_index
+    from .queryeng.federated import selective_wand_topk
+
+    key = (sf_dir, "w4")
+    if key not in _FEDW_CACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        legs = []
+        for i in range(4):
+            p = tempfile.mkdtemp(prefix="themis_selw_") + "/idx"
+            build_and_save_serving(
+                docs.where(F.pmod("doc_id", F.lit(4)) == i), p,
+                stem=False, partitions=8,
+            )
+            legs.append(load_serving_index(spark, p))
+        _FEDW_CACHE[key] = tuple(legs)
+    return selective_wand_topk(
+        _qt(spark, stem=False), _FEDW_CACHE[key], k=10, m=2, round_dp=6,
+    )
+
+
+QUERIES["selective_wand_topk"] = q_selective_wand_topk
+ORACLE_SQL["selective_wand_topk"] = osql.sql_selective_topk(10, 2, 4)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
