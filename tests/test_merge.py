@@ -257,3 +257,77 @@ def test_avgdl_shift_pruning_stays_sound(spark, tmp_path):
     exact = wand_topk(qt, merged.compressed, merged.dictionary,
                       merged.avgdl, k=3, chunk_bits=2, prune=False)
     assert _ranked(pruned) == _ranked(exact)
+
+
+# --- snapshot-pinned reader --------------------------------------------------
+
+def test_pinned_snapshot_survives_concurrent_merge(spark, tmp_path):
+    """A reader pinned at generation g returns IDENTICAL results after a
+    delta merge lands (snapshot isolation), while a fresh load sees the
+    merged corpus; pinning past a compaction fails loudly."""
+    import pytest as _pytest
+
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.indexing.merge import (
+        compact_serving_index,
+        merge_serving_delta,
+        pin_serving_snapshot,
+    )
+    from themis_search_engine_spark.queryeng import qterms_df
+    from themis_search_engine_spark.queryeng.wand import wand_topk
+
+    from tests.conftest import TINY_DOCS
+
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in TINY_DOCS.items()], "doc_id long, text string"
+    )
+    p = str(tmp_path / "idx")
+    build_and_save_serving(
+        docs.where("doc_id <= 3"), p, stem=False, partitions=2
+    )
+    # one delta so the log has a stats-bearing generation to pin
+    merge_serving_delta(
+        spark, p, docs.where("doc_id = 4"), stem=False, partitions=2
+    )
+    snap = pin_serving_snapshot(spark, p)  # pin at gen 1 (5 docs)
+    qt = qterms_df(spark, {1: "lazy dog", 2: "quick fox"}, stem=False)
+
+    def run(ix, scales):
+        return sorted(
+            (r["qid"], r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in wand_topk(
+                qt, ix.compressed, ix.dictionary, ix.avgdl, k=5,
+                chunk_bits=ix.chunk_bits, bound_scales=scales,
+            ).collect()
+        )
+
+    before = run(snap, snap.bound_scales)
+    assert snap.n_docs == 5
+
+    # concurrent write: another snapshot lands while the pin is open
+    merge_serving_delta(
+        spark, p, docs.where("doc_id = 5"), stem=False, partitions=2
+    )
+    # the PIN is unmoved — same files, same stats, same results
+    after = run(snap, snap.bound_scales)
+    assert after == before
+    re_pin = pin_serving_snapshot(spark, p, gen=snap.gen)
+    assert run(re_pin, re_pin.bound_scales) == before
+
+    # a fresh (latest) view sees the new doc
+    live = load_serving_index(spark, p)
+    assert live.n_docs == 6
+    latest = pin_serving_snapshot(spark, p)
+    assert latest.n_docs == 6
+    assert latest.gen > snap.gen
+
+    # compaction expires older snapshots: re-pinning gen 1 must raise
+    compact_serving_index(spark, p, partitions=2)
+    with _pytest.raises(ValueError, match="predates a compaction"):
+        pin_serving_snapshot(spark, p, gen=snap.gen)
+    # pinning AT/after the compaction works and matches the live view
+    post = pin_serving_snapshot(spark, p)
+    assert post.n_docs == 6

@@ -63,6 +63,7 @@ import json
 import os
 import shutil
 import time
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -699,3 +700,127 @@ def merge_serving_delta(
     })
 
     return load_serving_index(spark, path)
+
+
+@dataclass
+class PinnedSnapshot:
+    """A generation-pinned read view of a serving index — see
+    :func:`pin_serving_snapshot`."""
+
+    compressed: DataFrame
+    dictionary: DataFrame
+    n_docs: int
+    avgdl: float
+    chunk_bits: int
+    bound_scales: tuple
+    gen: int
+    files: list
+
+
+def pin_serving_snapshot(
+    spark: SparkSession, path: str, gen: int | None = None
+) -> PinnedSnapshot:
+    """Snapshot-isolated reader: a read view of the serving index AS OF
+    merge-log generation ``gen`` (default: latest), immune to delta
+    merges that land while queries are in flight.
+
+    Why: a plain ``spark.read.parquet(dir)`` re-lists the directory per
+    ACTION, so a long-running query batch that spans a concurrent
+    delta-merge commit can silently mix generations — new segment files
+    appear mid-batch while the already-broadcast dictionary/avgdl are
+    stale (exactly the torn read Iceberg snapshots exist to prevent; the
+    module docstring maps each merge commit to one snapshot). This
+    reader rebuilds the whole consistent view from the pin:
+
+    - FILE LIST, not directory: segment part files carry generation
+      prefixes (``delta{g}-``; base files unprefixed), and the merge log
+      records the commit order — the pinned view reads exactly the base
+      + ``delta{g}-`` files with g ≤ gen. Parquet files are immutable
+      once committed, so the list stays valid under concurrent appends.
+    - STATS from the log: each merge entry records the post-merge
+      (n_docs_after, enc_avgdl = merged avgdl); idf derives from the
+      pinned chunk metadata (Σ df_chunk — the same two-column scan the
+      live dictionary refresh uses) at the pinned N.
+    - PRUNING soundness: bound scales computed from the CURRENT
+      global_stats encode-avgdl span against the pinned avgdl — a
+      superset of the pinned segments' span, hence conservative (only
+      ever loosens skips, never unsounds them).
+
+    Compaction is the snapshot-expiry event (it physically rewrites the
+    base files, like Iceberg's ``expire_snapshots``): pinning a
+    generation older than the last compaction raises — those bytes no
+    longer exist. Tombstone deletes stay monotonic (a pinned reader
+    masks the CURRENT tombstone set; deletes are soft and append-only,
+    so this only ever hides more, never resurrects).
+    """
+    log = _read_log(path)
+    if gen is None:
+        gen = log[-1]["gen"] if log else 0
+    compacts = [e["gen"] for e in log if e.get("type") == "compact"]
+    last_compact = max([g for g in compacts if g <= gen], default=0)
+    if any(g > gen for g in compacts):
+        raise ValueError(
+            f"snapshot gen {gen} predates a compaction at gen "
+            f"{min(g for g in compacts if g > gen)}: its base segment "
+            f"files were rewritten and expired — re-pin at or after the "
+            f"compaction"
+        )
+    # stats entry: the latest merge/compact entry at or before the pin
+    stat_entries = [
+        e for e in log
+        if e["gen"] <= gen and ("n_docs_after" in e)
+    ]
+    if stat_entries:
+        se = stat_entries[-1]
+        n_docs = int(se["n_docs_after"])
+        avgdl = float(se["enc_avgdl"])
+    else:
+        if log:
+            raise ValueError(
+                "cannot pin the pre-merge base generation: its stats "
+                "were superseded; pin a merge-log generation >= "
+                f"{log[0]['gen']}"
+            )
+        row = spark.read.parquet(f"{path}/global_stats").collect()[0]
+        n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+
+    comp_dir = f"{path}/postings_comp"
+    keep_gens = {
+        e["gen"] for e in log
+        if "docs_added" in e and last_compact < e["gen"] <= gen
+    }
+    files = []
+    for f in sorted(os.listdir(comp_dir)):
+        if not f.endswith(".parquet") or f.startswith((".", "_")):
+            continue
+        if f.startswith("delta"):
+            g = int(f[len("delta"):f.index("-")])
+            if g in keep_gens:
+                files.append(f"{comp_dir}/{f}")
+        else:
+            files.append(f"{comp_dir}/{f}")  # base (post-last_compact)
+    comp = spark.read.parquet(*files)
+    dictionary = (
+        comp.groupBy("term")
+        .agg(F.sum("df_chunk").alias("df"))
+        .withColumn(
+            "idf",
+            F.log2(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    grow = spark.read.parquet(f"{path}/global_stats").collect()[0]
+    cb = int(grow["chunk_bits"])
+    min_enc = float(grow["min_enc_avgdl"]) or avgdl
+    max_enc = float(grow["max_enc_avgdl"]) or avgdl
+    scales = (
+        max(1.0, avgdl / min_enc) if min_enc else 1.0,
+        min(1.0, avgdl / max_enc) if max_enc else 1.0,
+    )
+    return PinnedSnapshot(
+        compressed=comp, dictionary=dictionary, n_docs=n_docs,
+        avgdl=avgdl, chunk_bits=cb, bound_scales=scales, gen=gen,
+        files=files,
+    )
