@@ -652,6 +652,24 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_snapshot_pinned_topk(
+    k: int = 10, pinned: str = "doc_id % 4 <> 3"
+) -> str:
+    """Oracle twin of registry.q_snapshot_pinned_topk — the corpus AS OF
+    the pinned merge-log generation (a later delta's docs invisible):
+    every statistic is that of the pinned corpus, exactly a fresh build
+    over it, which is the snapshot reader's whole contract."""
+    return f"""{_bm25_scored_cte(corpus_where=pinned)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prefix_topk(
     prefix_queries: dict[int, str], max_terms: int = 16, k: int = 10
 ) -> str:

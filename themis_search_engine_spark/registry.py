@@ -2143,6 +2143,49 @@ def q_selective_wand_topk(spark, sf_dir):
 QUERIES["selective_wand_topk"] = q_selective_wand_topk
 ORACLE_SQL["selective_wand_topk"] = osql.sql_selective_topk(10, 2, 4)
 
+
+_PIN_CACHE: dict[str, tuple] = {}
+
+
+def q_snapshot_pinned_topk(spark, sf_dir):
+    """Snapshot-isolated reader (indexing/merge.pin_serving_snapshot):
+    base build over doc_id%4∈{0,2}, delta-merge %4==1 (the pinned
+    generation), then a SECOND delta of %4==3 lands AFTER the pin — the
+    pinned reader must rank exactly as a fresh build over the corpus
+    WITHOUT the later delta (oracle: corpus_where doc_id%4<>3). Proves
+    the reader is immune to commits that land after its pin."""
+    import tempfile
+
+    from .indexing.build import build_and_save_serving
+    from .indexing.merge import merge_serving_delta, pin_serving_snapshot
+    from .queryeng.wand import wand_topk
+
+    if sf_dir not in _PIN_CACHE:
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        p = tempfile.mkdtemp(prefix="themis_pin_") + "/idx"
+        build_and_save_serving(
+            docs.where("doc_id % 4 in (0, 2)"), p, stem=False, partitions=8
+        )
+        merge_serving_delta(
+            spark, p, docs.where("doc_id % 4 = 1"), stem=False, partitions=8
+        )
+        snap = pin_serving_snapshot(spark, p)  # pins gen 1
+        merge_serving_delta(  # lands after the pin: must stay invisible
+            spark, p, docs.where("doc_id % 4 = 3"), stem=False, partitions=8
+        )
+        _PIN_CACHE[sf_dir] = (snap,)
+    (snap,) = _PIN_CACHE[sf_dir]
+    wide = wand_topk(
+        _qt(spark, stem=False), snap.compressed, snap.dictionary,
+        snap.avgdl, k=30, chunk_bits=snap.chunk_bits,
+        bound_scales=snap.bound_scales,
+    )
+    return _rounded_rank_topk(wide.select("qid", "doc_id", "score"), 10)
+
+
+QUERIES["snapshot_pinned_topk"] = q_snapshot_pinned_topk
+ORACLE_SQL["snapshot_pinned_topk"] = osql.sql_snapshot_pinned_topk(10)
+
 QUERIES.update(OPS_QUERIES)
 ORACLE_SQL.update(OPS_ORACLE_SQL)
 
