@@ -633,3 +633,43 @@ def test_common_terms_topk(spark):
     assert abs(rows[(1, 13)] - full[(1, 13)]) < 1e-12
     # qid 2: all terms common → plain-OR fallback keeps every match
     assert {d for (q, d) in rows if q == 2} == {10, 11, 12, 13}
+
+
+def test_grouped_topk_shape(spark, tiny_docs_df):
+    """Group-major invariants: ≤ n_groups groups per qid with dense
+    group_rank, ≤ per_group inner hits per group with dense inner_rank,
+    and group order follows each group's best (rounded) score."""
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.queryeng import qterms_df
+    from themis_search_engine_spark.queryeng.bm25 import bm25_score_all
+    from themis_search_engine_spark.queryeng.metadata import grouped_topk
+
+    idx = build_index(tiny_docs_df, stem=False, use_arrow=False).cache()
+    attrs = tiny_docs_df.select(
+        "doc_id", (F.col("doc_id") % 3).cast("string").alias("source")
+    )
+    qt = qterms_df(spark, {1: "lazy dog", 2: "fox"}, stem=False)
+    scored = bm25_score_all(
+        qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
+    )
+    rows = grouped_topk(scored, attrs, "source", n_groups=2,
+                        per_group=2).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], {}).setdefault(
+            (r["group_rank"], r["group"]), []
+        ).append(r)
+    for qid, groups in by_q.items():
+        assert len(groups) <= 2
+        assert sorted(g for g, _ in groups) == list(
+            range(1, len(groups) + 1)
+        )
+        bests = []
+        for (grank, _g), members in sorted(groups.items()):
+            assert len(members) <= 2
+            assert sorted(m["inner_rank"] for m in members) == list(
+                range(1, len(members) + 1)
+            )
+            bests.append(max(m["score"] for m in members))
+        assert bests == sorted(bests, reverse=True)

@@ -1769,6 +1769,33 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_grouped_topk(
+    n_groups: int = 5, per_group: int = 3, group_col: str = "source"
+) -> str:
+    """Oracle twin of metadata.grouped_topk: groups ranked by best
+    member (rounded score desc, group asc), top n_groups per query, each
+    with its inner top-per_group docs."""
+    return f"""{_bm25_scored_cte()},
+inner_h AS (
+  SELECT s.qid, d.{group_col} AS grp, s.doc_id,
+         round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY s.qid, d.{group_col}
+                            ORDER BY round(s.score, 6) DESC, s.doc_id ASC)
+           AS inner_rank
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+tg AS (
+  SELECT qid, grp,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, grp ASC) AS group_rank
+  FROM inner_h WHERE inner_rank = 1
+)
+SELECT i.qid, i.grp AS "group", t.group_rank::BIGINT AS group_rank,
+       i.doc_id, i.score, i.inner_rank::BIGINT AS inner_rank
+FROM inner_h i JOIN tg t ON i.qid = t.qid AND i.grp = t.grp
+WHERE i.inner_rank <= {per_group} AND t.group_rank <= {n_groups}"""
+
+
 def sql_related_terms(top_n: int = 5, min_df: int = 2) -> str:
     """Oracle twin of related.related_terms: document-level PMI between
     each query's match set and co-occurring terms, excluding the query's

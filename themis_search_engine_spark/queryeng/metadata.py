@@ -429,3 +429,62 @@ def negated_scores(
     )
     excl = matching_docs(neg_qterms, postings_flat)
     return scored.join(excl, ["qid", "doc_id"], "left_anti")
+
+
+def grouped_topk(
+    scored: DataFrame,
+    doc_attrs: DataFrame,
+    group_col: str = "source",
+    n_groups: int = 5,
+    per_group: int = 3,
+) -> DataFrame:
+    """Group-major retrieval (Elasticsearch ``collapse`` + ``inner_hits``
+    / the ``top_hits`` aggregation): rank GROUPS by their best member's
+    score, keep the top ``n_groups`` per query, and return each group's
+    top ``per_group`` documents — "best host, with its best pages under
+    it", the result shape site-clustered SERPs render. collapse_topk is
+    the flat diversified ranking; this is its hierarchical sibling.
+
+    Output: (qid, group, group_rank, doc_id, score, inner_rank).
+
+    Plan: the attribute join is candidate-bounded (doc_id-keyed); the
+    inner window partitions by (qid, group) — per-partition sort is one
+    group's candidates, never the query's; the group ranking runs over
+    ≤ |groups| one-row aggregates. Deterministic at the house grain:
+    groups by (best rounded score desc, group asc), inner hits by
+    (rounded score desc, doc_id asc).
+    """
+    from pyspark.sql.window import Window
+
+    joined = scored.join(
+        doc_attrs.select("doc_id", F.col(group_col).alias("group")),
+        "doc_id",
+    )
+    wg = Window.partitionBy("qid", "group").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    inner = joined.withColumn(
+        "inner_rank", F.row_number().over(wg).cast("long")
+    ).where(F.col("inner_rank") <= per_group)
+    heads = (
+        inner.where(F.col("inner_rank") == 1)
+        .select(
+            "qid", "group",
+            F.round("score", 6).alias("_best"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("_best"), F.asc("group")
+    )
+    top_groups = (
+        heads.withColumn("group_rank", F.row_number().over(wq).cast("long"))
+        .where(F.col("group_rank") <= n_groups)
+        .select("qid", "group", "group_rank")
+    )
+    return (
+        inner.join(top_groups, ["qid", "group"])
+        .select(
+            "qid", "group", "group_rank", "doc_id",
+            F.round("score", 6).alias("score"), "inner_rank",
+        )
+    )

@@ -1336,6 +1336,26 @@ QUERIES["collapse_topk"] = q_collapse_topk
 ORACLE_SQL["collapse_topk"] = osql.sql_collapse_topk(10, "source", 2)
 
 
+def q_grouped_topk(spark, sf_dir):
+    """Group-major retrieval (ES collapse+inner_hits / top_hits): top-5
+    sources per query ranked by their best doc, each with its inner
+    top-3 (queryeng/metadata.grouped_topk)."""
+    from .queryeng.metadata import grouped_topk
+
+    idx = get_index(spark, sf_dir)
+    scored = bm25_score_all(
+        _qt(spark, stem=False), idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl,
+    )
+    return grouped_topk(
+        scored, load_documents(spark, sf_dir), "source", 5, 3
+    )
+
+
+QUERIES["grouped_topk"] = q_grouped_topk
+ORACLE_SQL["grouped_topk"] = osql.sql_grouped_topk(5, 3, "source")
+
+
 def q_snippets_topk(spark, sf_dir):
     """Q10 gap closed: doc fetch (IN-pushed point lookup) + KWIC snippet
     around the first query-term occurrence, over the BM25 top-5
