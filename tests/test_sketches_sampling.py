@@ -241,3 +241,50 @@ def test_cms_weighted(spark):
         df, "v", depth=4, width=256, top_n=1, weight_col="w"
     ).collect()
     assert hh[0]["value"] == "a" and hh[0]["est"] == 15
+
+
+# --- token-budget sampling ---------------------------------------------------
+
+def test_token_budget_fill_and_overshoot(spark):
+    from themis_search_engine_spark.pipeline_ops.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = token_budget_sample(docs, 300).collect()
+    total = sum(r["n_tokens"] for r in out)
+    # filled: within budget before the last doc, overshoot ≤ 1 doc
+    last = max(out, key=lambda r: r["cum_tokens"])
+    assert total == last["cum_tokens"]
+    assert total - last["n_tokens"] < 300 <= total + last["n_tokens"]
+
+
+def test_token_budget_nested_prefix(spark):
+    """Growing the budget only APPENDS documents — smaller samples are
+    prefixes of larger ones (the hash-order prefix property)."""
+    from themis_search_engine_spark.pipeline_ops.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 11))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    small = {r["doc_id"] for r in token_budget_sample(docs, 200).collect()}
+    big = {r["doc_id"] for r in token_budget_sample(docs, 800).collect()}
+    assert small and small < big
+
+
+def test_token_budget_whole_corpus_when_budget_large(spark):
+    from themis_search_engine_spark.pipeline_ops.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(20)], "doc_id long, text string"
+    )
+    out = token_budget_sample(docs, 10_000).collect()
+    assert len(out) == 20  # everything fits: no pre-filter, no trim

@@ -2487,3 +2487,36 @@ ranked AS (
 )
 SELECT v AS value, est::BIGINT AS est, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {top_n}"""
+
+
+def sql_token_budget_sample(
+    budget: int, salt: str = "budget", overshoot: float = 1.10
+) -> str:
+    """Oracle twin of sampling.token_budget_sample: whitespace token
+    counts over the RAW text, seeded-md5 selection order, hash-threshold
+    pre-filter (skipped when the corpus fits the budget), exact running-
+    total trim keeping docs whose preceding total is under budget."""
+    h = _HB.format(salt=salt, key="doc_id")
+    return f"""WITH base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> ''))::BIGINT AS n_tokens,
+         {h} AS _h
+  FROM documents
+),
+tot AS (SELECT sum(n_tokens) AS total FROM base),
+pre AS (
+  SELECT b.* FROM base b CROSS JOIN tot
+  WHERE tot.total <= {budget}
+     OR b._h < CAST(floor(least(1.0, ({overshoot!r} * {budget})
+                                / tot.total::DOUBLE)
+                          * 4294967296.0) AS BIGINT)
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY _h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM pre
+)
+SELECT doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM cum WHERE (cum_tokens - n_tokens) < {budget}"""

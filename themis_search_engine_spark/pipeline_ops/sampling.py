@@ -541,3 +541,65 @@ def decontaminate_bloom(
         .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    salt: str = "budget",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    overshoot: float = 1.10,
+) -> DataFrame:
+    """(doc_id, n_tokens, cum_tokens): a deterministic document sample
+    whose whitespace-token total fills ``budget_tokens`` — the mix-
+    building primitive ("give me 50B tokens of this source") every
+    training-data pipeline ends with.
+
+    Selection order is the seeded-md5 hash of doc_id (no RNG — a
+    uniform, reproducible shuffle), and a doc is kept while the RUNNING
+    TOTAL before it is under budget — so the sample overshoots by at
+    most one document, and shrinking/growing the budget yields nested
+    samples (the same prefix property hash_split gives splits).
+
+    Scale shape: a naive global cumsum sorts the whole corpus. Instead,
+    one combinable aggregate estimates the corpus token total, the
+    budget fraction (× ``overshoot`` slack) becomes a HASH THRESHOLD,
+    and the linear pre-filter keeps ≈ fraction·N docs — only that
+    (budget-sized, not corpus-sized) subset is sorted for the exact
+    cumsum. If the slack band under-fills (pathological length-vs-hash
+    correlation cannot happen with md5, but tiny corpora can be
+    unlucky), the exact trim simply yields what the band holds; pass a
+    larger ``overshoot`` to widen it.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+        _hash_bucket(F.col(id_col), salt).alias("_h"),
+    )
+    total = base.agg(F.sum("n_tokens")).first()[0] or 0
+    if total <= budget_tokens:
+        pre = base  # whole corpus fits: no pre-filter, cumsum over all
+    else:
+        frac = min(1.0, overshoot * budget_tokens / float(total))
+        pre = base.where(F.col("_h") < F.lit(int(frac * 2**32)))
+    w = (
+        Window.orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pre.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            < F.lit(int(budget_tokens))
+        )
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

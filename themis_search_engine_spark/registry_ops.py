@@ -1062,8 +1062,19 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget mix sampling (pipeline_ops/sampling.py): fill a
+    20k-token budget from the documents table in seeded-md5 order —
+    hash-threshold pre-filter when the corpus exceeds the budget, exact
+    running-total trim; overshoots by at most one doc."""
+    from .pipeline_ops.sampling import token_budget_sample
+
+    return token_budget_sample(_docs(spark, sf_dir), 20_000)
+
+
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
+    "token_budget_sample": q_token_budget_sample,
     "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
     "cluster_sample": q_cluster_sample,
@@ -1146,6 +1157,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 OPS_ORACLE_SQL: dict[str, str] = {
     "heavy_hitters": osqlo.sql_heavy_hitters(4, 64, 10),
+    "token_budget_sample": osqlo.sql_token_budget_sample(20_000),
     "sessionize": osqlo.sql_sessionize(360),
     "session_stats": osqlo.sql_session_stats(360),
     "hash_split": osqlo.sql_hash_split(SPLIT_WEIGHTS),
