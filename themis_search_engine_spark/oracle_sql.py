@@ -670,6 +670,36 @@ SELECT qid, doc_id, score, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
+def sql_fielded_topk(queries: dict[int, str], k: int = 10) -> str:
+    """Oracle twin of queryeng.fielded.fielded_topk: the same
+    ``field:value`` parse (shared parse_fielded, pinned by pytest)
+    compiled to a per-qid CASE over the documents attributes; free text
+    scores through the standard unstemmed CTE chain."""
+    from .queryeng.fielded import parse_fielded
+
+    split = {int(q): parse_fielded(s) for q, s in sorted(queries.items())}
+    qs = {qid: text for qid, (text, _f) in split.items() if text}
+    whens = []
+    for qid, (_t, fs) in sorted(split.items()):
+        if fs:
+            cond = " AND ".join(
+                f"lower(dd.{f}) = '{v}'" for f, v in fs
+            )
+            whens.append(f"WHEN {qid} THEN ({cond})")
+    doc_filter = (
+        "CASE q.qid " + " ".join(whens) + " ELSE TRUE END" if whens else None
+    )
+    return f"""{_bm25_scored_cte(queryset=qs, doc_filter=doc_filter)},
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, doc_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sql_prefix_topk(
     prefix_queries: dict[int, str], max_terms: int = 16, k: int = 10
 ) -> str:

@@ -1356,6 +1356,34 @@ QUERIES["grouped_topk"] = q_grouped_topk
 ORACLE_SQL["grouped_topk"] = osql.sql_grouped_topk(5, 3, "source")
 
 
+FIELDED_QUERYSET: dict[int, str] = {
+    1: "lang:en spark shuffle partition",
+    2: "source:src3 query engine",
+    3: "spark sql join",                    # no filter: plain retrieval
+    4: "lang:de source:src0 spark",        # two ANDed restrictions
+    5: "lang:xx spark",                    # filter matches nothing → 0 rows
+}
+
+
+def q_fielded_topk(spark, sf_dir):
+    """Fielded query syntax (queryeng/fielded.py): Lucene-style
+    field:value restrictions mixed with free text, heterogeneous per
+    query, one plan for the batch; oracle compiles the SAME parse to a
+    per-qid CASE over the documents attributes."""
+    from .queryeng.fielded import fielded_topk
+
+    idx = get_index(spark, sf_dir)
+    return fielded_topk(
+        spark, FIELDED_QUERYSET, idx.postings_flat, idx.dictionary,
+        idx.doc_stats, idx.avgdl, load_documents(spark, sf_dir),
+        k=10, round_dp=6,
+    )
+
+
+QUERIES["fielded_topk"] = q_fielded_topk
+ORACLE_SQL["fielded_topk"] = osql.sql_fielded_topk(FIELDED_QUERYSET, 10)
+
+
 def q_snippets_topk(spark, sf_dir):
     """Q10 gap closed: doc fetch (IN-pushed point lookup) + KWIC snippet
     around the first query-term occurrence, over the BM25 top-5
