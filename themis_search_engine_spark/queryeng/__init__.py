@@ -2,6 +2,7 @@ from .bm25 import bm25_score_all, bm25_topk  # noqa: F401
 from .boolquery import boolean_score_all, parse_boolean  # noqa: F401
 from .cache import cached_query_topk, index_generation  # noqa: F401
 from .explain import explain_scores, search_after, total_hits  # noqa: F401
+from .fielded import fielded_topk, parse_fielded  # noqa: F401
 from .federated import (  # noqa: F401
     federated_topk,
     federated_wand_topk,
