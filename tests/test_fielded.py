@@ -16,11 +16,12 @@ from themis_search_engine_spark.queryeng.pipeline import qterms_df
 
 def test_parse_fielded():
     assert parse_fielded("lang:en spark shuffle") == (
-        "spark shuffle", [("lang", "en")]
+        "spark shuffle", [("lang", "en", False)]
     )
     assert parse_fielded("lang:EN source:News x") == (
-        "x", [("lang", "en"), ("source", "news")]
+        "x", [("lang", "en", False), ("source", "news", False)]
     )
+    assert parse_fielded("-lang:de dog") == ("dog", [("lang", "de", True)])
     # unknown field stays in the free text — prose colons must not filter
     assert parse_fielded("re:match spark") == ("re:match spark", [])
     assert parse_fielded("plain words only") == ("plain words only", [])
@@ -51,6 +52,8 @@ def test_fielded_restriction_and_refill(spark, corpus):
         2: "lang:de source:b dog",  # both filters must hold
         3: "dog",                   # unfiltered
         4: "lang:fr dog",           # matches no doc → zero rows
+        5: "-lang:en dog",          # exclusion only
+        6: "source:a -lang:de quick",  # mixed include + exclude
     }
     out = fielded_topk(
         spark, queries, idx.postings_flat, idx.dictionary, idx.doc_stats,
@@ -63,6 +66,8 @@ def test_fielded_restriction_and_refill(spark, corpus):
     assert {r["doc_id"] for r in by_q[1]} <= en_ids
     assert {r["doc_id"] for r in by_q[2]} == {3}  # de AND b AND has dog
     assert 4 not in by_q
+    assert {r["doc_id"] for r in by_q[5]} == {2, 3}   # de docs with dog
+    assert {r["doc_id"] for r in by_q[6]} == {0, 4}   # source a, not de
     # unfiltered query equals plain retrieval
     qt = qterms_df(spark, {3: "dog"}, stem=False)
     plain = {

@@ -683,7 +683,8 @@ def sql_fielded_topk(queries: dict[int, str], k: int = 10) -> str:
     for qid, (_t, fs) in sorted(split.items()):
         if fs:
             cond = " AND ".join(
-                f"lower(dd.{f}) = '{v}'" for f, v in fs
+                f"lower(dd.{f}) {'<>' if neg else '='} '{v}'"
+                for f, v, neg in fs
             )
             whens.append(f"WHEN {qid} THEN ({cond})")
     doc_filter = (

@@ -34,21 +34,24 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FIELD_TOKEN = re.compile(r"^(\w+):(\S+)$")
+FIELD_TOKEN = re.compile(r"^(-?)(\w+):(\S+)$")
 
 
 def parse_fielded(
     query: str, allowed_fields: tuple = ("lang", "source")
 ) -> tuple:
-    """(free_text, [(field, value), ...]). Unknown-field tokens stay in
-    the free text (a colon inside prose must not silently filter);
+    """(free_text, [(field, value, negated), ...]). ``-field:value`` is
+    Lucene's exclusion form (must NOT match). Unknown-field tokens stay
+    in the free text (a colon inside prose must not silently filter);
     values lowercase like every P2-normalized comparison."""
     filters = []
     rest = []
     for tok in query.split():
         m = FIELD_TOKEN.match(tok)
-        if m and m.group(1).lower() in allowed_fields:
-            filters.append((m.group(1).lower(), m.group(2).lower()))
+        if m and m.group(2).lower() in allowed_fields:
+            filters.append(
+                (m.group(2).lower(), m.group(3).lower(), m.group(1) == "-")
+            )
         else:
             rest.append(tok)
     return " ".join(rest), filters
@@ -60,19 +63,27 @@ def fielded_restriction(
     doc_attrs: DataFrame,
     allowed_fields: tuple = ("lang", "source"),
 ) -> DataFrame | None:
-    """(qid, doc_id) pairs satisfying ALL of each filtered query's
-    field restrictions; None when no query carries a filter. ``parsed``
-    maps qid -> [(field, value), ...]."""
+    """(allowed, excluded): ``allowed`` holds (qid, doc_id) pairs
+    satisfying ALL of each query's POSITIVE restrictions (None when no
+    query has one); ``excluded`` holds (qid, doc_id) pairs matching ANY
+    negative restriction (None likewise). Split because a query with
+    only exclusions must keep every non-matching doc — a membership
+    list of "everything else" would be corpus-sized, the anti-join is
+    not. ``parsed`` maps qid -> [(field, value, negated), ...]."""
     rows = [
-        (qid, f, v) for qid, fs in parsed.items() for (f, v) in fs
+        (qid, f, v, bool(n))
+        for qid, fs in parsed.items() for (f, v, n) in fs
     ]
     if not rows:
-        return None
+        return None, None
     filters = F.broadcast(
-        spark.createDataFrame(rows, "qid long, field string, value string")
+        spark.createDataFrame(
+            rows, "qid long, field string, value string, neg boolean"
+        )
     )
+    pos = filters.where(~F.col("neg"))
     n_f = F.broadcast(
-        filters.groupBy("qid").agg(F.count("*").alias("_need"))
+        pos.groupBy("qid").agg(F.count("*").alias("_need"))
     )
     long_form = doc_attrs.select(
         "doc_id",
@@ -83,14 +94,24 @@ def fielded_restriction(
             )
         ).alias("field", "value"),
     )
-    return (
-        long_form.join(filters, ["field", "value"])
+    allowed = (
+        long_form.join(pos.select("qid", "field", "value"),
+                       ["field", "value"])
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("_got"))
         .join(n_f, "qid")
         .where(F.col("_got") == F.col("_need"))
         .select("qid", "doc_id")
-    )
+    ) if rows and any(not r[3] for r in rows) else None
+    excluded = (
+        long_form.join(
+            filters.where(F.col("neg")).select("qid", "field", "value"),
+            ["field", "value"],
+        )
+        .select("qid", "doc_id")
+        .distinct()
+    ) if any(r[3] for r in rows) else None
+    return allowed, excluded
 
 
 def fielded_topk(
@@ -124,17 +145,22 @@ def fielded_topk(
     scored = bm25_score_all(
         qt, postings_flat, dictionary, doc_stats, avgdl
     )
-    allowed = fielded_restriction(
+    allowed, excluded = fielded_restriction(
         spark, {qid: fs for qid, (_, fs) in split.items() if fs},
         doc_attrs, allowed_fields,
     )
     if allowed is not None:
-        filtered_qids = [qid for qid, (_, fs) in split.items() if fs]
-        keep_free = scored.where(~F.col("qid").isin(filtered_qids))
+        pos_qids = [
+            qid for qid, (_, fs) in split.items()
+            if any(not n for (_f, _v, n) in fs)
+        ]
+        keep_free = scored.where(~F.col("qid").isin(pos_qids))
         keep_restricted = scored.where(
-            F.col("qid").isin(filtered_qids)
+            F.col("qid").isin(pos_qids)
         ).join(allowed, ["qid", "doc_id"], "left_semi")
         scored = keep_free.unionByName(keep_restricted)
+    if excluded is not None:
+        scored = scored.join(excluded, ["qid", "doc_id"], "left_anti")
     score_key = (
         F.round("score", round_dp) if round_dp is not None else F.col("score")
     )

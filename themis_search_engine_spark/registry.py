@@ -1362,6 +1362,8 @@ FIELDED_QUERYSET: dict[int, str] = {
     3: "spark sql join",                    # no filter: plain retrieval
     4: "lang:de source:src0 spark",        # two ANDed restrictions
     5: "lang:xx spark",                    # filter matches nothing → 0 rows
+    6: "-lang:en spark shuffle",           # exclusion-only (Lucene -field:)
+    7: "source:src1 -lang:zh spark",       # mixed include + exclude
 }
 
 
