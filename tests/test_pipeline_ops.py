@@ -1080,3 +1080,46 @@ def test_combmnz_fuse_semantics(spark):
         for r in combmnz_fuse(text, vec, k=10, mnz=False).collect()
     }
     assert sums[(1, 10)] == 1.0
+
+
+def test_corpus_recipe_stage_contract(spark):
+    """The composed recipe honors each stage: every sampled doc is an
+    English-quality cluster canonical, none shares an n-gram with the
+    eval set, and the budget fill has the ≤1-doc overshoot property."""
+    from themis_search_engine_spark.pipeline_ops.recipe import corpus_recipe
+    from themis_search_engine_spark.pipeline_ops.sampling import (
+        decontaminate,
+    )
+    from themis_search_engine_spark.pipeline_ops.textstats import (
+        lang_id,
+        quality_score,
+    )
+
+    import random as _r
+    _r.seed(7)
+    vocab = [f"word{j}" for j in range(200)]
+    rows = [
+        (i, "the and of " + " ".join(_r.sample(vocab, 12)))
+        for i in range(30)
+    ] + [
+        (100, "zzz qqq xxy"),                       # low quality → dropped
+        (101, "el zorro rápido salta sobre el perro perezoso ahora"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.where("doc_id % 7 = 0")
+    out = corpus_recipe(docs, ev, 120, decontam_n=5).collect()
+    assert out
+    ids = {r["doc_id"] for r in out}
+    # stage 1: survivors are en + quality-passing (101 is es, 100 junk)
+    assert 100 not in ids and 101 not in ids
+    # stage 2: nothing contaminated survived — recompute independently
+    clean_ids = ids | set()  # sampled ⊆ decontaminated by construction:
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(docs, ev, n=5, min_overlap=1).collect()
+    }
+    assert clean_ids <= kept
+    # stage 3: budget fill, ≤ 1-doc overshoot
+    total = sum(r["n_tokens"] for r in out)
+    last = max(out, key=lambda r: r["cum_tokens"])
+    assert total - last["n_tokens"] < 120

@@ -2520,3 +2520,74 @@ cum AS (
 )
 SELECT doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM cum WHERE (cum_tokens - n_tokens) < {budget}"""
+
+
+def sql_corpus_recipe(
+    budget: int,
+    quality_tau: float = 0.5,
+    lang: str = "en",
+    n: int = 2, k: int = 16, bands: int = 8, tau: float = 0.8,
+    decontam_n: int = 3,
+    eval_mod: int = 37,
+    salt: str = "budget",
+    overshoot: float = 1.10,
+) -> str:
+    """Oracle twin of recipe.corpus_recipe: the full training-data
+    pipeline — corpus_clean survivors, n-gram decontamination of the
+    survivors against the doc_id%eval_mod eval set, then the seeded-md5
+    token-budget fill — each stage the EXISTING oracle's SQL, composed."""
+    ng = (
+        f"[array_to_string(toks[i:i+{decontam_n - 1}], ' ') "
+        f"for i in range(1, len(toks) - {decontam_n - 2})]"
+    )
+    h = _HB.format(salt=salt, key="doc_id")
+    return f"""WITH clean AS (
+{sql_corpus_clean(quality_tau, lang, n, k, bands, tau)}
+),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id)
+),
+stok AS (SELECT doc_id, {TOKS} AS toks FROM surv),
+ssh AS (
+  SELECT DISTINCT doc_id, unnest({ng}) AS shingle
+  FROM stok WHERE len(toks) >= {decontam_n}
+),
+etok AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+  WHERE doc_id % {eval_mod} = 0
+),
+esh AS (
+  SELECT DISTINCT unnest({ng}) AS shingle
+  FROM etok WHERE len(toks) >= {decontam_n}
+),
+contaminated AS (
+  SELECT s.doc_id FROM ssh s JOIN esh USING (shingle)
+  GROUP BY s.doc_id HAVING count(*) >= 1
+),
+kept AS (
+  SELECT * FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+base AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> ''))::BIGINT AS n_tokens,
+         {h} AS _h
+  FROM kept
+),
+tot AS (SELECT sum(n_tokens) AS total FROM base),
+pre AS (
+  SELECT b.* FROM base b CROSS JOIN tot
+  WHERE tot.total <= {budget}
+     OR b._h < CAST(floor(least(1.0, ({overshoot!r} * {budget})
+                                / tot.total::DOUBLE)
+                          * 4294967296.0) AS BIGINT)
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY _h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM pre
+)
+SELECT doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM cum WHERE (cum_tokens - n_tokens) < {budget}"""

@@ -1062,6 +1062,18 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_corpus_recipe(spark, sf_dir):
+    """End-to-end training-data recipe (pipeline_ops/recipe.py): clean
+    (en ∩ quality≥0.5 ∩ near-dup canonical) → decontaminate vs the
+    doc_id%37 eval set → fill a 2k-token budget. One call, one oracle,
+    every stage replayed."""
+    from .pipeline_ops.recipe import corpus_recipe
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    return corpus_recipe(docs, ev, 2_000)
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Token-budget mix sampling (pipeline_ops/sampling.py): fill a
     20k-token budget from the documents table in seeded-md5 order —
@@ -1075,6 +1087,7 @@ def q_token_budget_sample(spark, sf_dir):
 OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "token_budget_sample": q_token_budget_sample,
+    "corpus_recipe": q_corpus_recipe,
     "bpe_pairs": q_bpe_pairs,
     "bpe_encode": q_bpe_encode,
     "cluster_sample": q_cluster_sample,
@@ -1158,6 +1171,7 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OPS_ORACLE_SQL: dict[str, str] = {
     "heavy_hitters": osqlo.sql_heavy_hitters(4, 64, 10),
     "token_budget_sample": osqlo.sql_token_budget_sample(20_000),
+    "corpus_recipe": osqlo.sql_corpus_recipe(2_000),
     "sessionize": osqlo.sql_sessionize(360),
     "session_stats": osqlo.sql_session_stats(360),
     "hash_split": osqlo.sql_hash_split(SPLIT_WEIGHTS),
