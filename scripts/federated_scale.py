@@ -98,10 +98,14 @@ def main() -> None:
         "n_queries": n_queries,
     }
     try:
-        pdir = f"{tmp}/pages"
-        synth_pages(spark, n_docs, partitions=64).write.mode(
-            "overwrite"
-        ).parquet(pdir)
+        # SPARK_GRAFT_FED_PAGES: reuse a materialized corpus across
+        # parallelism levels (the two-level scaling protocol reads
+        # identical bytes at both levels)
+        pdir = os.environ.get("SPARK_GRAFT_FED_PAGES") or f"{tmp}/pages"
+        if not os.path.isdir(pdir):
+            synth_pages(spark, n_docs, partitions=64).write.mode(
+                "overwrite"
+            ).parquet(pdir)
         corpus = spark.read.parquet(pdir).select(
             F.regexp_extract("url", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
             "text",
@@ -200,7 +204,10 @@ def main() -> None:
         )
 
         print(json.dumps(out))
-        with open(os.path.join(HERE, "FEDERATED_SCALE.json"), "w") as fh:
+        dst = os.environ.get(
+            "SPARK_GRAFT_FED_OUT", os.path.join(HERE, "FEDERATED_SCALE.json")
+        )
+        with open(dst, "w") as fh:
             json.dump(out, fh, indent=1)
         if not identical:
             sys.exit(1)
