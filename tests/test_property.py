@@ -171,3 +171,104 @@ def test_span_dedup_kept_spans_globally_distinct(spark):
     ).first()[0]
     assert kept_total == distinct_corpus_spans
     out.unpersist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_compress_batches_random_splits(data):
+    """_compress_batches must be invariant to WHERE the Arrow batch
+    boundaries fall: random sorted (term, chunk, doc_id) postings, split
+    into random-length record batches, decode back to exactly the input.
+    Exercises the carried-group path and the zero-copy (offsets, buffer)
+    binary assembly together."""
+    import pyarrow as pa
+
+    from themis_search_engine_spark.indexing.compress import (
+        _compress_batches,
+        vb_decode,
+    )
+
+    n_groups = data.draw(st.integers(min_value=1, max_value=8))
+    rows = []  # (term, chunk, doc_id, cnt, maxcnt, length)
+    for g in range(n_groups):
+        term = f"t{data.draw(st.integers(min_value=0, max_value=3))}"
+        chunk = data.draw(st.integers(min_value=0, max_value=2))
+        n = data.draw(st.integers(min_value=1, max_value=6))
+        docs = sorted(
+            data.draw(
+                st.sets(
+                    st.integers(min_value=0, max_value=(1 << 16) - 1),
+                    min_size=n, max_size=n,
+                )
+            )
+        )
+        maxc = data.draw(st.integers(min_value=1, max_value=9))
+        for d in docs:
+            rows.append((
+                term, chunk, (chunk << 16) + d,
+                data.draw(st.integers(min_value=1, max_value=maxc)),
+                maxc,
+                data.draw(st.integers(min_value=1, max_value=500)),
+            ))
+    # group-contiguous sorted order, dedup (term, chunk) collisions by
+    # merging their doc lists (sorted => still one contiguous group)
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    seen = set()
+    dedup = []
+    for r in rows:
+        key = (r[0], r[1], r[2])
+        if key not in seen:
+            seen.add(key)
+            dedup.append(r)
+    rows = dedup
+
+    # random batch split points
+    splits = sorted(
+        data.draw(
+            st.sets(
+                st.integers(min_value=1, max_value=max(1, len(rows) - 1)),
+                max_size=5,
+            )
+        )
+    )
+    bounds = [0, *splits, len(rows)]
+    batches = []
+    for a, b in zip(bounds, bounds[1:]):
+        part = rows[a:b]
+        if not part:
+            continue
+        batches.append(
+            pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in part]),
+                    pa.array([r[1] for r in part], type=pa.int64()),
+                    pa.array([r[2] for r in part], type=pa.int64()),
+                    pa.array([r[3] for r in part], type=pa.int64()),
+                    pa.array([r[4] for r in part], type=pa.int64()),
+                    pa.array([r[5] for r in part], type=pa.int64()),
+                ],
+                names=["term", "chunk", "doc_id", "cnt", "maxcnt", "length"],
+            )
+        )
+
+    out = {}
+    for rb in _compress_batches(iter(batches), 16, 100.0):
+        for row in rb.to_pylist():
+            key = (row["term"], row["chunk"])
+            assert key not in out, f"split group emitted twice: {key}"
+            base = row["chunk"] << 16
+            docs = np.cumsum(vb_decode(row["doc_bytes"])) + base
+            out[key] = list(
+                zip(
+                    docs.tolist(),
+                    vb_decode(row["cnt_bytes"]).tolist(),
+                    vb_decode(row["mc_bytes"]).tolist(),
+                    vb_decode(row["dl_bytes"]).tolist(),
+                )
+            )
+            assert row["df_chunk"] == len(out[key])
+
+    expect = {}
+    for term, chunk, d, c, mc, dl in rows:
+        expect.setdefault((term, chunk), []).append((d, c, mc, dl))
+    assert out == expect
