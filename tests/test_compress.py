@@ -223,3 +223,51 @@ def test_compress_files_equals_reference(spark, idx, tmp_path):
 
     a, b = key(ref.collect()), key(fast.collect())
     assert a == b and len(a) > 0
+
+
+def test_compress_files_uri_route(spark, idx, tmp_path):
+    """Object-store routing: compress_files over file:// URIs (resolved
+    through pyarrow.fs in the driver listing AND inside each task) must
+    produce byte-identical chunks to the plain-path run, plus the
+    _SUCCESS marker through the filesystem handle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from themis_search_engine_spark.indexing.compress import compress_files
+
+    raw = (
+        idx.counts.withColumn(
+            "chunk", (F.col("doc_id") / F.lit(1 << 16)).cast("int")
+        )
+        .select("term", "chunk", "doc_id", "cnt", "maxcnt", "length")
+        .repartition("term", "chunk")
+        .sortWithinPartitions("term", "chunk", "doc_id")
+    )
+    raw.write.mode("overwrite").parquet(str(tmp_path / "raw"))
+
+    compress_files(
+        spark, str(tmp_path / "raw"), str(tmp_path / "comp_plain"), idx.avgdl
+    )
+    metrics = compress_files(
+        spark,
+        f"file://{tmp_path}/raw",
+        f"file://{tmp_path}/comp_uri",
+        idx.avgdl,
+    )
+    assert sum(m["postings"] for m in metrics) == idx.postings_flat.count()
+    assert all(m["bytes_in"] > 0 for m in metrics)
+    assert os.path.exists(tmp_path / "comp_uri" / "_SUCCESS")
+
+    def key(rows):
+        return {
+            (r["term"], r["chunk"]): (
+                r["df_chunk"], bytes(r["doc_bytes"]), bytes(r["cnt_bytes"]),
+                bytes(r["mc_bytes"]), bytes(r["dl_bytes"]),
+            )
+            for r in rows
+        }
+
+    a = key(spark.read.parquet(str(tmp_path / "comp_plain")).collect())
+    b = key(spark.read.parquet(str(tmp_path / "comp_uri")).collect())
+    assert a == b and len(a) > 0

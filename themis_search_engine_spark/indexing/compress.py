@@ -458,6 +458,19 @@ def _compress_batches(batches, chunk_bits: int, avgdl: float):
         yield flush(pend)
 
 
+def _resolve_fs(path: str):
+    """path/URI → (pyarrow.fs.FileSystem, fs-local path). Plain paths map
+    to LocalFileSystem; URIs (s3://, hdfs://, file://, …) resolve via
+    FileSystem.from_uri. Called independently on the driver (listing) and
+    inside each executor task (read/write), so nothing filesystem-bound
+    is ever pickled into a closure — only the path strings travel."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def compress_files(
     spark,
     raw_path: str,
@@ -485,56 +498,71 @@ def compress_files(
 
     Returns per-file metrics dicts (north-rule lineage: postings, chunk
     rows, bytes in/out, seconds).
-    """
-    import os
 
-    # This phase lists files on the DRIVER and opens the same paths inside
-    # executor tasks — correct only when driver and executors share a
-    # filesystem (local[..] / local-cluster, or a mounted shared FS). On a
-    # real cluster with object storage, route paths through pyarrow.fs
-    # here; until then, fail loudly instead of reading missing/stale files.
+    Storage routing: paths go through ``pyarrow.fs``. A URI
+    (``s3://…``, ``hdfs://…``, ``file://…``) resolves via
+    ``FileSystem.from_uri`` — the driver lists through it and each
+    executor task re-resolves the same URI, so object storage works from
+    any master. A PLAIN path means the driver's local disk, which
+    executors can only see under a local[..]/local-cluster master (or a
+    mounted shared FS) — any other master fails loudly instead of reading
+    missing/stale files.
+    """
     master = spark.sparkContext.master
-    if "://" in raw_path or "://" in out_path or not master.startswith("local"):
+    if (
+        "://" not in raw_path or "://" not in out_path
+    ) and not master.startswith("local"):
         raise NotImplementedError(
-            "compress_files requires driver-local storage shared with "
-            f"executors (master={master!r}, raw_path={raw_path!r}); for "
-            "cluster masters/object-store URIs use compress_presorted "
-            "(the mapInArrow path) or add a pyarrow.fs handler"
+            "compress_files with plain (driver-local) paths requires a "
+            f"local[..] master (master={master!r}, raw_path={raw_path!r}); "
+            "on a cluster pass object-store/shared-FS URIs (s3://, "
+            "hdfs://, file://) so each task resolves them via pyarrow.fs"
         )
 
+    fs_raw, raw_p = _resolve_fs(raw_path)
+    fs_out, out_p = _resolve_fs(out_path)
+    from pyarrow import fs as pafs
+
     files = sorted(
-        f for f in os.listdir(raw_path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
+        info.base_name
+        for info in fs_raw.get_file_info(pafs.FileSelector(raw_p))
+        if info.is_file
+        and info.base_name.endswith(".parquet")
+        and not info.base_name.startswith((".", "_"))
     )
-    os.makedirs(out_path, exist_ok=True)
+    fs_out.create_dir(out_p, recursive=True)
 
     def one(fname: str) -> dict:
-        import os as _os
         import time as _time
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         t0 = _time.perf_counter()
-        src = f"{raw_path}/{fname}"
+        t_fs_raw, t_raw_p = _resolve_fs(raw_path)
+        t_fs_out, t_out_p = _resolve_fs(out_path)
+        src = f"{t_raw_p}/{fname}"
         # read term dictionary-encoded: group-boundary detection runs on
         # the int32 codes and the dense string column (the widest column
         # of the raw table) is never materialized — measured, this is the
         # difference between the compress phase scaling with cores and
         # saturating memory bandwidth
-        pf = _pq.ParquetFile(src, read_dictionary=["term"])
-        cols = ["term", "chunk", "doc_id", "cnt", "maxcnt", "length"]
-        out_batches = list(
-            _compress_batches(
-                pf.iter_batches(batch_size=batch_rows, columns=cols),
-                chunk_bits, avgdl,
+        with t_fs_raw.open_input_file(src) as fh:
+            pf = _pq.ParquetFile(fh, read_dictionary=["term"])
+            cols = ["term", "chunk", "doc_id", "cnt", "maxcnt", "length"]
+            out_batches = list(
+                _compress_batches(
+                    pf.iter_batches(batch_size=batch_rows, columns=cols),
+                    chunk_bits, avgdl,
+                )
             )
-        )
-        n_rows = pf.metadata.num_rows
-        dst = f"{out_path}/{fname}"
+            n_rows = pf.metadata.num_rows
+        dst = f"{t_out_p}/{fname}"
         if out_batches:
             tbl = _pa.Table.from_batches(out_batches)
-            _pq.write_table(tbl, dst, compression="snappy")
+            _pq.write_table(
+                tbl, dst, compression="snappy", filesystem=t_fs_out
+            )
             n_chunks = tbl.num_rows
         else:
             n_chunks = 0
@@ -542,8 +570,10 @@ def compress_files(
             "file": fname,
             "postings": int(n_rows),
             "chunks": int(n_chunks),
-            "bytes_in": int(_os.path.getsize(src)),
-            "bytes_out": int(_os.path.getsize(dst)) if out_batches else 0,
+            "bytes_in": int(t_fs_raw.get_file_info(src).size),
+            "bytes_out": (
+                int(t_fs_out.get_file_info(dst).size) if out_batches else 0
+            ),
             "seconds": round(_time.perf_counter() - t0, 3),
         }
         del out_batches
@@ -557,7 +587,7 @@ def compress_files(
     sc = spark.sparkContext
     metrics = sc.parallelize(files, len(files)).map(one).collect()
     # commit marker so spark.read.parquet treats the dir as a valid table
-    with open(f"{out_path}/_SUCCESS", "w"):
+    with fs_out.open_output_stream(f"{out_p}/_SUCCESS"):
         pass
     return metrics
 
