@@ -203,11 +203,46 @@ def test_sharded_edge_cases(spark, tmp_path):
     assert {r["doc_id"] for r in got} == set(range(6))  # k > candidates
     assert all(r["qid"] == 7 for r in got)
 
+    # a PLAIN path is driver-local: refused on any non-local master; a
+    # URI resolves per-task via pyarrow.fs and is allowed from anywhere
+    from themis_search_engine_spark.queryeng.sharded import _check_comp_path
+
     with pytest.raises(NotImplementedError, match="driver-local"):
+        _check_comp_path("/mnt/idx/postings_comp", "spark://host:7077")
+    _check_comp_path("s3://bucket/postings_comp", "spark://host:7077")
+    _check_comp_path("/tmp/idx/postings_comp", "local[32]")
+
+
+def test_sharded_uri_route_equals_plain_path(spark, tmp_path):
+    """The pyarrow.fs URI route (file:// here; s3://, hdfs:// by the same
+    FileSystem.from_uri code path) must be rank- and score-identical to
+    the plain-path route over the SAME persisted index — the in-sandbox
+    evidence for the object-storage serving lane."""
+    from themis_search_engine_spark.indexing import build_and_save_serving
+    from themis_search_engine_spark.queryeng.pipeline import query_term_map
+    from themis_search_engine_spark.queryeng.sharded import wand_topk_sharded
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "idx")
+    idx = build_and_save_serving(docs, p, stem=True, chunk_bits=5,
+                                 partitions=8)
+    qmap = query_term_map(QUERIES, stem=True)
+    kw = dict(k=10, chunk_bits=idx.chunk_bits, n_shards=3)
+    want = _by_qid(
         wand_topk_sharded(
-            spark, "s3://bucket/postings", {1: ["alpha"]}, idx.dictionary,
-            idx.avgdl, idx.max_doc_id, k=5, chunk_bits=2,
-        )
+            spark, f"{p}/postings_comp", qmap, idx.dictionary,
+            idx.avgdl, idx.max_doc_id, **kw,
+        ).collect()
+    )
+    got = _by_qid(
+        wand_topk_sharded(
+            spark, f"file://{p}/postings_comp", qmap, idx.dictionary,
+            idx.avgdl, idx.max_doc_id, **kw,
+        ).collect()
+    )
+    assert want and got == want
 
 
 @pytest.mark.parametrize("prune", [False, True])

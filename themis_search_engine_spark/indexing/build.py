@@ -331,6 +331,13 @@ def build_and_save_serving(
     The raw table doubles as postings_flat for the naive/oracle BM25 path
     (tf = cnt/maxcnt recomputed on read — identical IEEE division), so
     nothing is stored twice.
+
+    Precondition: ``id_col`` values must be UNIQUE across ``docs`` (the
+    reference assigns dense unique ids at scan time, Indexer.java:423).
+    The doc_stats derivation keeps argmax rows and dedupes — under
+    duplicate doc_ids two docs' (length, maxcnt) pairs would both
+    survive, fanning out every doc_stats join downstream. Dedup upstream
+    (pipeline_ops.dedup) or assign ids before building.
     """
     import time as _time
 
@@ -388,9 +395,22 @@ def build_and_save_serving(
         .agg(
             F.sum("length").alias("total"),
             F.max("doc_id").alias("max_doc_id"),
+            F.count(F.lit(1)).alias("stat_rows"),
+            F.countDistinct("doc_id").alias("stat_ids"),
         )
         .collect()[0]
     )
+    # Rides the same aggregation job (no extra scan): duplicate input
+    # doc_ids with differing (length, maxcnt) survive the argmax+distinct
+    # derivation as extra rows — fail the build loudly here rather than
+    # fan out every doc_stats join downstream.
+    if int(gs_row["stat_rows"]) != int(gs_row["stat_ids"]):
+        raise ValueError(
+            "build_and_save_serving: doc_stats has "
+            f"{gs_row['stat_rows']} rows for {gs_row['stat_ids']} distinct "
+            f"doc_ids — input '{id_col}' values are not unique. "
+            "Deduplicate or reassign ids before building."
+        )
     n_docs = int(obs.get["n_docs"])
     avgdl = float(gs_row["total"] or 0.0) / n_docs if n_docs else 0.0
     # chunk_bits is part of the index LAYOUT: doc_id bases decode as

@@ -514,9 +514,10 @@ def compress_files(
     ) and not master.startswith("local"):
         raise NotImplementedError(
             "compress_files with plain (driver-local) paths requires a "
-            f"local[..] master (master={master!r}, raw_path={raw_path!r}); "
-            "on a cluster pass object-store/shared-FS URIs (s3://, "
-            "hdfs://, file://) so each task resolves them via pyarrow.fs"
+            f"local[..] master (master={master!r}, raw_path={raw_path!r}, "
+            f"out_path={out_path!r}); on a cluster pass object-store/"
+            "shared-FS URIs (s3://, hdfs://, file://) for BOTH paths so "
+            "each task resolves them via pyarrow.fs"
         )
 
     fs_raw, raw_p = _resolve_fs(raw_path)

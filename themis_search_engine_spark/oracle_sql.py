@@ -6,10 +6,14 @@ produce the SAME rows (column names, order-insensitive values) as the
 corresponding Spark query in ``__spark_entry__.py``.
 
 Stemming is not SQL-expressible in this sandbox (DuckDB's fts/stem
-extension can't be downloaded), so the SQL-oracled pipeline variants run
-UNSTEMMED; stemmed variants are registered without oracle SQL (rows-only
-driver check) and are rank-identity-tested against the pure-Python oracle
-in pytest instead.
+extension can't be downloaded), so stemmed variants are value-oracled a
+different way: the SQL is GENERATED with the stemmed vocabulary baked in
+as literal (term → stem) mapping tables computed by the same Python
+stemmer the Spark side uses (see the ``*_stemmed`` builders below). Every
+registered query — stemmed ones included — therefore has full oracle SQL
+(rows + schema + value-hash); none fall back to the rows-only check. The
+stemmer itself is additionally cross-checked in pytest against an
+independently-structured twin (tests/porter_twin.py).
 
 Floats are rounded to 6 decimals on BOTH sides; both engines use
 half-away-from-zero double rounding, and sum-order differences are ~1e-13

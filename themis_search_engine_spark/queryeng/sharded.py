@@ -54,10 +54,12 @@ test_wand.py), and fragment rows from delta-merged segments
 (indexing/merge.py) accumulate per fragment exactly like the
 scatter-add scorer.
 
-At cluster scale the same tasks read object storage through pyarrow.fs;
-in this sandbox the driver lists nothing (the dataset reader does), but
-driver and executors must still share a filesystem — guarded like
-compress_files.
+Storage routing: ``comp_path`` resolves through ``pyarrow.fs`` inside
+every task (``indexing.compress._resolve_fs``), so an s3://-style URI
+serves directly from object storage on any master — the 100 TB layout.
+A plain path means the driver's local disk and is guarded to local[..]
+masters, exactly like compress_files. Rank-identity of the URI route vs
+the plain-path route is pinned in tests/test_wand.py.
 
 Reference parity: semantics are the reference's "score every candidate,
 sort, take k" (OkapiBM25.java:291-308) — this module only changes the
@@ -88,15 +90,22 @@ def _score_shard(
 ):
     """Score this shard's chunk range [lo, hi) against the whole query
     batch; return the shard's exact top-k per query, packed as three flat
-    numpy buffers (or None if nothing matched)."""
+    numpy buffers (or None if nothing matched).
+
+    Storage: ``comp_path`` resolves through ``pyarrow.fs`` INSIDE the
+    task (``_resolve_fs`` — same routing as the build's compress_files),
+    so an object-store/shared-FS URI (s3://, hdfs://, file://) works from
+    any executor; only the path string travels in the closure."""
     import pyarrow.parquet as pq
 
-    from ..indexing.compress import vb_decode
+    from ..indexing.compress import _resolve_fs, vb_decode
     from .wand import B, K1
 
+    fs, local_p = _resolve_fs(comp_path)
     lo, hi = chunks
     tbl = pq.read_table(
-        comp_path,
+        local_p,
+        filesystem=fs,
         columns=["term", "chunk", "doc_bytes", "cnt_bytes", "mc_bytes",
                  "dl_bytes"],
         filters=[
@@ -212,6 +221,22 @@ def collect_idf_map(
     }
 
 
+def _check_comp_path(comp_path: str, master: str) -> None:
+    """Fail loudly when the index path cannot be visible to executors: a
+    PLAIN path means the driver's local disk, which only a local[..]
+    master (or a mounted shared FS) shares with tasks. URIs (s3://,
+    hdfs://, file://) resolve per-task via pyarrow.fs and work from any
+    master — same contract as the build's compress_files."""
+    if "://" not in comp_path and not master.startswith("local"):
+        raise NotImplementedError(
+            "wand_topk_sharded with a plain (driver-local) path requires "
+            f"a local[..] master (master={master!r}, "
+            f"comp_path={comp_path!r}); on a cluster pass an object-store/"
+            "shared-FS URI (s3://, hdfs://, file://) so each task "
+            "resolves it via pyarrow.fs"
+        )
+
+
 def wand_topk_sharded(
     spark: SparkSession,
     comp_path: str,
@@ -250,13 +275,7 @@ def wand_topk_sharded(
     window job (shuffle + stage) at that size; above it (thousand-shard
     clusters × huge batches) the same merge runs as a window.
     """
-    master = spark.sparkContext.master
-    if "://" in comp_path or not master.startswith("local"):
-        raise NotImplementedError(
-            "wand_topk_sharded requires driver-local storage shared with "
-            f"executors (master={master!r}); route through pyarrow.fs for "
-            "object storage, or use wand_topk on a cluster"
-        )
+    _check_comp_path(comp_path, spark.sparkContext.master)
 
     vocab = sorted({t for ts in queries.values() for t in ts})
     if idf_map is not None:
