@@ -11,7 +11,19 @@ then measure the three serving modes on a large query batch:
                checked at 100x the driver-testdata scale).
 - selective  : CORI top-m routing (m=2 of 4) — recall@10 vs the union
                ranking is REPORTED, not asserted (bounded recall is the
-               selective contract; the number quantifies the trade).
+               selective contract; the number quantifies the trade),
+               measured over BOTH shard assignments:
+                 random  — doc_id % 4 (the ~m/n recall floor), and
+                 topical — queryeng.topical.topical_shard_map (hashed-TF
+                           vectors → deterministic k-means → nearest-
+                           centroid), which must lift recall well above
+                           the floor on the topic-targeted workload
+                           (Kulkarni & Callan predict 0.8+).
+               The corpus is synth_pages(topics=8) and the recall
+               workload synth_topical_queries — topical structure in the
+               data and the queries is precisely what selective search
+               exploits; a topic-free corpus pins ALL assignments to the
+               floor.
 
 Protocol mirrors scripts/scaling_workload.py: corpus materialized to
 parquet first, tmpfs-backed outputs, an untimed warmup per plan shape,
@@ -50,14 +62,19 @@ from themis_search_engine_spark.queryeng.federated import (  # noqa: E402
     selective_wand_topk,
 )
 from themis_search_engine_spark.queryeng.wand import wand_topk  # noqa: E402
+from themis_search_engine_spark.queryeng.topical import (  # noqa: E402
+    topical_shard_map,
+)
 from themis_search_engine_spark.queryset import (  # noqa: E402
     synth_reference_queries,
+    synth_topical_queries,
 )
 from themis_search_engine_spark.session import get_spark  # noqa: E402
 
 N_LEGS = 4
 M_SELECT = 2
 K = 10
+N_TOPICS = 8
 
 
 def _rounded_topk_py(rows, k=K):
@@ -101,11 +118,12 @@ def main() -> None:
         # SPARK_GRAFT_FED_PAGES: reuse a materialized corpus across
         # parallelism levels (the two-level scaling protocol reads
         # identical bytes at both levels)
+        out["n_topics"] = N_TOPICS
         pdir = os.environ.get("SPARK_GRAFT_FED_PAGES") or f"{tmp}/pages"
         if not os.path.isdir(pdir):
-            synth_pages(spark, n_docs, partitions=64).write.mode(
-                "overwrite"
-            ).parquet(pdir)
+            synth_pages(
+                spark, n_docs, partitions=64, topics=N_TOPICS
+            ).write.mode("overwrite").parquet(pdir)
         corpus = spark.read.parquet(pdir).select(
             F.regexp_extract("url", r"/p/(\d+)", 1).cast("long").alias("doc_id"),
             "text",
@@ -121,11 +139,41 @@ def main() -> None:
             )
         out["build_legs_sec"] = round(time.perf_counter() - t0, 2)
 
+        # --- topical shard assignment + per-shard leg builds -----------
+        t0 = time.perf_counter()
+        smap = topical_shard_map(
+            corpus, N_LEGS, dim=256, iters=4, train_mod=8
+        ).cache()
+        sizes = {
+            int(r["shard"]): int(r["count"])
+            for r in smap.groupBy("shard").count().collect()
+        }
+        out["topical_assign_sec"] = round(time.perf_counter() - t0, 2)
+        out["topical_shard_sizes"] = [sizes.get(i, 0) for i in range(N_LEGS)]
+        t0 = time.perf_counter()
+        # materialize the assignment ONCE, partitioned by shard, so each
+        # leg build is a partition-pruned scan instead of re-running the
+        # cluster+classify lineage per leg
+        corpus.join(smap, "doc_id").write.partitionBy("shard").mode(
+            "overwrite"
+        ).parquet(f"{tmp}/sh_pages")
+        smap.unpersist()
+        sh_corpus = spark.read.parquet(f"{tmp}/sh_pages")
+        for i in range(N_LEGS):
+            build_and_save_serving(
+                sh_corpus.where(F.col("shard") == i).select("doc_id", "text"),
+                f"{tmp}/tleg{i}", stem=True,
+            )
+        out["build_topical_legs_sec"] = round(time.perf_counter() - t0, 2)
+
         spark.stop()
         spark = new_session("serve")
         union = load_serving_index(spark, f"{tmp}/union")
         legs = tuple(
             load_serving_index(spark, f"{tmp}/leg{i}") for i in range(N_LEGS)
+        )
+        tlegs = tuple(
+            load_serving_index(spark, f"{tmp}/tleg{i}") for i in range(N_LEGS)
         )
 
         queries = synth_reference_queries(n_queries)
@@ -172,36 +220,49 @@ def main() -> None:
             federated_rank_identical=identical,
         )
 
-        # --- selective m=2 of 4: report recall@10 ----------------------
-        selective_wand_topk(
-            wqt, legs, k=K, m=M_SELECT, prune=False, round_dp=6
-        ).collect()  # warmup
-        t0 = time.perf_counter()
-        s_rows = selective_wand_topk(
-            qt, legs, k=K, m=M_SELECT, prune=False, round_dp=6
+        # --- selective m=2 of 4 on the topic-targeted workload:
+        #     recall@10 vs the union ranking, random vs topical shards --
+        tq = synth_topical_queries(n_queries, N_TOPICS)
+        tqt = qterms_df(spark, tq, stem=True).cache()
+        tqt.count()
+        ttl = query_term_list(tq, stem=True)
+        t_rows = wand_topk(
+            tqt, union.compressed, union.dictionary, union.avgdl, k=3 * K,
+            prune=False, chunk_bits=union.chunk_bits, term_list=ttl,
         ).collect()
-        s_sec = time.perf_counter() - t0
-        sel: dict = {}
-        for r in s_rows:
-            sel.setdefault(r["qid"], set()).add(r["doc_id"])
-        recalls = [
-            len(sel.get(q, set()) & set(docs)) / len(docs)
-            for q, docs in union_ranks.items()
-            if docs
-        ]
-        out.update(
-            selective_query_sec=round(s_sec, 2),
-            selective_qps=round(n_queries / s_sec, 1),
-            selective_recall_at_10=round(sum(recalls) / len(recalls), 4),
-            # doc_id%N sharding scatters a query's relevant docs uniformly,
-            # so top-m-of-N routing is expected to capture ~m/N of the
-            # union top-k REGARDLESS of the selection formula — the
-            # classic selective-search result (Kulkarni & Callan): recall
-            # above this floor requires TOPICAL shard assignment, which a
-            # synthetic topic-free corpus cannot exhibit. Measured recall
-            # ≈ this floor is therefore the honest expected outcome here.
-            expected_random_shard_recall=round(M_SELECT / N_LEGS, 4),
-        )
+        topical_union_ranks = _rounded_topk_py(t_rows)
+
+        def run_selective(leg_set, tag):
+            selective_wand_topk(
+                wqt, leg_set, k=K, m=M_SELECT, prune=False, round_dp=6
+            ).collect()  # warmup
+            t0 = time.perf_counter()
+            s_rows = selective_wand_topk(
+                tqt, leg_set, k=K, m=M_SELECT, prune=False, round_dp=6
+            ).collect()
+            s_sec = time.perf_counter() - t0
+            sel: dict = {}
+            for r in s_rows:
+                sel.setdefault(r["qid"], set()).add(r["doc_id"])
+            recalls = [
+                len(sel.get(q, set()) & set(docs)) / len(docs)
+                for q, docs in topical_union_ranks.items()
+                if docs
+            ]
+            out.update({
+                f"{tag}_query_sec": round(s_sec, 2),
+                f"{tag}_qps": round(n_queries / s_sec, 1),
+                f"{tag}_recall_at_10":
+                    round(sum(recalls) / len(recalls), 4),
+            })
+
+        # doc_id%N sharding scatters a query's relevant docs uniformly,
+        # so top-m-of-N routing captures ~m/N of the union top-k
+        # REGARDLESS of the selection formula (Kulkarni & Callan) —
+        # the floor the topical assignment must clear.
+        run_selective(legs, "selective")
+        run_selective(tlegs, "topical_selective")
+        out["expected_random_shard_recall"] = round(M_SELECT / N_LEGS, 4)
 
         print(json.dumps(out))
         dst = os.environ.get(

@@ -1,6 +1,7 @@
 """build_and_save (streamlined salted-shuffle build) ≡ build_index."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from themis_search_engine_spark.corpus import load_documents
 from themis_search_engine_spark.indexing import build_index
@@ -154,3 +155,45 @@ def test_serving_chunk_bits_persisted_and_reload_exact(spark, tmp_path):
         raise AssertionError("expected AttributeError")
     except AttributeError:
         pass
+
+
+def test_empty_corpus_builds_valid_empty_index(spark, tmp_path):
+    """An EMPTY corpus (a legitimate input at scale: a fully-filtered or
+    empty topical shard, reaching the build as a zero-task pruned scan)
+    must build a loadable, servable empty index — not die on Observation
+    metrics or parquet schema inference over bare directories."""
+    from themis_search_engine_spark.indexing import build_and_save_serving
+    from themis_search_engine_spark.indexing.build import load_serving_index
+    from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+    from themis_search_engine_spark.queryeng.sharded import wand_topk_sharded
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", i % 3) for i in range(9)],
+        "doc_id long, text string, shard int",
+    )
+    src = str(tmp_path / "sharded_corpus")
+    base.write.partitionBy("shard").parquet(src)
+    # shard 9 does not exist -> partition-pruned ZERO-task scan
+    docs = (
+        spark.read.parquet(src)
+        .where(F.col("shard") == 9)
+        .select("doc_id", "text")
+    )
+    p = str(tmp_path / "empty_idx")
+    idx = build_and_save_serving(docs, p, stem=False, chunk_bits=4,
+                                 partitions=2)
+    assert idx.n_docs == 0 and idx.max_doc_id == 0
+
+    re = load_serving_index(spark, p)
+    assert re.n_docs == 0
+    assert re.dictionary.count() == 0 and re.compressed.count() == 0
+
+    qt = qterms_df(spark, {1: "alpha"}, stem=False)
+    assert bm25_topk(
+        qt, re.index.postings_flat, re.dictionary, re.index.doc_stats,
+        re.avgdl, k=5,
+    ).count() == 0
+    assert wand_topk_sharded(
+        spark, f"{p}/postings_comp", {1: ["alpha"]}, re.dictionary,
+        re.avgdl, re.max_doc_id, k=5, chunk_bits=re.chunk_bits,
+    ).count() == 0

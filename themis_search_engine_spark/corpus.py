@@ -78,12 +78,38 @@ PAGES_SCHEMA = StructType(
 _EPOCH = pd.Timestamp("2020-01-01T00:00:00")
 
 
-def _doc_text(i: int, rng: np.random.Generator) -> str:
+# topical corpora: each topic owns a disjoint slice of the vocab tail
+# (slices start past the Zipf head so background text stays shared)
+TOPIC_SLICE = 400
+TOPIC_BASE = 800
+
+
+def topic_of(i: int, topics: int) -> int:
+    """Deterministic topic of synthetic doc i (md5-derived, id-order-free
+    — NOT i % topics, which would correlate with doc_id%n sharding and
+    contaminate the random-vs-topical comparison)."""
+    h = int.from_bytes(hashlib.md5(f"topic-{i}".encode()).digest()[:4], "big")
+    return h % topics
+
+
+def _doc_text(i: int, rng: np.random.Generator, topics: int = 0) -> str:
     n_tok = int(rng.integers(20, 401))
     # Zipf over the fixed vocab
     ranks = rng.zipf(1.3, size=n_tok)
     ranks = np.minimum(ranks, len(VOCAB)) - 1
     toks = [VOCAB[r] for r in ranks]
+    if topics:
+        # ~60% of tokens redrawn uniformly from this doc's topic slice:
+        # enough signal for term-vector clustering to recover the topic,
+        # while the Zipf background keeps head-term skew and shared df
+        t = topic_of(i, topics)
+        lo = TOPIC_BASE + t * TOPIC_SLICE
+        sel = rng.random(len(toks)) < 0.6
+        repl = rng.integers(lo, lo + TOPIC_SLICE, size=int(sel.sum()))
+        j = 0
+        for pos in np.flatnonzero(sel):
+            toks[pos] = VOCAB[int(repl[j])]
+            j += 1
     if i % 5 != 0:  # ~60%+ of docs contain the head term
         toks.insert(int(rng.integers(0, len(toks))), HEAD_TERM)
     if i % 211 == 0:  # multibyte content docs
@@ -91,14 +117,14 @@ def _doc_text(i: int, rng: np.random.Generator) -> str:
     return " ".join(toks)
 
 
-def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, topics: int = 0) -> pd.DataFrame:
     rows = []
     for i in ids:
         i = int(i)
         # per-doc independent, seed derived from doc number → order-free determinism
         seed = int.from_bytes(hashlib.md5(f"page-{i}".encode()).digest()[:8], "big")
         rng = np.random.default_rng(seed)
-        text = _doc_text(i, rng)
+        text = _doc_text(i, rng, topics)
         url = f"https://example{i % 97}.org/p/{i}"
         html = f"<html><title>T{i}</title><body>{text}</body></html>".encode("utf-8")
         lang = "el" if i % 211 == 0 else ("de" if i % 101 == 0 else "en")
@@ -106,12 +132,20 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def synth_pages(spark: SparkSession, n_docs: int, partitions: int = 32) -> DataFrame:
-    """Deterministic synthetic pages table, generated in parallel."""
+def synth_pages(
+    spark: SparkSession, n_docs: int, partitions: int = 32,
+    topics: int = 0,
+) -> DataFrame:
+    """Deterministic synthetic pages table, generated in parallel.
+
+    ``topics`` > 0 overlays a topical mixture (each doc draws ~60% of its
+    tokens from its md5-assigned topic's vocab slice) — the corpus shape
+    selective-search experiments need; 0 (default) is the original
+    topic-free corpus, byte-identical to previous rounds."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _gen_batch(pdf["id"].to_numpy())
+            yield _gen_batch(pdf["id"].to_numpy(), topics)
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)

@@ -289,6 +289,31 @@ def build_and_save(
     return load_index(spark, path)
 
 
+def _ensure_schema_file(df: DataFrame, path: str) -> None:
+    """Layout invariant: every persisted index table has at least one
+    parquet file. Spark writes NO data files for an empty frame, leaving
+    a bare directory that fails schema inference for every future reader
+    (load_serving_index, merge, fsck). After a write, drop one zero-row
+    schema-carrying file if none exists — empty shards of a sharded
+    corpus are legitimate inputs at scale and must build valid (empty)
+    indexes. Paths route through pyarrow.fs like every layout I/O."""
+    from pyarrow import fs as pafs
+    import pyarrow.parquet as pq
+
+    from .compress import _resolve_fs
+
+    fs, p = _resolve_fs(path)
+    names = [
+        i.base_name
+        for i in fs.get_file_info(pafs.FileSelector(p))
+        if i.is_file and i.base_name.endswith(".parquet")
+    ]
+    if names:
+        return
+    with fs.open_output_stream(f"{p}/part-empty.parquet") as fh:
+        pq.write_table(df.limit(0).toArrow(), fh)
+
+
 def build_and_save_serving(
     docs: DataFrame,
     path: str,
@@ -367,10 +392,13 @@ def build_and_save_serving(
         .sortWithinPartitions("term", "chunk", "doc_id")
     )
     raw.write.mode("overwrite").parquet(f"{path}/postings_raw")
+    _ensure_schema_file(raw, f"{path}/postings_raw")
     t["postings_write"] = _time.perf_counter() - t0
 
     t0 = _time.perf_counter()
-    raw_r = spark.read.parquet(f"{path}/postings_raw")
+    # explicit schema: skips footer inference, and keeps an EMPTY raw
+    # table (zero-row corpus → no data files) readable
+    raw_r = spark.read.schema(raw.schema).parquet(f"{path}/postings_raw")
     # Every raw row already carries its doc's (maxcnt, length) — the Arrow
     # tokenize kernel computes them doc-locally — so doc_stats needs one
     # row per doc, not an aggregate: keep only rows where cnt == maxcnt
@@ -385,6 +413,7 @@ def build_and_save_serving(
         .distinct()
     )
     per_doc.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    _ensure_schema_file(per_doc, f"{path}/doc_stats")
     # Zero-token docs (e.g. all-non-ASCII after P2) have NO doc_stats row in
     # the serving layout — no scoring path can ever touch one (they appear
     # in no posting). They still count toward N and avgdl exactly as the
@@ -411,7 +440,18 @@ def build_and_save_serving(
             f"doc_ids — input '{id_col}' values are not unique. "
             "Deduplicate or reassign ids before building."
         )
-    n_docs = int(obs.get["n_docs"])
+    try:
+        n_docs = int(obs.get["n_docs"])
+    except Exception:
+        # Observation metrics only fire if the observed scan ran tasks; a
+        # ZERO-task plan (e.g. a fully partition-pruned empty shard of a
+        # sharded corpus) never fires and obs.get raises an opaque py4j
+        # assertion. The only way to reach that state is an empty input —
+        # confirm with a count (trivially cheap on a zero-task scan)
+        # rather than assume, and build a valid empty index.
+        n_docs = docs.count()
+        if n_docs:  # metrics lost for a NON-empty corpus: a real bug
+            raise
     avgdl = float(gs_row["total"] or 0.0) / n_docs if n_docs else 0.0
     # chunk_bits is part of the index LAYOUT: doc_id bases decode as
     # chunk << chunk_bits, so a reader defaulting to a different value
@@ -453,6 +493,7 @@ def build_and_save_serving(
         )
     )
     dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    _ensure_schema_file(dictionary, f"{path}/dictionary")
     t["dictionary"] = _time.perf_counter() - t0
 
     idx = load_serving_index(spark, path)

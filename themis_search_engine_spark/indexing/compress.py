@@ -583,10 +583,34 @@ def compress_files(
         _pa.default_memory_pool().release_unused()
         return out
 
-    if not files:
-        return []
-    sc = spark.sparkContext
-    metrics = sc.parallelize(files, len(files)).map(one).collect()
+    if files:
+        sc = spark.sparkContext
+        metrics = sc.parallelize(files, len(files)).map(one).collect()
+    else:
+        metrics = []
+    if not any(m["chunks"] for m in metrics):
+        # zero output chunks (empty corpus, or an empty shard of a sharded
+        # build): a task only writes its file when it has batches, so the
+        # directory would be bare and every downstream reader would fail
+        # parquet schema inference. Write ONE zero-row file carrying the
+        # layout schema — an empty index is a valid index.
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        empty = _pa.table({
+            "term": _pa.array([], _pa.string()),
+            "chunk": _pa.array([], _pa.int32()),
+            "df_chunk": _pa.array([], _pa.int64()),
+            "doc_bytes": _pa.array([], _pa.binary()),
+            "cnt_bytes": _pa.array([], _pa.binary()),
+            "mc_bytes": _pa.array([], _pa.binary()),
+            "dl_bytes": _pa.array([], _pa.binary()),
+            "core_min": _pa.array([], _pa.float64()),
+            "core_max": _pa.array([], _pa.float64()),
+            "block_max": _pa.array([], _pa.list_(_pa.float64())),
+        })
+        with fs_out.open_output_stream(f"{out_p}/part-empty.parquet") as fh:
+            _pq.write_table(empty, fh)
     # commit marker so spark.read.parquet treats the dir as a valid table
     with fs_out.open_output_stream(f"{out_p}/_SUCCESS"):
         pass

@@ -544,18 +544,27 @@ FROM (SELECT DISTINCT query_id FROM brute) q
 LEFT JOIN hits h ON h.query_id = q.query_id"""
 
 
-def _kmeans_ctes(every_m: int, iters: int, grain: int) -> str:
+def _kmeans_ctes(
+    every_m: int, iters: int, grain: int, init_cte: str | None = None
+) -> str:
     """Unrolled deterministic Lloyd (simsearch.kmeans_centroids): per
     iteration an exhaustive nearest-centroid assignment (round-6 cosine,
     cell-asc ties), an element-wise mean quantized to the ``grain``
     engine-independence grid via floor(x·10^g + 0.5)/10^g, and a
-    keep-previous fallback for cells that lost all members."""
+    keep-previous fallback for cells that lost all members.
+
+    ``init_cte``: optional SQL body for the ``cents0`` seed CTE
+    (columns centroid_id, cv) replacing the every_m rule — the oracle
+    twin of kmeans_centroids' ``init`` parameter."""
     scale = 10 ** grain
     dot_c = ("list_sum([a.embedding[i]::DOUBLE * c.cv[i] "
              "for i in range(1, len(a.embedding) + 1)])")
     norm_c = ("sqrt(list_sum([c.cv[i] * c.cv[i] "
               "for i in range(1, len(c.cv) + 1)]))")
-    ctes = [f"""cents0 AS (
+    if init_cte is not None:
+        ctes = [f"cents0 AS (\n{init_cte}\n)"]
+    else:
+        ctes = [f"""cents0 AS (
   SELECT vec_id AS centroid_id,
          list_transform(embedding, x -> x::DOUBLE) AS cv
   FROM embeddings WHERE vec_id % {every_m} = 0
@@ -604,6 +613,73 @@ SELECT centroid_id,
        (generate_subscripts(cv, 1) - 1)::BIGINT AS pos,
        floor(unnest(cv) * {10 ** grain} + 0.5)::BIGINT AS val
 FROM cents{iters}"""
+
+
+def sql_doc_tf_vectors(dim: int = 16) -> str:
+    """Oracle twin of topical.doc_tf_vectors(weighting='tfidf') in sparse
+    form: per (doc, md5-hash bucket) sum of log1p(cnt)·log2(N/df), zero
+    buckets dropped at the 6-dp grain on both sides (a bucket whose only
+    terms have df == N sums to exactly 0 and is dense-filtered out)."""
+    from .oracle_sql import TOK_CTE
+
+    return f"""WITH {TOK_CTE},
+wv AS (
+  SELECT c.doc_id,
+         (('0x' || substr(md5('tfvec|' || c.term), 1, 8))::BIGINT
+          % {dim}) AS pos,
+         sum(ln(1 + c.cnt)
+             * log2((SELECT n_docs FROM gstats)::DOUBLE / d.df)) AS w
+  FROM counts c JOIN dict d USING (term)
+  GROUP BY 1, 2
+)
+SELECT doc_id, pos::BIGINT AS pos, round(w, 6) AS w
+FROM wv WHERE round(w, 6) <> 0"""
+
+
+def sql_topical_shards(
+    n_shards: int = 4, iters: int = 2, grain: int = 6
+) -> str:
+    """Oracle twin of topical.vector_shard_map over the embeddings table
+    with n_clusters == n_shards (the SQL-expressible pack case: with one
+    cluster per shard, greedy least-loaded packing degenerates to
+    size-rank order — the i-th largest cluster takes shard i). Seeds are
+    the evenly-strided rank rule; Lloyd and the final classification
+    mirror the kmeans/classify oracles (round-6 cosine, id-asc ties)."""
+    init = f"""  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM (SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id) - 1 AS rk
+        FROM embeddings)
+  WHERE rk % (SELECT greatest(1, count(*) // {n_shards})
+              FROM embeddings) = 0
+    AND rk < (SELECT greatest(1, count(*) // {n_shards})
+              FROM embeddings) * {n_shards}"""
+    dot_c = ("list_sum([a.embedding[i]::DOUBLE * c.cv[i] "
+             "for i in range(1, len(a.embedding) + 1)])")
+    norm_c = ("sqrt(list_sum([c.cv[i] * c.cv[i] "
+              "for i in range(1, len(c.cv) + 1)]))")
+    return f"""WITH {_kmeans_ctes(0, iters, grain, init_cte=init)},
+scored_f AS (
+  SELECT a.vec_id AS _id, c.centroid_id AS cell,
+         {dot_c} / ({_NORM_A} * {norm_c}) AS c_cos
+  FROM embeddings a, cents{iters} c
+),
+cells_f AS (
+  SELECT _id, cell FROM (
+    SELECT _id, cell,
+           row_number() OVER (PARTITION BY _id
+             ORDER BY round(c_cos, 6) DESC, cell ASC) AS r
+    FROM scored_f) WHERE r = 1
+),
+sizes AS (SELECT cell, count(*) AS sz FROM cells_f GROUP BY cell),
+pack AS (
+  SELECT cell,
+         (row_number() OVER (ORDER BY sz DESC, cell ASC) - 1)::INT
+           AS shard
+  FROM sizes
+)
+SELECT f._id AS vec_id, p.shard
+FROM cells_f f JOIN pack p USING (cell)"""
 
 
 # --- link graph -------------------------------------------------------------

@@ -187,10 +187,18 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     grain: int | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(centroid_id, centroid_vec) — deterministic Lloyd refinement of the
     every-m-th-vector IVF init (no RNG anywhere: init is data arithmetic,
     assignment ties break on centroid_id asc, means are exact aggregates).
+
+    ``init``: optional explicit seed table (centroid_id, centroid_vec)
+    replacing the every_m rule — for callers whose id space is not dense
+    (e.g. topical.topical_shard_map seeding k exact centroids from a
+    re-ranked training sample: the modulo rule intersected with a
+    sampled id space can silently drop seeds and collapse the
+    clustering). Semantics otherwise identical.
 
     Per iteration: one broadcast nearest-centroid assignment + one
     (cell, pos) mean shuffle — both linear in corpus size; lineage is
@@ -208,12 +216,20 @@ def kmeans_centroids(
     never flip a cell. The oracled registry entry trains at grain=6;
     production callers that don't need cross-run bit-equality leave None.
     """
-    cents = embs.where(F.col(id_col) % every_m == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias(
-            "centroid_vec"
-        ),
-    )
+    if init is not None:
+        cents = init.select(
+            "centroid_id",
+            F.transform("centroid_vec", lambda x: x.cast("double")).alias(
+                "centroid_vec"
+            ),
+        )
+    else:
+        cents = embs.where(F.col(id_col) % every_m == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias(
+                "centroid_vec"
+            ),
+        )
     vecs = embs.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),

@@ -11,6 +11,11 @@ from .federated import (  # noqa: F401
     selective_topk,
     selective_wand_topk,
 )
+from .topical import (  # noqa: F401
+    doc_tf_vectors,
+    topical_shard_map,
+    vector_shard_map,
+)
 from .evalmetrics import paired_randomization_test, rbp_err  # noqa: F401
 from .mlt import significant_terms  # noqa: F401
 from .qpp import query_difficulty, route_by_difficulty  # noqa: F401

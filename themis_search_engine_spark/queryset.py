@@ -40,6 +40,27 @@ def synth_reference_queries(n: int = 300) -> dict[int, str]:
     return out
 
 
+def synth_topical_queries(n: int, topics: int) -> dict[int, str]:
+    """Topic-targeted workload over synth_pages(topics=T): query i draws
+    2-4 terms from topic (i % T)'s vocab slice — the query shape whose
+    relevant docs CONCENTRATE in a topical shard, i.e. the workload
+    selective search is designed for (a topic-free query set cannot show
+    routing lift no matter how the shards are cut)."""
+    from .corpus import TOPIC_BASE, TOPIC_SLICE, VOCAB
+
+    out: dict[int, str] = {}
+    for i in range(n):
+        t = i % topics
+        lo = TOPIC_BASE + t * TOPIC_SLICE
+        n_terms = 2 + (i * 3) % 3
+        terms = [
+            VOCAB[lo + (i * 29 + j * 577) % TOPIC_SLICE]
+            for j in range(n_terms)
+        ]
+        out[i] = " ".join(terms)
+    return out
+
+
 def reference_queries(n: int = 50) -> dict[int, str]:
     out: dict[int, str] = {}
     v = len(_VOCAB)

@@ -270,6 +270,40 @@ def q_kmeans_centroids(spark, sf_dir):
     )
 
 
+def q_doc_tf_vectors(spark, sf_dir):
+    """Hashed tf-idf document vectors (queryeng.topical.doc_tf_vectors,
+    the selective-search shard-assignment feature space) in sparse
+    (doc_id, pos, w) form: md5-bucketed log1p(cnt)·log2(N/df) sums,
+    6-dp-rounded, exact-zero buckets dropped on both sides."""
+    from .queryeng.topical import doc_tf_vectors
+
+    v = doc_tf_vectors(_docs(spark, sf_dir), dim=16)
+    return (
+        v.select("doc_id", F.posexplode("embedding").alias("pos", "w"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round("w", 6).alias("w"),
+        )
+        .where(F.col("w") != 0)
+    )
+
+
+def q_topical_shards(spark, sf_dir):
+    """Topical shard assignment over the embeddings table
+    (queryeng.topical.vector_shard_map): deterministic k-means with
+    strided-rank seeds, round-6 nearest-centroid classification, then
+    size-rank packing of clusters onto shards — oracled end to end (the
+    n_clusters == n_shards case, where greedy least-loaded packing
+    degenerates to size order)."""
+    from .queryeng.topical import vector_shard_map
+
+    return vector_shard_map(
+        _embs(spark, sf_dir), 4, n_clusters=4, iters=2, grain=6,
+        train_mod=1,
+    )
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 
@@ -1092,6 +1126,8 @@ OPS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "cluster_sample": q_cluster_sample,
     "centroid_classify": q_centroid_classify,
+    "doc_tf_vectors": q_doc_tf_vectors,
+    "topical_shards": q_topical_shards,
     "ann_quantized_topk": q_ann_quantized_topk,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -1246,6 +1282,8 @@ OPS_ORACLE_SQL: dict[str, str] = {
     "bpe_encode": osqlo.sql_bpe_encode(BPE_MERGES),
     "cluster_sample": osqlo.sql_cluster_sample(2, 16, 8, 0.8),
     "centroid_classify": osqlo.sql_centroid_classify(5),
+    "doc_tf_vectors": osqlo.sql_doc_tf_vectors(16),
+    "topical_shards": osqlo.sql_topical_shards(4, 2, 6),
     "ann_quantized_topk": osqlo.sql_quantized_topk(5, 50, 3),
     "boilerplate_strip": osqlo.sql_boilerplate_strip(4, 5, 0.5),
     "semdedup": osqlo.sql_semdedup(25, 2, 6, 0.3),
