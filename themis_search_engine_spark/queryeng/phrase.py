@@ -145,6 +145,7 @@ def save_positional_index(
     partitions: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    serving_path: str | None = None,
 ) -> None:
     """Persist the positional table repartitioned by term and sorted
     within partitions by (term, doc_id, pos) — the same layout rule as
@@ -152,7 +153,12 @@ def save_positional_index(
     term-IN-pushed scan of a few sorted row groups (parquet min/max
     stats prune on term), not a corpus pass. ``partitions`` is the
     layout constant, sized for the target corpus like the serving
-    build's shuffle width."""
+    build's shuffle width.
+
+    ``serving_path``: the serving index built from the SAME corpus —
+    stamps the artifact with that index's generation so load-time
+    freshness checks catch a positional index that missed later delta
+    merges (indexing/secondary.py's lifecycle contract)."""
     (
         positional_index(docs, id_col=id_col, text_col=text_col)
         .repartition(partitions, "term")
@@ -160,7 +166,21 @@ def save_positional_index(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if serving_path is not None:
+        from ..indexing.secondary import stamp_secondary
+
+        stamp_secondary(path, serving_path, "positional")
 
 
-def load_positional_index(spark, path: str) -> DataFrame:
+def load_positional_index(
+    spark, path: str, *, serving_path: str | None = None
+) -> DataFrame:
+    """Read the persisted positional table. With ``serving_path``, first
+    verify the artifact is at the serving index's CURRENT generation —
+    raises StaleSecondaryIndexError (loudly, with remedies) if a delta
+    merge has advanced the index past this artifact."""
+    if serving_path is not None:
+        from ..indexing.secondary import check_secondary
+
+        check_secondary(path, serving_path)
     return spark.read.parquet(path)
