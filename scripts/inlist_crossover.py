@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""IN-list pushdown crossover: every batch plan plants the batch
+vocabulary as a literal IN-list into the postings/chunk scan. The gain is
+parquet row-group pruning (term-sorted layout → most files skip); the
+cost grows with the list (plan serialization, per-row-group filter eval,
+InSet build per task). Somewhere the filter stops paying — this script
+MEASURES where, so planner.choose_scan_filter encodes a number instead
+of a guess (VERDICT r3 ask #5).
+
+Protocol: one serving index over the synthetic corpus; batches of 1000
+3-term queries whose vocabulary is an evenly-strided sample of the
+dictionary at increasing coverage fractions; each batch served twice via
+wand_topk(prune=False) — WITH the IN-list (term_list=sample) and WITHOUT
+(term_list=[] disables the literal filter; the broadcast inner join with
+qterms still drops unmatched terms, so results are identical — asserted
+per level). min-of-2 after a warmup, fresh-session protocol matching
+bench_scaling.
+
+Writes INLIST_CROSSOVER.json. Env: SPARK_GRAFT_CPUS,
+SPARK_GRAFT_XOVER_DOCS (default 300_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys  # noqa: E402
+
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from themis_search_engine_spark.corpus import synth_pages  # noqa: E402
+from themis_search_engine_spark.indexing.build import (  # noqa: E402
+    build_and_save_serving,
+    load_serving_index,
+)
+from themis_search_engine_spark.queryeng import qterms_df  # noqa: E402
+from themis_search_engine_spark.queryeng.wand import wand_topk  # noqa: E402
+from themis_search_engine_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = 1000
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_docs = int(os.environ.get("SPARK_GRAFT_XOVER_DOCS", 300_000))
+    shm = "/dev/shm/themis-xover"
+    os.makedirs(shm, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="themis_xover_", dir=shm)
+    out: dict = {
+        "metric": "inlist_crossover", "cpus": cpus, "n_docs": n_docs,
+        "n_queries": N_QUERIES, "levels": [],
+    }
+    spark = get_spark(
+        "themis-xover", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={
+            "spark.local.dir": f"{shm}/local",
+            "spark.sql.files.maxPartitionBytes": "16m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = synth_pages(spark, n_docs, partitions=64).select(
+            F.regexp_extract("url", r"/p/(\d+)", 1).cast("long").alias(
+                "doc_id"
+            ),
+            "text",
+        )
+        sidx = build_and_save_serving(corpus, f"{tmp}/index", stem=True)
+        vocab = sorted(
+            r["term"] for r in sidx.dictionary.select("term").collect()
+        )
+        out["dict_terms"] = len(vocab)
+
+        def batch_for(terms: list[str]) -> dict[int, str]:
+            qs, nt = {}, len(terms)
+            for i in range(N_QUERIES):
+                qs[i] = " ".join(
+                    terms[(i * 3 + j * 131) % nt] for j in range(3)
+                )
+            return qs
+
+        for frac in (0.002, 0.02, 0.2, 0.5, 1.0):
+            n_terms = max(10, int(len(vocab) * frac))
+            stride = max(1, len(vocab) // n_terms)
+            sample = vocab[::stride][:n_terms]
+            queries = batch_for(sample)
+            # qterms are already normalized+stemmed dictionary terms:
+            # stem=False keeps the planted vocabulary EXACTLY the sample
+            qt = qterms_df(spark, queries, stem=False).cache()
+            qt.count()
+            level = {"n_terms": len(sample),
+                     "dict_frac": round(len(sample) / len(vocab), 4)}
+            rows_ref = None
+            for tag, tl in (("inlist", sample), ("join_only", [])):
+                wand_topk(
+                    qt.limit(40), sidx.compressed, sidx.dictionary,
+                    sidx.avgdl, k=K, prune=False,
+                    chunk_bits=sidx.chunk_bits, term_list=tl,
+                ).collect()  # warmup shape
+                best = 1e18
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = wand_topk(
+                        qt, sidx.compressed, sidx.dictionary, sidx.avgdl,
+                        k=K, prune=False, chunk_bits=sidx.chunk_bits,
+                        term_list=tl,
+                    ).collect()
+                    best = min(best, time.perf_counter() - t0)
+                level[f"{tag}_sec"] = round(best, 3)
+                level[f"{tag}_qps"] = round(N_QUERIES / best, 1)
+                key = sorted((r["qid"], r["rank"], r["doc_id"]) for r in rows)
+                if rows_ref is None:
+                    rows_ref = key
+                else:
+                    level["identical"] = key == rows_ref
+            level["inlist_speedup"] = round(
+                level["join_only_sec"] / level["inlist_sec"], 3
+            )
+            out["levels"].append(level)
+            qt.unpersist()
+            print(json.dumps(level), flush=True)
+
+        # crossover: the smallest coverage where the IN-list stops paying
+        xs = [
+            lv["dict_frac"] for lv in out["levels"]
+            if lv["inlist_speedup"] < 1.0
+        ]
+        out["crossover_dict_frac"] = min(xs) if xs else None
+        print(json.dumps(out))
+        with open(os.path.join(HERE, "INLIST_CROSSOVER.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
