@@ -35,9 +35,13 @@ def test_decision_matrix():
     assert _plan(n=16) == "single"
     # head terms push any batch to the shard-parallel plan
     assert _plan(n=8, max_df_frac=0.2) == "sharded"
-    # big batches: throughput plan; batch fallback without a layout
+    # big batches: throughput plan; without a layout the barrier-free
+    # greedy per-query plan (measured 3.2x the one-pass chunk plan,
+    # BATCH_PLANS.json); the chunk plan only remains for head-term
+    # batches that would serialize one query's postings in one task
     assert _plan(n=50) == "sharded"
-    assert _plan(n=50, has_persisted=False) == "batch"
+    assert _plan(n=50, has_persisted=False) == "single"
+    assert _plan(n=50, has_persisted=False, max_df_frac=0.2) == "batch"
     # every decision carries at least one reason
     assert choose_query_plan(50)["reasons"]
 

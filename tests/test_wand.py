@@ -1,6 +1,7 @@
 """Block-max WAND vs naive DataFrame BM25: identical top-k membership,
 ranks and scores (to float-sum tolerance), with and without pruning."""
 
+import pandas as pd
 import pytest
 
 from themis_search_engine_spark.corpus import load_documents
@@ -413,3 +414,44 @@ def test_wand_pruned_negative_idf_many_chunks(spark):
         ).collect()
     )
     assert naive == pruned == single
+
+
+def test_block_max_bounds_sound_at_float_grain(spark, tmp_path):
+    """The stored chunk bound must dominate every score THE SCORER
+    produces at the raw float grain: score_i = idf·core_i computed with
+    the encoder's association (core first, idf after). The other
+    association (idf·tf·… left-to-right) drifts ±1 ulp, which once let
+    the greedy early-exit skip a doc TYING the k-th place (1.2M-doc
+    shootout catch). Pinned bit-exactly here, per (term, chunk)."""
+    import numpy as np
+
+    from themis_search_engine_spark.indexing import build_and_save_serving
+    from themis_search_engine_spark.queryeng.wand import _score_chunk_rows
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "idx")
+    idx = build_and_save_serving(docs, p, stem=True, chunk_bits=5,
+                                 partitions=4)
+    idf = {r["term"]: float(r["idf"]) for r in idx.dictionary.collect()}
+    rows = idx.compressed.collect()
+    checked = 0
+    for r in rows[:400]:
+        w = idf[r["term"]]
+        pdf = pd.DataFrame([{
+            "term": r["term"], "idf": w, "chunk": r["chunk"],
+            "doc_bytes": r["doc_bytes"], "cnt_bytes": r["cnt_bytes"],
+            "mc_bytes": r["mc_bytes"], "dl_bytes": r["dl_bytes"],
+        }])
+        offs, sc = _score_chunk_rows(pdf, 1 << 5, idx.avgdl)
+        bound = max(w * r["core_max"], w * r["core_min"])
+        assert sc.max() <= bound, (r["term"], r["chunk"], sc.max(), bound)
+        # single-term scores: the max must EQUAL the bound bit-for-bit
+        # (same floats through the same ops) — inequality would mean the
+        # scorer and encoder associations diverged again
+        if w > 0:
+            assert sc.max() == bound
+        checked += 1
+    assert checked > 100
+

@@ -94,9 +94,21 @@ def choose_query_plan(
             "throughput plan"
         )
         return {"plan": "sharded", "reasons": reasons}
+    if not head:
+        # measured (BATCH_PLANS.json, 1.2M docs / 4000-query batch): the
+        # per-query greedy tasks prune with a running θ and emit ranked
+        # rows directly — 3.2x the one-pass chunk plan's throughput with
+        # zero extra barriers. The chunk plan only wins when a head term
+        # would serialize one query's postings through one task.
+        reasons.append(
+            f"batch of {n_queries} without persisted layout, no head "
+            "term: barrier-free greedy WAND per query-task (3.2x the "
+            "one-pass chunk plan, BATCH_PLANS.json)"
+        )
+        return {"plan": "single", "reasons": reasons}
     reasons.append(
-        f"batch of {n_queries} without persisted layout: distributed "
-        "one-pass chunk plan"
+        f"head-term batch of {n_queries} without persisted layout: "
+        "distributed one-pass chunk plan"
     )
     return {"plan": "batch", "reasons": reasons}
 

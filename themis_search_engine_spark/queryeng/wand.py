@@ -20,14 +20,18 @@ doesn't map onto a cluster, so this is the distributed adaptation:
           possible doc can't reach the current top-k are never decoded) →
           union with phase 1, global top-k.
 
-Planner note (measured, BENCH_SCALING.json): the pruned path is the
-LATENCY plan — a single query over a big corpus decodes only the chunks
-that can reach the top-k. For BATCH throughput (hundreds of queries in one
-job) ``prune=False`` is the better physical plan: the probe→θ→rest chain
-costs three extra synchronization barriers per job, and with a whole batch
-in flight the chunk-scoring work is already dense, so barrier elimination
-beats chunk skipping (4→16-core scaling efficiency 0.62 pruned vs 0.80
-unpruned on the 1.2M-doc workload, with 24% higher absolute q/s).
+Planner note (measured; BENCH_SCALING.json + BATCH_PLANS.json): the
+PHASED pruned path here is the distributed-latency plan — a single query
+over a big corpus decodes only the chunks that can reach the top-k, but
+the probe→θ→rest chain costs three synchronization barriers per job, so
+for batches it loses to ``prune=False`` (r3 finding). Round 4 closed the
+loop: pruning pays for batches when it's BARRIER-FREE —
+:func:`wand_topk_single`'s per-query greedy tasks (running θ inside the
+task, ranked rows emitted directly, no global window) measure 3.2x this
+module's prune=False plan at the 4000-query/1.2M-doc batch, rank-
+identical. Plan ranking for big batches: sharded > single(greedy) >
+batch(prune=False) > phased; the planner routes accordingly, keeping
+prune=False only for head-term batches without a persisted layout.
 
 Exact chunk scoring is applyInPandas per (qid, chunk): varbyte-decode each
 term's slice, accumulate into a dense per-offset float64 array (chunks are
@@ -84,8 +88,16 @@ def _score_chunk_rows(
         dl = vb_decode(row["dl_bytes"]).astype(np.float64)
         tf = cnt / mc
         idf = float(row["idf"])
-        part = idf * tf * (K1 + 1.0) / (
-            tf + K1 * (1.0 - B + B * dl / avgdl)
+        # ASSOCIATION INVARIANT: compute the core EXACTLY as the encoder
+        # does (compress.bm25_core), THEN multiply idf — so for idf > 0,
+        # score_i = idf·core_i <= idf·core_max = the stored chunk bound
+        # at the FLOAT grain (IEEE multiply is monotonic). The other
+        # association (idf·tf·… left-to-right) differs by ±1 ulp, which
+        # made a block-max bound sit one ulp BELOW a real score and let
+        # the greedy early-exit skip a doc that TIES the k-th place
+        # (caught by the 1.2M-doc batch shootout rank check).
+        part = idf * (
+            tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
         )
         scores[offs] += part
         matched[offs] = True
