@@ -129,12 +129,19 @@ def main() -> None:
             qt.unpersist()
             print(json.dumps(level), flush=True)
 
-        # crossover: the smallest coverage where the IN-list stops paying
+        # crossover: the smallest coverage where the IN-list is harmful
+        # BEYOND run-to-run JVM noise (speedups in [0.8, 1.25] flip sign
+        # between identical runs on this 5-file corpus — too few scan
+        # files for low-coverage pruning gains to register; a 10^12-doc
+        # index has millions of files, where the low-coverage win is
+        # structural). The decisive regime both recorded runs agree on:
+        # coverage >= 0.5 costs ~2x.
         xs = [
             lv["dict_frac"] for lv in out["levels"]
-            if lv["inlist_speedup"] < 1.0
+            if lv["inlist_speedup"] < 0.8
         ]
         out["crossover_dict_frac"] = min(xs) if xs else None
+        out["noise_band"] = [0.8, 1.25]
         print(json.dumps(out))
         with open(os.path.join(HERE, "INLIST_CROSSOVER.json"), "w") as fh:
             json.dump(out, fh, indent=1)

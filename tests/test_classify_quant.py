@@ -76,3 +76,31 @@ def test_quantized_topk_rescored_matches_exact(spark):
     for key, (vid, cos) in quant.items():
         assert vid == exact[key][0]
         assert math.isclose(cos, exact[key][1], rel_tol=1e-9)
+
+
+def test_centroid_classify_arrow_decision_identical(spark):
+    """The Arrow matmul twin must make the SAME (vec_id, pred_label)
+    decisions as the Catalyst crossJoin form — 6-dp rounded argmax,
+    label-asc ties — and agree on cosine to float dust."""
+    from themis_search_engine_spark.corpus import load_embeddings
+    from themis_search_engine_spark.pipeline_ops.simsearch import (
+        centroid_classify_arrow,
+    )
+
+    embs = load_embeddings(spark, "/root/testdata/sf0.001").select(
+        "vec_id", "embedding", "label"
+    )
+    cents = label_centroids(embs, labeled=F.col("vec_id") % 5 == 0)
+    want = {
+        r["vec_id"]: (r["pred_label"], r["cosine"])
+        for r in centroid_classify(embs, cents).collect()
+    }
+    got = {
+        r["vec_id"]: (r["pred_label"], r["cosine"])
+        for r in centroid_classify_arrow(embs, cents).collect()
+    }
+    assert set(got) == set(want) and len(want) > 50
+    for vid, (lab, cos) in want.items():
+        glab, gcos = got[vid]
+        assert glab == lab, vid
+        assert math.isclose(gcos, cos, rel_tol=1e-9), vid

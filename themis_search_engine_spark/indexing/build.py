@@ -494,6 +494,18 @@ def build_and_save_serving(
     )
     dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
     _ensure_schema_file(dictionary, f"{path}/dictionary")
+    # rewrite global_stats WITH the dictionary cardinality: one tiny row,
+    # and it makes the serving-time IN-list-vs-join decision free
+    # (planner.choose_scan_filter needs batch_vocab / n_terms; a count
+    # job per batch would defeat the point). Mutation paths that rewrite
+    # global_stats without n_terms simply lose the column — readers
+    # treat it as unknown and fall back to the literal-cap rule.
+    n_terms = spark.read.parquet(f"{path}/dictionary").count()
+    spark.createDataFrame(
+        [(n_docs, avgdl, cb, max_doc_id, n_terms)],
+        "n_docs long, avgdl double, chunk_bits int, max_doc_id long, "
+        "n_terms long",
+    ).write.mode("overwrite").parquet(f"{path}/global_stats")
     t["dictionary"] = _time.perf_counter() - t0
 
     idx = load_serving_index(spark, path)
@@ -516,6 +528,10 @@ class ServingIndex:
     # highest doc_id holding any posting — bounds the chunk space for
     # shard planning (doc_ids need not be dense in [0, n_docs))
     max_doc_id: int = 0
+    # dictionary cardinality (persisted by the serving build); -1 on
+    # layouts whose mutation path rewrote global_stats without it —
+    # the scan-filter planner then falls back to the literal-cap rule
+    n_terms: int = -1
 
     def __getattr__(self, name):  # delegate table access to the index
         # guard 'index' itself (and dunders): during copy/pickle the
@@ -556,8 +572,12 @@ def load_serving_index(spark: SparkSession, path: str) -> ServingIndex:
         mdi = int(
             doc_stats.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
         )
+    nt = (
+        int(row["n_terms"]) if "n_terms" in global_stats.columns else -1
+    )
     return ServingIndex(
-        index=idx, compressed=compressed, chunk_bits=cb, max_doc_id=mdi
+        index=idx, compressed=compressed, chunk_bits=cb, max_doc_id=mdi,
+        n_terms=nt,
     )
 
 

@@ -337,6 +337,73 @@ def centroid_classify(
     )
 
 
+def centroid_classify_arrow(
+    embs: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`centroid_classify`, Arrow-kernel physical plan — decision-
+    identical (pinned in tests), ~two orders faster on wide vectors.
+
+    The Catalyst form evaluates |labels|·dim interpreted higher-order-
+    function ops per row; at corpus scale (topical sharding classifies
+    EVERY doc) that arithmetic dominates the whole assignment. This twin
+    collects the tiny centroid table once (same bound as the broadcast),
+    ships it in the task closure, and scores each Arrow batch as ONE
+    numpy matmul; the argmax reproduces the Catalyst ranking exactly —
+    half-away-from-zero 6-dp rounding (Spark ROUND) then label-asc ties.
+    No shuffle at all (the Catalyst form pays a per-vector argmax
+    window); output cosine is the raw float, as there.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        (r["label"], [float(x) for x in r["centroid_vec"]])
+        for r in centroids.select("label", "centroid_vec").collect()
+    )
+    labels = [c[0] for c in cents]
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    id_t = embs.schema[id_col].dataType.simpleString()
+    lab_t = centroids.schema["label"].dataType.simpleString()
+    schema = f"vec_id {id_t}, pred_label {lab_t}, cosine double"
+
+    def classify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            # dot / (|v|·|c|) — the same shape as the Catalyst
+            # expression; dust-level sum-order differences sit far below
+            # the 6-dp decision grain
+            cos = (V @ C.T) / np.maximum(
+                vnorm[:, None] * cnorm[None, :], 1e-300
+            )
+            # Spark ROUND = half away from zero; np.round is banker's
+            r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+            # argmax on rounded cosine, label-asc ties: labels are sorted
+            # ascending, np.argmax takes the FIRST max — exactly the tie
+            best = np.argmax(r6, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "pred_label": [labels[i] for i in best],
+                "cosine": cos[np.arange(len(best)), best],
+            })
+
+    v = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    return v.mapInPandas(classify, schema)
+
+
 def quantize_embeddings(
     embs: DataFrame,
     *,

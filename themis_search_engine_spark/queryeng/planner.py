@@ -113,6 +113,56 @@ def choose_query_plan(
     return {"plan": "batch", "reasons": reasons}
 
 
+def choose_scan_filter(
+    n_terms_batch: int,
+    n_terms_dict: int,
+    *,
+    max_literals: int = 10_000,
+    max_dict_frac: float = 0.1,
+) -> dict:
+    """{"filter": "inlist"|"join_only", "reasons": [...]} — should the
+    batch vocabulary be planted into the chunk scan as a literal IN-list?
+
+    Measured (INLIST_CROSSOVER.json, 300k docs, 1000-query batches over
+    vocabulary samples): the IN-list pays while the batch vocabulary is a
+    SMALL fraction of the dictionary (row-group pruning on the
+    term-sorted layout skips most of the scan) and turns into pure
+    overhead as coverage grows — at full-dictionary coverage it prunes
+    nothing and costs >2x (predicate eval + plan bloat). The inner join
+    with the broadcast qterms frame always applies either way, so
+    dropping the IN-list never changes results (asserted per level in
+    the artifact). ``n_terms_dict`` <= 0 means the layout predates the
+    persisted dictionary cardinality — fall back to the literal cap
+    alone (the pre-measurement rule). On a 10^12-doc index the pruning
+    side of the trade only grows (more files to skip), so the default
+    ``max_dict_frac`` is deliberately conservative.
+    """
+    reasons = []
+    if n_terms_batch <= 0:
+        return {"filter": "join_only", "reasons": ["empty batch vocab"]}
+    if n_terms_batch > max_literals:
+        reasons.append(
+            f"{n_terms_batch} literals > {max_literals}: plan-size bound"
+        )
+        return {"filter": "join_only", "reasons": reasons}
+    if n_terms_dict > 0 and n_terms_batch / n_terms_dict > max_dict_frac:
+        reasons.append(
+            f"batch vocab covers {n_terms_batch / n_terms_dict:.2f} of "
+            f"the dictionary > {max_dict_frac}: scan pruning no longer "
+            "pays for the predicate (INLIST_CROSSOVER.json)"
+        )
+        return {"filter": "join_only", "reasons": reasons}
+    reasons.append(
+        f"{n_terms_batch} literals, "
+        + (
+            f"{n_terms_batch / n_terms_dict:.3f} of the dictionary"
+            if n_terms_dict > 0 else "dictionary size unknown"
+        )
+        + ": row-group pruning pays"
+    )
+    return {"filter": "inlist", "reasons": reasons}
+
+
 def search_serving(
     spark: SparkSession,
     path: str,
@@ -143,6 +193,9 @@ def search_serving(
     row = g.collect()[0]
     n_docs = int(row["n_docs"])
     avgdl = float(row["avgdl"])
+    n_terms_dict = (
+        int(row["n_terms"]) if "n_terms" in g.columns else -1
+    )
     cb = (
         int(row["chunk_bits"])
         if "chunk_bits" in g.columns else DEFAULT_CHUNK_BITS
@@ -171,6 +224,9 @@ def search_serving(
         )
     )
     chosen = decision["plan"]
+    use_inlist = (
+        choose_scan_filter(len(vocab), n_terms_dict)["filter"] == "inlist"
+    )
     if chosen == "local":
         pdf = wand_topk_local(
             f"{path}/postings_comp", queries, idf_map, avgdl, k,
@@ -184,6 +240,7 @@ def search_serving(
         return wand_topk_single(
             queries, comp, None, avgdl, k,
             chunk_bits=cb, idf_map=idf_map, bound_scales=bs,
+            inlist=use_inlist,
         )
     if chosen == "sharded":
         return wand_topk_sharded(
@@ -200,5 +257,6 @@ def search_serving(
         return wand_topk(
             qt, comp, dictionary, avgdl, k, prune=False,
             chunk_bits=cb, term_list=vocab, bound_scales=bs,
+            inlist=use_inlist,
         )
     raise ValueError(f"unknown plan {chosen!r}")

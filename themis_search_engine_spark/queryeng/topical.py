@@ -209,7 +209,10 @@ def vector_shard_map(
     Deterministic end to end: strided seeds, grain-quantized Lloyd,
     rounded-cosine classification, size-ordered greedy packing.
     """
-    from ..pipeline_ops.simsearch import centroid_classify, kmeans_centroids
+    from ..pipeline_ops.simsearch import (
+        centroid_classify_arrow,
+        kmeans_centroids,
+    )
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -268,7 +271,7 @@ def vector_shard_map(
     # cached because the cluster table feeds TWO consumers (the size
     # collect and the final join) — MEMORY_AND_DISK, two narrow columns;
     # at extreme scale persist to a table instead and read it twice
-    clustered = centroid_classify(vecs, lab).select(
+    clustered = centroid_classify_arrow(vecs, lab).select(
         "vec_id", "pred_label"
     ).cache()
     # greedy size-balanced packing of WHOLE clusters into shards:

@@ -135,6 +135,7 @@ def wand_topk(
     prune: bool = True,
     term_list: list[str] | None = None,
     bound_scales: tuple[float, float] = (1.0, 1.0),
+    inlist: bool = True,
 ) -> DataFrame:
     """(qid, doc_id, score, rank) — top-k per query over compressed chunks.
 
@@ -159,7 +160,7 @@ def wand_topk(
         if term_list is not None
         else [r["term"] for r in qterms.select("term").distinct().collect()]
     )
-    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+    if inlist and 0 < len(terms) <= MAX_PRUNE_LITERALS:
         compressed = compressed.where(F.col("term").isin(list(terms)))
     q = F.broadcast(qterms.select("qid", "term").join(
         dictionary.select("term", "idf"), "term"
@@ -317,6 +318,7 @@ def wand_topk_single(
     term_list: list[str] | None = None,
     bound_scales: tuple[float, float] = (1.0, 1.0),
     idf_map: dict[str, float] | None = None,
+    inlist: bool = True,
 ) -> DataFrame:
     """The LATENCY plan: true sequential block-max WAND per query, ONE
     Spark job (scan → groupBy(qid) shuffle → one task per query).
@@ -357,7 +359,7 @@ def wand_topk_single(
         if len({r[0] for r in rows}) == 1:
             # single query: no join at all — qid is a literal, idf a
             # literal map lookup keyed on the scanned term column
-            if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+            if inlist and 0 < len(terms) <= MAX_PRUNE_LITERALS:
                 compressed = compressed.where(
                     F.col("term").isin(list(terms))
                 )
@@ -399,7 +401,7 @@ def wand_topk_single(
         q = F.broadcast(qterms.select("qid", "term").join(
             dictionary.select("term", "idf"), "term"
         ))
-    if 0 < len(terms) <= MAX_PRUNE_LITERALS:
+    if inlist and 0 < len(terms) <= MAX_PRUNE_LITERALS:
         compressed = compressed.where(F.col("term").isin(list(terms)))
     joined = compressed.join(q, "term")
     return joined.groupBy("qid").applyInPandas(
