@@ -107,24 +107,44 @@ def doc_tf_vectors(
         counts.groupBy(
             "doc_id", (_hash_bucket(F.col("term"), salt) % dim).alias("pos")
         )
-        .agg(F.sum("w").alias("w"))
+        .agg(F.sum("w").cast("double").alias("w"))
     )
-    return (
+    # densify in an Arrow kernel: one numpy scatter per batch. The
+    # Catalyst alternative (sequence(0, dim-1) + element_at over a map)
+    # evaluates dim interpreted HOF lookups PER ROW — measured as the
+    # dominant cost of the whole assignment at dim=256 (the lineage runs
+    # once for training and once for classification).
+    import numpy as np
+    import pandas as pd
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def densify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["ps"].map(len).to_numpy()
+            rows = np.repeat(np.arange(len(pdf)), lens)
+            pos = np.concatenate(pdf["ps"].to_numpy()).astype(np.int64)
+            w = np.concatenate(pdf["ws"].to_numpy()).astype(np.float64)
+            M = np.zeros((len(pdf), dim), dtype=np.float64)
+            M[rows, pos] = w
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "embedding": list(M),
+            })
+
+    pw = (
         sparse.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("pos", "w"))
-            ).alias("_m")
-        )
+        .agg(F.collect_list(F.struct("pos", "w")).alias("pw"))
         .select(
             "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda p: F.coalesce(
-                    F.element_at("_m", p.cast("long")), F.lit(0)
-                ).cast("double"),
-            ).alias("embedding"),
+            F.col("pw.pos").alias("ps"),
+            F.col("pw.w").alias("ws"),
         )
+    )
+    return pw.mapInPandas(
+        densify, f"doc_id {id_t}, embedding array<double>"
     )
 
 
