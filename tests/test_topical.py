@@ -175,3 +175,41 @@ def test_selective_recall_lift_over_random(spark, topical_docs, tmp_path):
     r_rand, r_top = recall(legs), recall(tlegs)
     assert r_top > r_rand + 0.2, (r_rand, r_top)
     assert r_top > 0.8, r_top
+
+
+def test_build_and_load_topical_serving(spark, topical_docs, tmp_path):
+    """The two-call selective story: build_topical_serving →
+    load_topical_serving → selective_wand_topk, rank-consistent with
+    serving from the in-session legs."""
+    from themis_search_engine_spark.queryeng import qterms_df
+    from themis_search_engine_spark.queryeng.federated import (
+        selective_wand_topk,
+    )
+    from themis_search_engine_spark.queryeng.topical import (
+        build_topical_serving,
+        load_topical_serving,
+    )
+    from themis_search_engine_spark.queryset import synth_topical_queries
+
+    p = str(tmp_path / "tier")
+    built = build_topical_serving(
+        topical_docs, p, 4, stem=True, partitions=4,
+        dim=256, iters=2, train_mod=2,
+    )
+    assert len(built) == 4
+    legs, meta = load_topical_serving(spark, p)
+    assert meta["n_shards"] == 4 and len(legs) == 4
+    assert sum(leg.n_docs for leg in legs) == N_DOCS
+
+    qt = qterms_df(spark, synth_topical_queries(10, N_TOPICS), stem=True)
+    got = sorted(
+        (r["qid"], r["doc_id"])
+        for r in selective_wand_topk(qt, legs, k=5, m=2, prune=False,
+                                     round_dp=6).collect()
+    )
+    want = sorted(
+        (r["qid"], r["doc_id"])
+        for r in selective_wand_topk(qt, tuple(built), k=5, m=2,
+                                     prune=False, round_dp=6).collect()
+    )
+    assert got == want and len(got) > 0

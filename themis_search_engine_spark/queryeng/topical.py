@@ -22,8 +22,9 @@ Scale shape (10^12 docs):
     doc vector is ~dim*8 bytes.
   - training: on a deterministic doc_id % train_mod sample (the paper
     trains on samples too); the full corpus never enters Lloyd.
-  - assignment: nearest-centroid over a BROADCAST centroid table — one
-    narrow codegen pass, no shuffle beyond the per-doc argmax window.
+  - assignment: nearest-centroid over the collected (tiny) centroid
+    table as ONE numpy matmul per Arrow batch
+    (simsearch.centroid_classify_arrow) — no shuffle at all.
   - the map is a join key, not a collect: nothing doc-scale reaches the
     driver.
 
@@ -77,8 +78,10 @@ def doc_tf_vectors(
 
     Plan: the textproc tokenize kernel (one Arrow pass, the same kernel
     the index build uses) → [tfidf: a term-keyed df agg + broadcast-style
-    join back] → groupBy(doc_id, bucket) partial-agg sum →
-    map_from_entries + a sequence transform to densify, all codegen.
+    join back] → groupBy(doc_id, bucket) partial-agg sum → one numpy
+    scatter per Arrow batch to densify (the Catalyst sequence+element_at
+    alternative costs dim interpreted lookups per row — measured as the
+    dominant assignment cost at dim=256).
     """
     from ..textproc import term_counts_arrow
 
@@ -314,3 +317,71 @@ def vector_shard_map(
         )
     )
     return clustered.join(pack_df, "pred_label").select("vec_id", "shard")
+
+
+def build_topical_serving(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    stem: bool = True,
+    partitions: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **assign_kw,
+):
+    """Build a complete selective-search serving tier under ``path``:
+    the topical shard map, one serving index per shard (``leg0..n-1``),
+    and a meta file — the two-call selective story (this +
+    :func:`load_topical_serving` → queryeng.selective_wand_topk).
+
+    Physical shape: the assignment is materialized ONCE, partitioned by
+    shard, so each leg build is a partition-pruned scan — the
+    cluster+classify lineage never re-runs per leg. ``assign_kw``
+    forwards to :func:`topical_shard_map` (dim, iters, train_mod,
+    n_clusters, weighting).
+
+    Returns the list of built ServingIndex handles.
+    """
+    import json
+    import os
+
+    from ..indexing.build import build_and_save_serving
+
+    spark = docs.sparkSession
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    smap = topical_shard_map(docs, n_shards, **assign_kw)
+    docs.join(smap, "doc_id").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{path}/sh_corpus")
+    sh = spark.read.parquet(f"{path}/sh_corpus")
+    legs = []
+    for i in range(n_shards):
+        legs.append(build_and_save_serving(
+            sh.where(F.col("shard") == i).select("doc_id", "text"),
+            f"{path}/leg{i}", stem=stem, partitions=partitions,
+        ))
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/_topical_meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_shards": n_shards, "stem": stem}, fh)
+    os.replace(tmp, f"{path}/_topical_meta.json")
+    return legs
+
+
+def load_topical_serving(spark, path: str):
+    """(legs, meta) — reload a :func:`build_topical_serving` tier for
+    queryeng.selective_wand_topk / federated_wand_topk."""
+    import json
+
+    from ..indexing.build import load_serving_index
+
+    with open(f"{path}/_topical_meta.json") as fh:
+        meta = json.load(fh)
+    legs = tuple(
+        load_serving_index(spark, f"{path}/leg{i}")
+        for i in range(int(meta["n_shards"]))
+    )
+    return legs, meta
