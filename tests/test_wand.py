@@ -70,6 +70,13 @@ def test_sharded_equals_bridge_plan(spark, tmp_path):
         dict(n_shards=1, driver_merge_limit=2_000_000, idf_map=None),
         dict(n_shards=3, driver_merge_limit=0, idf_map=idf_map),
         dict(n_shards=3, driver_merge_limit=2_000_000, idf_map=idf_map),
+        # query-group second dimension (chunk-quantization escape):
+        # every (range x group) task holds a query's FULL accumulator,
+        # so results stay exact at any group count incl. groups > |Q|
+        dict(n_shards=2, n_query_groups=2, idf_map=idf_map),
+        dict(n_shards=1, n_query_groups=5, idf_map=idf_map),
+        dict(n_shards=3, n_query_groups=99, driver_merge_limit=0,
+             idf_map=idf_map),
     ]
     for kw in cases:
         got = _by_qid(

@@ -250,6 +250,7 @@ def wand_topk_sharded(
     n_shards: int | None = None,
     idf_map: dict[str, float] | None = None,
     driver_merge_limit: int = 2_000_000,
+    n_query_groups: int | None = None,
 ) -> DataFrame:
     """(qid, doc_id, score, rank) — exact batch BM25 top-k served from the
     persisted compressed index at ``comp_path`` by doc-range shards.
@@ -268,6 +269,20 @@ def wand_topk_sharded(
 
     ``idf_map``: pre-collected dictionary (:func:`collect_idf_map`) for
     hot serving — skips the per-batch filtered dictionary scan job.
+
+    ``n_query_groups``: a SECOND sharding dimension for indexes whose
+    chunk count undercuts the cluster (the shard-atom quantization
+    BENCH_SCALING.json documents: 19 chunk atoms cap 16 cores). Tasks
+    become (chunk range × query group); each query lives in exactly ONE
+    group per range, so per-task top-k stays exact and the global merge
+    is unchanged. Cost: a (term, chunk) row matched by several groups is
+    read+decoded once PER GROUP — but each group's task reads only ITS
+    queries' terms (tighter per-task IN-list), so total decode work is
+    bounded by the bridge plan's per-query duplication while staying in
+    numpy. Default (None): auto — split only when chunk ranges <
+    2×parallelism, sized to restore ~2 tasks/core; 1 disables. At
+    10^12 docs the chunk space dwarfs any cluster and the auto never
+    splits.
 
     The global merge of per-shard top-k lists runs on the DRIVER when the
     worst-case row count (shards × queries × k) is at most
@@ -318,15 +333,54 @@ def wand_topk_sharded(
         shards.append((lo, hi_))
         lo = hi_
 
+    if n_query_groups is None:
+        # split only when the chunk space undercuts the cluster AND the
+        # batch is big enough that each group amortizes the per-task
+        # fixed cost (dataset open + footers ~10-20 ms: measured, groups
+        # win +18% at 16 cores/19 chunks/4000 queries but lose on a
+        # 50-query batch where tasks go sub-second)
+        target = sc_ctx.defaultParallelism * 2
+        auto = -(-target // len(shards)) if len(shards) < target else 1
+        n_query_groups = min(auto, max(1, len(queries) // 32))
+    n_query_groups = max(1, min(int(n_query_groups), len(queries)))
+
     _k, _avgdl, _cb = k, avgdl, chunk_bits
-    _bt, _idf, _path = by_term, idf, comp_path
+    _path = comp_path
 
-    def run(chunks):
-        return _score_shard(
-            _path, chunks, kept_vocab, _bt, _idf, _k, _avgdl, _cb
-        )
+    if n_query_groups > 1:
+        grp_specs = []
+        for g in range(n_query_groups):
+            bt_g = {
+                t: frozenset(q for q in qs if q % n_query_groups == g)
+                for t, qs in by_term.items()
+            }
+            bt_g = {t: qs for t, qs in bt_g.items() if qs}
+            if bt_g:
+                grp_specs.append(
+                    (tuple(sorted(bt_g)), bt_g,
+                     {t: idf[t] for t in bt_g})
+                )
 
-    packed = sc_ctx.parallelize(shards, len(shards)).map(run)
+        def run_g(task):
+            chunks, gi = task
+            v_g, bt_g, idf_g = grp_specs[gi]
+            return _score_shard(
+                _path, chunks, v_g, bt_g, idf_g, _k, _avgdl, _cb
+            )
+
+        tasks = [
+            (rng, gi) for rng in shards for gi in range(len(grp_specs))
+        ]
+        packed = sc_ctx.parallelize(tasks, len(tasks)).map(run_g)
+    else:
+        _bt, _idf = by_term, idf
+
+        def run(chunks):
+            return _score_shard(
+                _path, chunks, kept_vocab, _bt, _idf, _k, _avgdl, _cb
+            )
+
+        packed = sc_ctx.parallelize(shards, len(shards)).map(run)
 
     if n_shards * len(queries) * k <= driver_merge_limit:
         # tiny result set: one collect job, numpy global top-k, no shuffle
