@@ -92,6 +92,31 @@ def _score_shard(
     batch; return the shard's exact top-k per query, packed as three flat
     numpy buffers (or None if nothing matched).
 
+    Kernel shape (r5 — replaced the per-row decode + per-(qid, term)
+    dict-lookup loop, whose interpreter overhead made a chunk_bits=13
+    layout cost 3.2× the total CPU of chunk_bits=16 for identical
+    results, profiled in scripts/profile_shard.py):
+
+    - decode: the shard's four varbyte streams decode in FOUR vb_decode
+      calls total (row buffers concatenated; ``df_chunk`` supplies the
+      per-row value counts to split them back) and doc offsets come from
+      one segmented cumsum — numpy fixed cost no longer scales with the
+      row count, so fine chunk layouts stop paying a per-row decode tax.
+    - accumulate: queries are laid out as rows of a dense
+      (block × chunk_size) accumulator pair (block sized to a ~64 MB
+      budget). Each posting row scatters its idf-weighted core into all
+      its queries' accumulator rows with ONE fancy-indexed ``+=`` per
+      (row, block) — replacing the old qids_here × chunk-vocab
+      membership loop (~10⁸ interpreter iterations per shard at fine
+      layouts). Touched cells are re-zeroed from the seen mask after
+      each chunk's extraction, so the arrays are allocated once.
+
+    Float identity: within one (qid, doc) cell the adds still land in
+    ascending-term order (the table sort), fragment rows of delta-merged
+    segments in row order, with identical elementwise core arithmetic —
+    scores are bit-for-bit those of the r4 kernel, which tests pin
+    against the bridge plan.
+
     Storage: ``comp_path`` resolves through ``pyarrow.fs`` INSIDE the
     task (``_resolve_fs`` — same routing as the build's compress_files),
     so an object-store/shared-FS URI (s3://, hdfs://, file://) works from
@@ -106,8 +131,8 @@ def _score_shard(
     tbl = pq.read_table(
         local_p,
         filesystem=fs,
-        columns=["term", "chunk", "doc_bytes", "cnt_bytes", "mc_bytes",
-                 "dl_bytes"],
+        columns=["term", "chunk", "df_chunk", "doc_bytes", "cnt_bytes",
+                 "mc_bytes", "dl_bytes"],
         filters=[
             ("term", "in", list(vocab)),
             ("chunk", ">=", lo),
@@ -116,66 +141,158 @@ def _score_shard(
     )
     if tbl.num_rows == 0:
         return None
-    # chunk-major processing order; ascending term within a chunk keeps
-    # float accumulation order identical to wand._score_chunk_rows
+    # chunk-major processing order; ascending term within a chunk (and
+    # original row order within a term — fragment rows of delta-merged
+    # segments) keeps float accumulation order identical to
+    # wand._score_chunk_rows
     tbl = tbl.sort_by([("chunk", "ascending"), ("term", "ascending")])
     chunk_col = tbl["chunk"].to_numpy(zero_copy_only=False)
+    term_col = tbl["term"].to_pylist()
+    df_col = tbl["df_chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    chunk_size = 1 << chunk_bits
-    acc = np.zeros(chunk_size, dtype=np.float64)
-    seen = np.zeros(chunk_size, dtype=bool)
+    # whole-shard batched decode in ~1 MiB slabs: amortizes vb_decode's
+    # numpy fixed cost without letting its intermediates (7-8 full-size
+    # scratch arrays) blow past cache the way a one-shot whole-stream
+    # decode does (measured 1.7× on 20M values)
+    def _decode_stream(col, dtype):
+        slabs, cur, c = [], [], 0
+        for b in col.to_pylist():
+            cur.append(b)
+            c += len(b)
+            if c >= (1 << 20):
+                slabs.append(vb_decode(b"".join(cur)))
+                cur, c = [], 0
+        if cur:
+            slabs.append(vb_decode(b"".join(cur)))
+        flat = slabs[0] if len(slabs) == 1 else np.concatenate(slabs)
+        return flat.astype(dtype)
+
+    r_ends = np.cumsum(df_col)
+    r_starts = r_ends - df_col
+    deltas = _decode_stream(tbl["doc_bytes"], np.int64)
+    cs = np.cumsum(deltas)
+    row_base = np.zeros(len(df_col), dtype=np.int64)
+    row_base[1:] = cs[r_ends[:-1] - 1]
+    offs_flat = cs - np.repeat(row_base, df_col)
+    cnt = _decode_stream(tbl["cnt_bytes"], np.float64)
+    mc = _decode_stream(tbl["mc_bytes"], np.float64)
+    dl = _decode_stream(tbl["dl_bytes"], np.float64)
+    tf = cnt / mc
+    core_flat = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+    # query-block layout: qid -> (block, row) of the dense 2D accumulator
+    # (``blk`` — rows per block — is sized below once the window span is
+    # known; _sched only runs inside the window loop, after that)
+    all_qids = sorted({q for qs in by_term.values() for q in qs})
+    qid_arr = np.asarray(all_qids, dtype=np.int64)
+    qpos = {q: i for i, q in enumerate(all_qids)}
+    # per term: block_id -> (rows-in-block array, idf weight), built
+    # LAZILY on first appearance in this shard — a shard sees only its
+    # chunk range's terms, and most batch terms carry 1-3 qids (Zipf
+    # query vocab), so the eager per-task build cost ~2 s/shard at fine
+    # layouts for schedules never used
+    term_sched: dict[str, dict] = {}
+
+    def _sched(t: str) -> dict:
+        sch = term_sched.get(t)
+        if sch is None:
+            qs = by_term[t]
+            w = idf[t]
+            if len(qs) == 1:
+                (q,) = qs
+                p = qpos[q]
+                sch = {p // blk: (np.array([p % blk]), w)}
+            else:
+                pos = np.fromiter(
+                    (qpos[q] for q in qs), dtype=np.int64, count=len(qs)
+                )
+                pos.sort()
+                bids = pos // blk
+                cut = np.flatnonzero(np.diff(bids)) + 1
+                sch = {
+                    int(seg[0] // blk): (seg - (seg[0] // blk) * blk, w)
+                    for seg in np.split(pos, cut)
+                }
+            term_sched[t] = sch
+        return sch
+
     top: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     bounds = np.flatnonzero(np.diff(chunk_col)) + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(chunk_col)]])
-    for s, e in zip(starts, ends):
-        chunk = int(chunk_col[s])
-        base = chunk << chunk_bits
-        # materialize ONE chunk group's rows out of Arrow at a time (the
-        # shard's whole match set stays compressed/Arrow-side), and
-        # decode each row ONCE; a (term, chunk) group may span several
-        # fragment rows after delta merges — keep them all, in row
-        # order, exactly as the scatter-add scorer sees them
-        sl = tbl.slice(s, e - s)
-        term_l = sl["term"].to_pylist()
-        byte_cols = [
-            sl[c].to_pylist()
-            for c in ("doc_bytes", "cnt_bytes", "mc_bytes", "dl_bytes")
-        ]
-        rows_by_term: dict[str, list] = {}
-        for j in range(e - s):
-            deltas = vb_decode(byte_cols[0][j]).astype(np.int64)
-            offs = np.cumsum(deltas)
-            cnt = vb_decode(byte_cols[1][j]).astype(np.float64)
-            mc = vb_decode(byte_cols[2][j]).astype(np.float64)
-            dl = vb_decode(byte_cols[3][j]).astype(np.float64)
-            tf = cnt / mc
-            core = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-            rows_by_term.setdefault(term_l[j], []).append((offs, core))
-        qids_here = sorted(
-            {q for t in rows_by_term for q in by_term[t]}
+    g_starts = np.concatenate([[0], bounds])
+    g_ends = np.concatenate([bounds, [len(chunk_col)]])
+    # WINDOWS: consecutive chunk groups accumulate into one dense span of
+    # up to 2^16 cells (the proven chunk_bits=16 working point), so fine
+    # chunk layouts fold several chunks into ONE accumulation/extraction
+    # round instead of paying the per-(qid, chunk) extraction 2^(16-cb)
+    # times — doc cells are disjoint across chunks, so per-cell add order
+    # (ascending term within the owning chunk) is unchanged
+    wchunks = max(1, (1 << 16) >> chunk_bits)
+    span = wchunks << chunk_bits
+    blk = max(1, min(len(all_qids), (64 << 20) // (span * 9)))
+    acc = np.zeros((blk, span), dtype=np.float64)
+    seen = np.zeros((blk, span), dtype=bool)
+    hit = np.zeros(blk, dtype=bool)
+    g_chunks = chunk_col[g_starts].astype(np.int64)
+    wids = (g_chunks - lo) // wchunks
+    wbounds = np.flatnonzero(np.diff(wids)) + 1
+    w_gstarts = np.concatenate([[0], wbounds])
+    w_gends = np.concatenate([wbounds, [len(g_chunks)]])
+    for wgs, wge in zip(w_gstarts, w_gends):
+        wlo_chunk = lo + int(wids[wgs]) * wchunks
+        base = wlo_chunk << chunk_bits
+        # rows of this window grouped by accumulator block; each row's
+        # (window offsets, idf·core) contribution is computed ONCE and
+        # shared across every block its term's queries span (w is
+        # per-term, so the product is block-invariant)
+        blk_rows: dict[int, list] = {}
+        s0, e0 = int(g_starts[wgs]), int(g_ends[wge - 1])
+        contrib: list = [None] * (e0 - s0)
+        shift = np.repeat(
+            (g_chunks[wgs:wge] - wlo_chunk) << chunk_bits,
+            g_ends[wgs:wge] - g_starts[wgs:wge],
         )
-        terms_sorted = sorted(rows_by_term)
-        for qid in qids_here:
-            acc.fill(0.0)
-            seen.fill(False)
-            for t in terms_sorted:
-                if qid not in by_term[t]:
-                    continue
-                w = idf[t]
-                for offs, core in rows_by_term[t]:
-                    acc[offs] += w * core
-                    seen[offs] = True
-            offs = np.flatnonzero(seen)
-            sc = acc[offs]
-            ids = offs + base
-            if qid in top:
-                pids, psc = top[qid]
-                ids = np.concatenate([pids, ids])
-                sc = np.concatenate([psc, sc])
-            sel = np.lexsort((ids, -sc))[:k]
-            top[qid] = (ids[sel], sc[sel])
+        for j in range(s0, e0):
+            for bid in _sched(term_col[j]):
+                blk_rows.setdefault(bid, []).append(j)
+        for b, js in sorted(blk_rows.items()):
+            hit.fill(False)
+            for j in js:
+                rows, w = term_sched[term_col[j]][b]
+                ent = contrib[j - s0]
+                if ent is None:
+                    o = offs_flat[r_starts[j]:r_ends[j]] + shift[j - s0]
+                    ent = contrib[j - s0] = (
+                        o, w * core_flat[r_starts[j]:r_ends[j]]
+                    )
+                o, wv = ent
+                if len(rows) == 1:
+                    r0 = rows[0]
+                    acc[r0, o] += wv
+                    seen[r0, o] = True
+                else:
+                    # cap the fancy-index mesh temporary at ~16M cells
+                    step = max(1, (16 << 20) // max(1, len(o)))
+                    for i0 in range(0, len(rows), step):
+                        ix = np.ix_(rows[i0:i0 + step], o)
+                        acc[ix] += wv
+                        seen[ix] = True
+                hit[rows] = True
+            for r in np.flatnonzero(hit):
+                offs = np.flatnonzero(seen[r])
+                sc = acc[r, offs]
+                # reset only the touched cells — the arrays stay
+                # allocated (and mostly zero) across windows and blocks
+                acc[r, offs] = 0.0
+                seen[r, offs] = False
+                ids = offs + base
+                qid = int(qid_arr[b * blk + r])
+                if qid in top:
+                    pids, psc = top[qid]
+                    ids = np.concatenate([pids, ids])
+                    sc = np.concatenate([psc, sc])
+                sel = np.lexsort((ids, -sc))[:k]
+                top[qid] = (ids[sel], sc[sel])
 
     if not top:
         return None
