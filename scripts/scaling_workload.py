@@ -81,17 +81,19 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", 1_200_000))
     n_queries = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", 4000))
     # Shard atoms of the doc-sharded serving plan are doc-range CHUNKS
-    # (chunk = doc_id >> chunk_bits). chunk_bits=16 is the PRODUCTION
-    # layout (per-row numpy decode amortizes above ~1k postings/row —
-    # finer chunks halve sharded absolute q/s, measured r2) and leaves
-    # 1.2M docs only 19 chunks, so 8+ cores are task-starved and the
-    # sharded efficiency number measures layout quantization, not the
-    # engine. bench_scaling runs the primary pairs at 16 (absolute
-    # numbers comparable across rounds) plus a LAYOUT-CONTROLLED pair at
-    # 13 (~147 atoms, ~9/core at 16 cores) where the sharded plan's
-    # scaling is measurable; at the target 10^12 docs ANY chunk_bits
-    # gives millions of atoms and both concerns vanish.
-    chunk_bits = int(os.environ.get("SPARK_GRAFT_SCALE_CHUNK_BITS", 16))
+    # (chunk = doc_id >> chunk_bits). Default ("auto", r5): the build
+    # auto-sizes the layout from the corpus id ceiling
+    # (compress.choose_chunk_bits — 1.2M docs → chunk_bits=13, ~147
+    # atoms, ~9 tasks/core at 16 cores), which is what a DEFAULT-built
+    # index ships; the r5 vectorized kernel costs ~12% more total CPU at
+    # 13 bits than 16 (profile_shard.py) vs the ~2.5× the r2-r4 kernel
+    # paid, so the raw sharded efficiency gate no longer needs a
+    # layout-controlled override. Set SPARK_GRAFT_SCALE_CHUNK_BITS to
+    # pin a layout explicitly (e.g. 16 to reproduce the r4 primary
+    # pairs). At the target 10^12 docs auto always lands on 16 and the
+    # whole concern vanishes.
+    _cb_env = os.environ.get("SPARK_GRAFT_SCALE_CHUNK_BITS", "auto")
+    chunk_bits = None if _cb_env == "auto" else int(_cb_env)
     # input partitioning fixed across trials so every level reads the same
     # file layout; split sizing (maxPartitionBytes below) controls task count
     in_parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", 128))

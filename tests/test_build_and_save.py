@@ -197,3 +197,80 @@ def test_empty_corpus_builds_valid_empty_index(spark, tmp_path):
         spark, f"{p}/postings_comp", {1: ["alpha"]}, re.dictionary,
         re.avgdl, re.max_doc_id, k=5, chunk_bits=re.chunk_bits,
     ).count() == 0
+
+
+def test_choose_chunk_bits_layout_rule():
+    """Auto layout: production 16 whenever it yields >=128 atoms, finer
+    below, floored at 10 — and monotone in corpus size."""
+    from themis_search_engine_spark.indexing.compress import (
+        DEFAULT_CHUNK_BITS,
+        MIN_CHUNK_BITS,
+        choose_chunk_bits,
+    )
+
+    # web scale: always the production layout
+    assert choose_chunk_bits(10**12) == DEFAULT_CHUNK_BITS
+    assert choose_chunk_bits((128 << 16) - 1) == DEFAULT_CHUNK_BITS
+    # the r4 scaling corpus: exactly the measured-good 13-bit layout
+    assert choose_chunk_bits(1_199_999) == 13
+    assert (1_199_999 >> 13) + 1 >= 128
+    # small corpora floor at 2^10-doc chunks rather than shredding rows
+    assert choose_chunk_bits(50_000) == MIN_CHUNK_BITS
+    assert choose_chunk_bits(0) == MIN_CHUNK_BITS
+    # monotone: more docs never picks a finer layout
+    prev = MIN_CHUNK_BITS
+    for n in [10**4, 10**5, 10**6, 10**7, 10**8, 10**9]:
+        cb = choose_chunk_bits(n)
+        assert cb >= prev
+        prev = cb
+    # explicit bounds always honored
+    assert choose_chunk_bits(10**6, lo=4, hi=8) == 8
+
+
+def test_build_auto_chunk_bits_persists_and_serves(spark, tmp_path):
+    """Default (chunk_bits=None) build auto-sizes the layout, persists it
+    in global_stats, and the sharded plan serves it rank-identically to
+    naive BM25; max_doc_id_hint skips the sizing pre-pass with the same
+    result."""
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.indexing.compress import (
+        choose_chunk_bits,
+    )
+    from themis_search_engine_spark.queryeng import bm25_topk, qterms_df
+    from themis_search_engine_spark.queryeng.pipeline import query_term_map
+    from themis_search_engine_spark.queryeng.sharded import wand_topk_sharded
+
+    docs = load_documents(spark, SF_DIR).select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    want_cb = choose_chunk_bits(int(max_id))
+
+    sv = build_and_save_serving(docs, str(tmp_path / "auto"), stem=True)
+    assert sv.chunk_bits == want_cb
+    reloaded = load_serving_index(spark, str(tmp_path / "auto"))
+    assert reloaded.chunk_bits == want_cb
+
+    hinted = build_and_save_serving(
+        docs, str(tmp_path / "hinted"), stem=True,
+        max_doc_id_hint=int(max_id),
+    )
+    assert hinted.chunk_bits == want_cb
+
+    queries = {1: "spark shuffle join", 2: "batch scan"}
+    got = wand_topk_sharded(
+        spark, str(tmp_path / "auto") + "/postings_comp",
+        query_term_map(queries), sv.index.dictionary, sv.index.avgdl,
+        sv.max_doc_id, k=5, chunk_bits=sv.chunk_bits,
+    ).orderBy("qid", "rank").collect()
+    ref = bm25_topk(
+        qterms_df(spark, queries), sv.index.postings_flat,
+        sv.index.dictionary, sv.index.doc_stats, sv.index.avgdl, k=5,
+    ).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["doc_id"], r["rank"]) for r in got] == [
+        (r["qid"], r["doc_id"], r["rank"]) for r in ref
+    ]
+    assert all(
+        abs(a["score"] - b["score"]) < 1e-9 for a, b in zip(got, ref)
+    )

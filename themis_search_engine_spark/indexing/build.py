@@ -323,6 +323,7 @@ def build_and_save_serving(
     stem: bool = True,
     chunk_bits: int | None = None,
     partitions: int = 64,
+    max_doc_id_hint: int | None = None,
     timings: dict | None = None,
 ) -> "ServingIndex":
     """The north-rule serving build: tokenize → ONE salted/sorted term-chunk
@@ -363,14 +364,37 @@ def build_and_save_serving(
     duplicate doc_ids two docs' (length, maxcnt) pairs would both
     survive, fanning out every doc_stats join downstream. Dedup upstream
     (pipeline_ops.dedup) or assign ids before building.
+
+    ``chunk_bits=None`` (the default) AUTO-SIZES the chunk layout from
+    the corpus id ceiling (:func:`..compress.choose_chunk_bits`): the
+    production 2^16-doc chunks whenever the corpus yields ≥128 chunk
+    atoms at them, progressively finer (floor 2^10) below that so the
+    sharded serving plan is never task-starved on small corpora — the
+    r4 failure mode where a 19-atom layout capped 16 cores at ~0.6
+    scaling efficiency. Sizing needs ``max(id_col)`` BEFORE the chunk
+    column exists, which costs one extra column-pruned pre-pass over
+    ``docs``; pass ``max_doc_id_hint`` (any upper bound ≥ the true max
+    works, e.g. the known corpus size) to skip it, or an explicit
+    ``chunk_bits`` to pin the layout outright. At web scale the auto
+    always lands on 16 (≥2^23 docs), so the pre-pass is only ever paid
+    by corpora small enough for it to be cheap.
     """
     import time as _time
 
     from pyspark.sql import Observation
 
-    from .compress import compress_files
+    from .compress import choose_chunk_bits, compress_files
 
-    cb = DEFAULT_CHUNK_BITS if chunk_bits is None else chunk_bits
+    if chunk_bits is not None:
+        cb = chunk_bits
+    else:
+        id_ceiling = max_doc_id_hint
+        if id_ceiling is None:
+            id_ceiling = (
+                docs.agg(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+                or 0
+            )
+        cb = choose_chunk_bits(int(id_ceiling))
     t = timings if timings is not None else {}
     spark = docs.sparkSession
 

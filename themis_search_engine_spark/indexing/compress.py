@@ -45,7 +45,41 @@ from pyspark.sql.types import (
 K1 = 2.0
 B = 0.75
 DEFAULT_CHUNK_BITS = 16
+MIN_CHUNK_BITS = 10
+# auto layout targets at least this many doc-range chunk atoms: the
+# sharded serving plan's parallel unit is the chunk, and ~128 atoms keep
+# shard assignment balanced to within ~1/8 at up to ~64-core serving
+# tiers (BENCH_SCALING r4 measured the failure mode: 19 atoms cap 16
+# cores at 0.59-0.66 efficiency)
+TARGET_CHUNK_ATOMS = 128
 BLOCK = 128
+
+
+def choose_chunk_bits(
+    max_doc_id: int,
+    *,
+    target_atoms: int = TARGET_CHUNK_ATOMS,
+    lo: int = MIN_CHUNK_BITS,
+    hi: int = DEFAULT_CHUNK_BITS,
+) -> int:
+    """Auto-size the doc-range chunk layout from the corpus id ceiling.
+
+    Largest ``chunk_bits`` in [lo, hi] whose chunk count
+    ``(max_doc_id >> cb) + 1`` reaches ``target_atoms`` — big chunks
+    amortize per-row decode and compress best, but the sharded serving
+    plan cannot run more tasks than there are chunk atoms, so a small
+    corpus must trade chunk size for parallelism. Floors at ``lo``
+    (1024-doc chunks): finer than that, (term, chunk) rows shrink to a
+    handful of postings and per-row storage/decode overhead dominates.
+    At web scale the constraint never binds: ≥ 2^23 docs already yields
+    128 atoms at the production ``hi`` = 16, so auto always picks 16
+    there — the knob exists for the small-corpus / few-core regime.
+    """
+    n = max(0, int(max_doc_id))
+    for cb in range(hi, lo, -1):
+        if (n >> cb) + 1 >= target_atoms:
+            return cb
+    return lo
 
 # --- numpy varbyte codec ----------------------------------------------------
 
