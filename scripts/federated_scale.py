@@ -140,9 +140,24 @@ def main() -> None:
         out["build_legs_sec"] = round(time.perf_counter() - t0, 2)
 
         # --- topical shard assignment + per-shard leg builds -----------
+        # the assignment RIDES THE UNION BUILD'S COUNTING PASS (r5):
+        # postings_raw is the (doc_id, term, cnt) table the build already
+        # tokenized, the dictionary already aggregated df, global_stats
+        # already holds N — so the timed section below costs one
+        # bucket-sum agg + sample-Lloyd + classify, not a second
+        # tokenize+df pass over the corpus (r4: 89.7 s assignment vs
+        # 29.7 s for the four shard builds it feeds, all redundancy)
         t0 = time.perf_counter()
+        union_raw = spark.read.parquet(f"{tmp}/union/postings_raw").select(
+            "doc_id", "term", "cnt"
+        )
+        union_dict = spark.read.parquet(f"{tmp}/union/dictionary")
+        union_n = spark.read.parquet(f"{tmp}/union/global_stats").collect()[
+            0
+        ]["n_docs"]
         smap = topical_shard_map(
-            corpus, N_LEGS, dim=256, iters=4, train_mod=8
+            corpus, N_LEGS, dim=256, iters=4, train_mod=8,
+            counts=union_raw, df_table=union_dict, n_docs=int(union_n),
         ).cache()
         sizes = {
             int(r["shard"]): int(r["count"])

@@ -213,3 +213,42 @@ def test_build_and_load_topical_serving(spark, topical_docs, tmp_path):
                                      prune=False, round_dp=6).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_doc_tf_vectors_precomputed_counts_identical(spark, topical_docs,
+                                                     tmp_path):
+    """Vectors fed from an index build's own tables (postings_raw counts,
+    dictionary df, global_stats N) are row-identical to the
+    self-computed path — the r5 'ride the build's pass' contract."""
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+    )
+
+    p = str(tmp_path / "sv")
+    sv = build_and_save_serving(topical_docs, p, stem=False, partitions=8)
+    raw = spark.read.parquet(f"{p}/postings_raw").select(
+        "doc_id", "term", "cnt"
+    )
+    base = doc_tf_vectors(topical_docs, dim=32).orderBy("doc_id").collect()
+    fed = (
+        doc_tf_vectors(
+            topical_docs, dim=32, counts=raw,
+            df_table=sv.index.dictionary, n_docs=sv.n_docs,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(base) == len(fed)
+    for a, b in zip(base, fed):
+        assert a["doc_id"] == b["doc_id"]
+        assert np.allclose(a["embedding"], b["embedding"], atol=1e-12)
+
+    # and the shard map built from the fed vectors matches end to end
+    m1 = topical_shard_map(topical_docs, 4, dim=32).orderBy("doc_id")
+    m2 = topical_shard_map(
+        topical_docs, 4, dim=32, counts=raw,
+        df_table=sv.index.dictionary, n_docs=sv.n_docs,
+    ).orderBy("doc_id")
+    assert [r.asDict() for r in m1.collect()] == [
+        r.asDict() for r in m2.collect()
+    ]

@@ -53,6 +53,9 @@ def doc_tf_vectors(
     stem: bool = False,
     salt: str = "tfvec",
     weighting: str = "tfidf",
+    counts: DataFrame | None = None,
+    df_table: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_id, embedding: array<double>) — hashed bag-of-words doc
     vectors: every post-stopword token hashes (seeded-md5, the engine's
@@ -82,17 +85,34 @@ def doc_tf_vectors(
     scatter per Arrow batch to densify (the Catalyst sequence+element_at
     alternative costs dim interpreted lookups per row — measured as the
     dominant assignment cost at dim=256).
+
+    RIDE THE BUILD'S OWN PASS (r5): an index build already tokenizes the
+    corpus into (doc_id, term, cnt) — the serving layout persists it as
+    ``postings_raw`` — and already aggregates per-term df into the
+    dictionary and N into global_stats. Pass those as ``counts`` /
+    ``df_table`` (term, df) / ``n_docs`` and the vectors cost ONE
+    bucket-sum aggregation over the existing table instead of a second
+    full tokenize + df pass (r4 measured assignment at 3× the cost of
+    the shard builds it feeds, all of it this redundancy). Given inputs
+    from the same tokenizer settings the output is row-identical to the
+    self-computed path (pinned in tests/test_topical.py). ``stem`` is
+    ignored when ``counts`` is given — the counts carry their
+    tokenization.
     """
     from ..textproc import term_counts_arrow
 
-    counts = term_counts_arrow(docs, text_col, id_col, stem=stem).select(
-        "doc_id", "term", "cnt"
-    )
+    if counts is None:
+        counts = term_counts_arrow(docs, text_col, id_col, stem=stem)
+    counts = counts.select("doc_id", "term", "cnt")
     if weighting == "tfidf":
-        n_docs = docs.count()
-        df = counts.groupBy("term").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
+        if n_docs is None:
+            n_docs = docs.count()
+        if df_table is None:
+            df = counts.groupBy("term").agg(
+                F.count(F.lit(1)).alias("_df")
+            )
+        else:
+            df = df_table.select("term", F.col("df").alias("_df"))
         w = (
             F.log1p(F.col("cnt"))
             * F.log2(F.lit(float(n_docs)) / F.col("_df"))
@@ -164,6 +184,9 @@ def topical_shard_map(
     stem: bool = False,
     weighting: str = "tfidf",
     n_clusters: int | None = None,
+    counts: DataFrame | None = None,
+    df_table: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_id, shard) — every input doc assigned to one of ``n_shards``
     topical shards (shard ∈ [0, n_shards), dense ids).
@@ -190,12 +213,18 @@ def topical_shard_map(
     Docs with no tokens carry no topical signal and fall back to
     ``doc_id % n_shards`` — deterministic, and consistent with how the
     random baseline places every doc.
+
+    ``counts`` / ``df_table`` / ``n_docs`` forward to
+    :func:`doc_tf_vectors` — pass an existing index build's
+    ``postings_raw`` + dictionary + N so the assignment rides the
+    build's own counting pass instead of re-tokenizing the corpus.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     vecs = doc_tf_vectors(
         docs, dim=dim, text_col=text_col, id_col=id_col, stem=stem,
-        weighting=weighting,
+        weighting=weighting, counts=counts, df_table=df_table,
+        n_docs=n_docs,
     ).withColumnRenamed("doc_id", "vec_id")
     assigned = vector_shard_map(
         vecs, n_shards, iters=iters, grain=grain, train_mod=train_mod,
@@ -339,7 +368,9 @@ def build_topical_serving(
     shard, so each leg build is a partition-pruned scan — the
     cluster+classify lineage never re-runs per leg. ``assign_kw``
     forwards to :func:`topical_shard_map` (dim, iters, train_mod,
-    n_clusters, weighting).
+    n_clusters, weighting — and counts/df_table/n_docs, so a caller
+    holding an existing central index passes its postings_raw +
+    dictionary + N and the assignment skips the tokenize pass).
 
     Returns the list of built ServingIndex handles.
     """
