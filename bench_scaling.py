@@ -125,11 +125,11 @@ def run_pair(
     """Best-of-ATTEMPTS scaling record for one (lo, hi) core pair.
 
     ``gate`` picks which efficiencies stop the retry loop early once they
-    clear TARGET: "primary" = build + bridge query (the north-rule pair;
-    the sharded number is quantization-capped at the production
-    chunk_bits=16 layout on a 19-chunk corpus, so retrying can't move
-    it); "sharded" = the sharded plan only (used by the layout-controlled
-    chunk_bits=13 pair whose whole point is that number)."""
+    clear TARGET: "primary" = build + bridge query + sharded (all three
+    north-rule numbers — r5's auto chunk layout gives the 1.2M-doc
+    corpus ~147 shard atoms by DEFAULT, so the sharded number now
+    measures the engine, not layout quantization); "sharded" = the
+    sharded plan only (for chunk_bits-pinned comparison pairs)."""
     best: dict[int, dict | None] = {lo: None, hi: None}
     ratio = hi / lo
     attempts_used = 0
@@ -150,7 +150,7 @@ def run_pair(
         done = (
             s_eff >= TARGET
             if gate == "sharded"
-            else (b_eff >= TARGET and q_eff >= TARGET)
+            else (b_eff >= TARGET and q_eff >= TARGET and s_eff >= TARGET)
         )
         if done:
             break
@@ -221,14 +221,15 @@ def main() -> None:
         (int(a), int(b))
         for a, b in (p.split(":") for p in pairs_env.split(","))
     ]
-    # layout-controlled sharded pairs: same workload rebuilt at
-    # chunk_bits=13 so the 1.2M-doc corpus has ~147 doc-range shard atoms
-    # (vs 19 at the production chunk_bits=16) — enough tasks per core at
-    # both levels that the sharded plan's efficiency measures the ENGINE,
-    # not layout quantization. Absolute q/s at this layout is NOT the
-    # headline (finer chunks pay per-row decode overhead, measured r2);
-    # the primary pairs carry the production-layout absolutes.
-    sh_pairs_env = os.environ.get("SPARK_GRAFT_SCALE_SHARDED_PAIRS", "2:8,4:16")
+    # chunk_bits-pinned sharded pairs — EMPTY by default since r5: the
+    # build now auto-sizes the chunk layout (compress.choose_chunk_bits
+    # — 1.2M docs → 13 bits, ~147 atoms), so the primary pairs already
+    # measure the default-built layout with enough shard atoms at every
+    # level and the old layout-controlled override is redundant. Set
+    # SPARK_GRAFT_SCALE_SHARDED_PAIRS (e.g. "2:8,4:16") to additionally
+    # record pairs pinned at SPARK_GRAFT_SCALE_LAYOUT_BITS (default 16,
+    # the web-scale production layout) for cross-layout comparison.
+    sh_pairs_env = os.environ.get("SPARK_GRAFT_SCALE_SHARDED_PAIRS", "")
     sh_pairs = [
         (int(a), int(b))
         for a, b in (
@@ -247,10 +248,11 @@ def main() -> None:
             layout_records[f"{lo}->{hi}"] = run_pair(
                 lo, hi, pages_dir, gate="sharded",
                 extra_env={
-                    "SPARK_GRAFT_SCALE_CHUNK_BITS": "13",
+                    "SPARK_GRAFT_SCALE_CHUNK_BITS": os.environ.get(
+                        "SPARK_GRAFT_SCALE_LAYOUT_BITS", "16"
+                    ),
                     # the gate never reads the bridge number; a 4000-query
-                    # bridge batch at the finer layout is ~10 min/level of
-                    # pure waste
+                    # bridge batch is ~10 min/level of pure waste here
                     "SPARK_GRAFT_SCALE_SKIP_BRIDGE": "1",
                 },
             )

@@ -65,6 +65,13 @@ def main() -> None:
 
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_SOAK_ONLY")
+    if only:  # targeted re-check: comma-separated query names
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {n: qs[n] for n in names}
     out: dict[str, dict] = {}
     for name, q in qs.items():
         t0 = time.time()
@@ -109,7 +116,9 @@ def main() -> None:
         )
         print(f"{name}: {'ok' if ok else 'FAIL'} {rec['sec']}s", flush=True)
 
-    path = os.path.join(HERE, f"CORRECTNESS_SOAK_{tag}.json")
+    # subset runs must never clobber the full-registry artifact
+    suffix = "_subset" if only else ""
+    path = os.path.join(HERE, f"CORRECTNESS_SOAK_{tag}{suffix}.json")
     with open(path, "w") as fh:
         json.dump({"sf_dir": sf_dir, "results": out}, fh, indent=1)
     bad = [

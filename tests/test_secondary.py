@@ -123,3 +123,109 @@ def test_derived_secondaries_are_inherently_fresh(spark, split_docs):
     assert needle["doc_id"] not in hits_old
     assert needle["doc_id"] in hits_full
     assert hits_old <= hits_full
+
+
+def test_stale_trigram_terms_fails_loudly_then_delta_merge_heals(
+    spark, tmp_path, split_docs
+):
+    """The persisted gram→term artifact (r5): staleness is loud, the
+    O(new-terms) delta append equals a full rebuild row-for-row, and
+    infix expansion over the persisted table equals the derived path."""
+    from themis_search_engine_spark.indexing import build_index
+    from themis_search_engine_spark.queryeng.trigram import (
+        infix_qterms,
+        load_trigram_terms,
+        merge_trigram_terms_delta,
+        save_trigram_terms,
+    )
+
+    old, delta, full = split_docs
+    idx_p = str(tmp_path / "idx")
+    gt_p = str(tmp_path / "grams")
+    build_and_save_serving(old, idx_p, stem=True, chunk_bits=5,
+                           partitions=4)
+    d_old = build_index(old, stem=True).dictionary.cache()
+    save_trigram_terms(d_old, gt_p, serving_path=idx_p, partitions=2)
+    assert check_secondary(gt_p, idx_p)["kind"] == "trigram_terms"
+    assert load_trigram_terms(spark, gt_p, serving_path=idx_p).count() > 0
+
+    merge_serving_delta(spark, idx_p, delta, stem=True, partitions=4)
+    with pytest.raises(StaleSecondaryIndexError, match="generation"):
+        load_trigram_terms(spark, gt_p, serving_path=idx_p)
+
+    # remedy: append grams of the terms NEW to the merged dictionary
+    d_full = build_index(full, stem=True).dictionary.cache()
+    new_terms = d_full.select("term").exceptAll(d_old.select("term"))
+    merge_trigram_terms_delta(
+        spark, gt_p, new_terms, serving_path=idx_p, partitions=2
+    )
+    merged = load_trigram_terms(spark, gt_p, serving_path=idx_p)
+    rb_p = str(tmp_path / "grams_rb")
+    save_trigram_terms(d_full, rb_p, serving_path=idx_p, partitions=2)
+    rebuilt = load_trigram_terms(spark, rb_p, serving_path=idx_p)
+    a = sorted((r["gram"], r["term"]) for r in merged.collect())
+    b = sorted((r["gram"], r["term"]) for r in rebuilt.collect())
+    assert a == b and len(a) > 0
+
+    # persisted-artifact expansion == derived expansion (df joined live)
+    pats = {1: "ndo", 2: "uer"}
+    via_art = infix_qterms(
+        spark, d_full, pats, max_terms=16, gram_table=merged
+    )
+    via_live = infix_qterms(spark, d_full, pats, max_terms=16)
+    assert sorted(map(tuple, via_art.collect())) == sorted(
+        map(tuple, via_live.collect())
+    )
+
+
+def test_stale_doc_trigrams_fails_loudly_then_delta_merge_heals(
+    spark, tmp_path, split_docs
+):
+    """The persisted doc-grain trigram artifact (r5): staleness is loud,
+    the O(delta) append equals a full rebuild, and grep over the
+    persisted table equals the derived path — including after deletes,
+    where stale gram rows die at the live-corpus verify."""
+    from themis_search_engine_spark.queryeng.grepdocs import (
+        grep_docs,
+        load_doc_trigrams,
+        merge_doc_trigrams_delta,
+        save_doc_trigrams,
+    )
+
+    old, delta, full = split_docs
+    idx_p = str(tmp_path / "idx")
+    dg_p = str(tmp_path / "docgrams")
+    build_and_save_serving(old, idx_p, stem=True, chunk_bits=5,
+                           partitions=4)
+    save_doc_trigrams(old, dg_p, serving_path=idx_p, partitions=2)
+    assert check_secondary(dg_p, idx_p)["kind"] == "doc_trigrams"
+
+    merge_serving_delta(spark, idx_p, delta, stem=True, partitions=4)
+    with pytest.raises(StaleSecondaryIndexError, match="generation"):
+        load_doc_trigrams(spark, dg_p, serving_path=idx_p)
+
+    merge_doc_trigrams_delta(
+        spark, dg_p, delta, serving_path=idx_p, partitions=2
+    )
+    merged = load_doc_trigrams(spark, dg_p, serving_path=idx_p)
+    rb_p = str(tmp_path / "docgrams_rb")
+    save_doc_trigrams(full, rb_p, serving_path=idx_p, partitions=2)
+    rebuilt = load_doc_trigrams(spark, rb_p, serving_path=idx_p)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    pats = {1: "hash join", 2: "slow query"}
+    via_art = grep_docs(spark, full, pats, gram_table=merged)
+    via_live = grep_docs(spark, full, pats)
+    want = sorted(map(tuple, via_live.collect()))
+    assert sorted(map(tuple, via_art.collect())) == want and want
+
+    # deletes: serve a SHRUNK corpus against the (now-superset) artifact
+    # — stale rows are false candidates only, results stay exact
+    kept = full.where("doc_id % 7 != 0")
+    via_art_d = grep_docs(spark, kept, pats, gram_table=merged)
+    via_live_d = grep_docs(spark, kept, pats)
+    assert sorted(map(tuple, via_art_d.collect())) == sorted(
+        map(tuple, via_live_d.collect())
+    )

@@ -23,10 +23,16 @@ Contract (tested in tests/test_secondary.py):
   segment-append pattern as merge_serving_delta) and restamps, or a
   full rebuild via save_positional_index(..., serving_path=...).
 
-Derived-on-the-fly secondaries (trigram_terms from the live dictionary,
-grepdocs.doc_trigrams from the live corpus) recompute from current
-tables per query and cannot go stale — only PERSISTED artifacts need
-the stamp.
+Stamped artifacts: the positional index (queryeng/phrase.py), the
+vocabulary gram→term table (queryeng/trigram.save_trigram_terms) and
+the doc-grain trigram postings (queryeng/grepdocs.save_doc_trigrams) —
+each with an O(delta) merge mirroring :func:`merge_positional_delta`.
+The trigram artifacts store NO statistics (df / corpus counts), so a
+merge that only changes term stats never stales them; deleted docs'
+stale gram rows die at the live-corpus verify join. Derived-on-the-fly
+use (passing no gram_table) recomputes from current tables per query
+and cannot go stale — correct, but a full dictionary/corpus pass per
+query at web scale; persist for serving.
 
 Reference parity: the reference has one index generation and no
 mutation story at all (SURVEY.md §2.9's dead merge code); this module

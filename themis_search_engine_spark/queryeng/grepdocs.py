@@ -76,6 +76,96 @@ def doc_trigrams(
     )
 
 
+def save_doc_trigrams(
+    docs: DataFrame,
+    path: str,
+    *,
+    serving_path: str | None = None,
+    partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the doc-grain (gram, doc_id) trigram postings,
+    repartitioned and sorted by gram so a query's gram IN-list prunes to
+    a few row groups instead of re-normalizing + exploding the whole
+    corpus per query (a full corpus pass per query at 10^12 docs).
+    ``serving_path`` stamps the artifact with the serving index's
+    generation (indexing.secondary) so staleness is LOUD. Per-doc rows
+    carry no corpus statistics, so a delta corpus appends exactly
+    (:func:`merge_doc_trigrams_delta`); DELETED docs leave stale rows
+    that die at grep's live-corpus verify join — false candidates,
+    never false results."""
+    (
+        doc_trigrams(docs, id_col=id_col, text_col=text_col)
+        .repartition(partitions, "gram")
+        .sortWithinPartitions("gram", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    if serving_path is not None:
+        from ..indexing.secondary import stamp_secondary
+
+        stamp_secondary(path, serving_path, "doc_trigrams")
+
+
+def load_doc_trigrams(
+    spark: SparkSession,
+    path: str,
+    *,
+    serving_path: str | None = None,
+    allow_unstamped: bool = False,
+) -> DataFrame:
+    """Reload a persisted doc-trigram artifact; with ``serving_path``,
+    raise StaleSecondaryIndexError unless its stamped generation matches
+    the serving index's current one."""
+    if serving_path is not None:
+        from ..indexing.secondary import check_secondary
+
+        check_secondary(path, serving_path, allow_unstamped=allow_unstamped)
+    return spark.read.parquet(path)
+
+
+def merge_doc_trigrams_delta(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    serving_path: str | None = None,
+    partitions: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append the DELTA docs' (gram, doc_id) rows — O(delta), the same
+    generation-prefixed part-file append as merge_positional_delta.
+    Exact for disjoint doc_ids (the serving build's uniqueness
+    precondition): per-doc gram rows carry no global state, so the
+    append equals a full rebuild row-for-row (pinned in
+    tests/test_secondary.py)."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}.delta-{uuid.uuid4().hex[:8]}"
+    (
+        doc_trigrams(new_docs, id_col=id_col, text_col=text_col)
+        .repartition(partitions, "gram")
+        .sortWithinPartitions("gram", "doc_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    prefix = f"delta-{uuid.uuid4().hex[:8]}-"
+    try:
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                os.replace(f"{tmp}/{f}", f"{path}/{prefix}{f}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if serving_path is not None:
+        from ..indexing.secondary import stamp_secondary
+
+        stamp_secondary(path, serving_path, "doc_trigrams")
+
+
 def grep_docs(
     spark: SparkSession,
     docs: DataFrame,
@@ -83,6 +173,7 @@ def grep_docs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_table: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, doc_id) — documents whose normalized text contains each
     query's substring (patterns are normalized with the same P2 rules,
@@ -104,8 +195,13 @@ def grep_docs(
         spark.createDataFrame(qpat_rows, "qid long, pattern string, n_grams int")
     )
     all_grams = sorted({g for _, g in qgram_rows})
-    cand = (
+    gsrc = (
         doc_trigrams(docs, id_col=id_col, text_col=text_col)
+        if gram_table is None
+        else gram_table  # persisted artifact: gram-sorted, IN-list prunes
+    )
+    cand = (
+        gsrc
         .where(F.col("gram").isin(all_grams))
         .join(qgrams, "gram")
         .groupBy("qid", "doc_id")
@@ -129,6 +225,7 @@ def regex_grep(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_table: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, doc_id) — documents whose NORMALIZED text contains a match
     of each regex (grep semantics: unanchored search, vs regex_qterms'
@@ -175,8 +272,13 @@ def regex_grep(
             spark.createDataFrame(gram_rows, "qid long, gram string")
         )
         all_grams = sorted({g for _, g in gram_rows})
-        cand = (
+        gsrc = (
             doc_trigrams(docs, id_col=id_col, text_col=text_col)
+            if gram_table is None
+            else gram_table  # persisted artifact: gram-sorted scan
+        )
+        cand = (
+            gsrc
             .where(F.col("gram").isin(all_grams))
             .join(qgrams, "gram")
             .groupBy("qid", "doc_id")

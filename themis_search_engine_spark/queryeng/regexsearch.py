@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .trigram import trigram_terms
+from .trigram import gram_candidates
 
 # --- parser -----------------------------------------------------------------
 
@@ -355,6 +355,7 @@ def regex_qterms(
     regex_queries: dict[int, str],
     *,
     max_terms: int = 16,
+    gram_table: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, term, qweight=1.0) — each full-match regex expands to its
     at-most-``max_terms`` highest-df matching dictionary terms (df desc,
@@ -405,10 +406,9 @@ def regex_qterms(
         )
         all_grams = sorted({g for _, g in gram_rows})
         cand = (
-            trigram_terms(d)
-            # explicit IN-list so the persisted gram→term artifact's
-            # scan row-group-prunes (the broadcast join alone wouldn't)
-            .where(F.col("gram").isin(all_grams))
+            # live-derived or persisted gram→term source; the explicit
+            # IN-list row-group-prunes the persisted artifact's scan
+            gram_candidates(d, all_grams, gram_table)
             .join(qgrams, "gram")
             .groupBy("qid", "term", "df")
             .agg(F.collect_set("gram").alias("_gs"))

@@ -77,12 +77,127 @@ def trigram_terms(dictionary: DataFrame) -> DataFrame:
     )
 
 
+def gram_candidates(
+    dictionary: DataFrame,
+    all_grams: list[str],
+    gram_table: DataFrame | None = None,
+) -> DataFrame:
+    """(gram, term, df) rows for the query grams — from the live
+    dictionary (derived in-plan) or a PERSISTED (gram, term) artifact
+    (:func:`save_trigram_terms`). The persisted table deliberately
+    carries NO df: df is joined from the live dictionary on the (tiny)
+    candidate set, so delta merges that only change term statistics can
+    never stale the artifact — it changes only when the TERM SET does,
+    and then by an exact O(new-terms) append
+    (:func:`merge_trigram_terms_delta`). Terms that left the dictionary
+    (compaction after deletes) drop at this inner join."""
+    if gram_table is None:
+        return trigram_terms(dictionary).where(
+            F.col("gram").isin(all_grams)
+        )
+    return (
+        gram_table.select("gram", "term")
+        # IN-list → parquet row-group pruning on the gram-sorted artifact
+        .where(F.col("gram").isin(all_grams))
+        .join(dictionary.select("term", "df"), "term")
+    )
+
+
+def save_trigram_terms(
+    dictionary: DataFrame,
+    path: str,
+    *,
+    serving_path: str | None = None,
+    partitions: int = 16,
+) -> None:
+    """Persist the gram→term artifact: (gram, term) repartitioned and
+    sorted by gram, so a query's gram IN-list prunes to a few row groups
+    instead of re-deriving ~|V|·(avg_len−2) explode rows per query (a
+    full dictionary pass per query at a 10⁸-term web vocabulary).
+    ``serving_path`` stamps the artifact with the serving index's
+    generation (indexing.secondary) so staleness is LOUD."""
+    (
+        trigram_terms(dictionary)
+        .select("gram", "term")
+        .repartition(partitions, "gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    if serving_path is not None:
+        from ..indexing.secondary import stamp_secondary
+
+        stamp_secondary(path, serving_path, "trigram_terms")
+
+
+def load_trigram_terms(
+    spark: SparkSession,
+    path: str,
+    *,
+    serving_path: str | None = None,
+    allow_unstamped: bool = False,
+) -> DataFrame:
+    """Reload a persisted gram→term artifact; with ``serving_path``,
+    raise StaleSecondaryIndexError unless its stamped generation matches
+    the serving index's current one."""
+    if serving_path is not None:
+        from ..indexing.secondary import check_secondary
+
+        check_secondary(path, serving_path, allow_unstamped=allow_unstamped)
+    return spark.read.parquet(path)
+
+
+def merge_trigram_terms_delta(
+    spark: SparkSession,
+    path: str,
+    new_terms: DataFrame,
+    *,
+    serving_path: str | None = None,
+    partitions: int = 4,
+) -> None:
+    """Append the grams of terms NEW to the dictionary — O(new terms),
+    the same generation-prefixed part-file append as
+    merge_positional_delta. Exact: the artifact stores no statistics
+    (see :func:`gram_candidates`), so existing terms whose df changed
+    need no touch, and a full rebuild equals the append row-for-row
+    (pinned in tests/test_secondary.py). ``new_terms``: any frame with a
+    ``term`` column holding the delta dictionary's NEW terms."""
+    import os
+    import shutil
+    import uuid
+
+    src = new_terms.select("term").distinct().withColumn(
+        "df", F.lit(0).cast("long")
+    )
+    tmp = f"{path}.delta-{uuid.uuid4().hex[:8]}"
+    (
+        trigram_terms(src)
+        .select("gram", "term")
+        .repartition(partitions, "gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    prefix = f"delta-{uuid.uuid4().hex[:8]}-"
+    try:
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                os.replace(f"{tmp}/{f}", f"{path}/{prefix}{f}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if serving_path is not None:
+        from ..indexing.secondary import stamp_secondary
+
+        stamp_secondary(path, serving_path, "trigram_terms")
+
+
 def infix_qterms(
     spark: SparkSession,
     dictionary: DataFrame,
     infix_queries: dict[int, str],
     *,
     max_terms: int = 16,
+    gram_table: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, term, qweight=1.0) — each ``*pattern*`` query expands to
     the at-most-``max_terms`` highest-df dictionary terms CONTAINING the
@@ -112,11 +227,7 @@ def infix_qterms(
     )
     all_grams = sorted({g for _, g in qgram_rows})
     cand = (
-        trigram_terms(dictionary)
-        # IN-list keeps the predicate pushdown explicit for the
-        # persisted-artifact case (the broadcast join alone would not
-        # prune the scan's row groups).
-        .where(F.col("gram").isin(all_grams))
+        gram_candidates(dictionary, all_grams, gram_table)
         .join(qgrams, "gram")
         .groupBy("qid", "term", "df")
         .agg(F.countDistinct("gram").alias("_ng"))

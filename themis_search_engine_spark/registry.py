@@ -1481,18 +1481,48 @@ ORACLE_SQL["suffix_topk"] = osql.sql_suffix_topk(SUFFIX_QUERYSET, 16, 10)
 INFIX_QUERYSET = {1: "uer", 2: "trea", 3: "ind", 4: "olum"}
 
 
+_GRAM_CACHE: dict[str, str] = {}
+
+
+def _gram_artifact_dir(spark, sf_dir):
+    """Persist the trigram artifacts once per sf_dir (the r5 serving
+    form: gram-sorted parquet, queried via load_* + gram IN-list
+    row-group pruning) so the infix/regex/grep queries exercise the
+    PERSISTED path, not the derive-per-query fallback."""
+    import tempfile
+
+    from .queryeng.grepdocs import save_doc_trigrams
+    from .queryeng.trigram import save_trigram_terms
+
+    if sf_dir not in _GRAM_CACHE:
+        idx = get_index(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="themis_grams_")
+        save_trigram_terms(idx.dictionary, f"{base}/trigram_terms")
+        save_doc_trigrams(
+            load_documents(spark, sf_dir), f"{base}/doc_trigrams"
+        )
+        _GRAM_CACHE[sf_dir] = base
+    return _GRAM_CACHE[sf_dir]
+
+
 def q_infix_topk(spark, sf_dir):
     """Infix (*pattern*) retrieval end-to-end (queryeng/trigram.
-    infix_qterms): each pattern's trigrams equi-join into the gram→term
-    table (the Cox/pg_trgm vocabulary trigram index — candidate
-    generation linear in the matched gram postings, never a |V| LIKE
-    scan), candidates verify with exact contains, cap df-desc like
-    PrefixQuery's rewrite, then the standard OR-scored BM25 plan with
-    IN-list postings pushdown."""
-    from .queryeng.trigram import infix_qterms
+    infix_qterms): each pattern's trigrams equi-join into the PERSISTED
+    gram→term artifact (the Cox/pg_trgm vocabulary trigram index,
+    save_trigram_terms — candidate generation linear in the matched gram
+    postings, never a |V| LIKE scan; df joined live so the artifact
+    carries no stale-able statistics), candidates verify with exact
+    contains, cap df-desc like PrefixQuery's rewrite, then the standard
+    OR-scored BM25 plan with IN-list postings pushdown."""
+    from .queryeng.trigram import infix_qterms, load_trigram_terms
 
     idx = get_index(spark, sf_dir)
-    qt = infix_qterms(spark, idx.dictionary, INFIX_QUERYSET, max_terms=16)
+    gt = load_trigram_terms(
+        spark, f"{_gram_artifact_dir(spark, sf_dir)}/trigram_terms"
+    )
+    qt = infix_qterms(
+        spark, idx.dictionary, INFIX_QUERYSET, max_terms=16, gram_table=gt
+    )
     scored = bm25_score_all(
         qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
     )
@@ -1541,9 +1571,15 @@ def q_regex_topk(spark, sf_dir):
     pushdown. The queryset exercises all three lanes (exact: 1/5/7,
     grams incl. OR-tree: 3/4/6, scan: 2)."""
     from .queryeng.regexsearch import regex_qterms
+    from .queryeng.trigram import load_trigram_terms
 
     idx = get_index(spark, sf_dir)
-    qt = regex_qterms(spark, idx.dictionary, REGEX_QUERYSET, max_terms=16)
+    gt = load_trigram_terms(
+        spark, f"{_gram_artifact_dir(spark, sf_dir)}/trigram_terms"
+    )
+    qt = regex_qterms(
+        spark, idx.dictionary, REGEX_QUERYSET, max_terms=16, gram_table=gt
+    )
     scored = bm25_score_all(
         qt, idx.postings_flat, idx.dictionary, idx.doc_stats, idx.avgdl
     )
@@ -1743,9 +1779,14 @@ def q_grep_docs(spark, sf_dir):
     count), exact contains verify on candidates only, never a
     full-corpus LIKE."""
     from .corpus import load_documents
-    from .queryeng.grepdocs import grep_docs
+    from .queryeng.grepdocs import grep_docs, load_doc_trigrams
 
-    return grep_docs(spark, load_documents(spark, sf_dir), GREP_QUERYSET)
+    gt = load_doc_trigrams(
+        spark, f"{_gram_artifact_dir(spark, sf_dir)}/doc_trigrams"
+    )
+    return grep_docs(
+        spark, load_documents(spark, sf_dir), GREP_QUERYSET, gram_table=gt
+    )
 
 
 QUERIES["grep_docs"] = q_grep_docs
@@ -1764,10 +1805,14 @@ def q_regex_grep(spark, sf_dir):
     OR tree (1, 4), the wildcard-gap AND tree (3), and the honest
     no-trigram fallback scan (2)."""
     from .corpus import load_documents
-    from .queryeng.grepdocs import regex_grep
+    from .queryeng.grepdocs import load_doc_trigrams, regex_grep
 
+    gt = load_doc_trigrams(
+        spark, f"{_gram_artifact_dir(spark, sf_dir)}/doc_trigrams"
+    )
     return regex_grep(
-        spark, load_documents(spark, sf_dir), REGEX_GREP_QUERYSET
+        spark, load_documents(spark, sf_dir), REGEX_GREP_QUERYSET,
+        gram_table=gt,
     )
 
 
