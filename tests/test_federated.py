@@ -279,3 +279,75 @@ def test_selective_wand_matches_logical_plan(spark, docs_df, tmp_path):
         ).collect()
     )
     assert wand == logical and wand
+
+
+def test_federated_scan_filter_per_leg_identity(spark, docs_df, tmp_path):
+    """r5: each federated leg takes the measured IN-list-vs-join-only
+    decision for ITS dictionary cardinality, and the two filter shapes
+    are result-identical — a dense batch vocabulary (join_only branch)
+    federates to exactly the union oracle, same as the sparse (inlist)
+    batch the other tests use."""
+    from pyspark.sql.window import Window
+
+    from themis_search_engine_spark.indexing.build import (
+        build_and_save_serving,
+        load_serving_index,
+    )
+    from themis_search_engine_spark.queryeng.federated import (
+        federated_wand_topk,
+    )
+    from themis_search_engine_spark.queryeng.planner import (
+        choose_scan_filter,
+    )
+
+    legs = []
+    for i in range(2):
+        p = str(tmp_path / f"leg{i}")
+        build_and_save_serving(
+            docs_df.where(F.pmod("doc_id", F.lit(2)) == i), p,
+            stem=False, partitions=4,
+        )
+        legs.append(load_serving_index(spark, p))
+    assert all(ix.n_terms > 0 for ix in legs)  # persisted cardinality
+
+    # a batch whose vocabulary covers (almost) the whole dictionary:
+    # every doc's words become one giant query plus the normal ones
+    dense = dict(QUERIES)
+    dense[99] = " ".join(DOCS.values())
+    qt = qterms_df(spark, dense, stem=False)
+    vocab = sorted(
+        {t for r in qt.select("term").distinct().collect() for t in [r[0]]}
+    )
+    # pin: dense coverage takes join_only on every leg, the sparse
+    # 3-query batch takes inlist
+    for ix in legs:
+        assert choose_scan_filter(len(vocab), ix.n_terms)[
+            "filter"] == "join_only"
+        assert choose_scan_filter(1, ix.n_terms)["filter"] == "inlist"
+
+    got = sorted(
+        tuple(r)
+        for r in federated_wand_topk(
+            qt, legs, k=5, round_dp=6, term_list=vocab
+        ).collect()
+    )
+    # identity vs the union-index oracle (the INLIST_CROSSOVER contract:
+    # the filter choice is physical only)
+    union = build_index(docs_df, stem=False, use_arrow=False).cache()
+    scored = bm25_score_all(
+        qt, union.postings_flat, union.dictionary, union.doc_stats,
+        union.avgdl,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= 5)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rank")
+        .collect()
+    )
+    assert got == want and len(want) > 0

@@ -158,6 +158,7 @@ def federated_wand_topk(
     round_dp: int | None = None,
     prune: bool = True,
     overfetch: int = 3,
+    term_list: list[str] | None = None,
 ) -> DataFrame:
     """(qid, doc_id, score, rank): federated top-k over COMPRESSED
     serving indexes (indexing.build.ServingIndex / load_serving_index)
@@ -179,10 +180,24 @@ def federated_wand_topk(
     Per-leg results over-fetch ``overfetch``·k at raw-score grain, then
     the global merge ranks at ``round_dp`` — the same wide-then-rounded
     pattern every registered WAND query uses.
+
+    ``term_list``: the batch's distinct processed terms, if known
+    driver-side — without it the vocabulary is collected ONCE here (one
+    job, not one per leg). Each leg then takes the measured
+    IN-list-vs-join-only scan-filter decision for ITS dictionary
+    cardinality (planner.choose_scan_filter / INLIST_CROSSOVER.json):
+    legs the batch vocabulary covers densely skip the 2× literal-
+    predicate tax, sparse legs keep row-group pruning.
     """
+    from .planner import choose_scan_filter
     from .wand import wand_topk
 
     gdict, _n, avgdl = merged_global_stats(indexes)
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
     legs = []
     for ix in indexes:
         enc = float(ix.avgdl)
@@ -190,9 +205,13 @@ def federated_wand_topk(
             max(1.0, avgdl / enc) if enc else 1.0,
             min(1.0, avgdl / enc) if enc else 1.0,
         )
+        use_inlist = choose_scan_filter(
+            len(terms), getattr(ix, "n_terms", -1)
+        )["filter"] == "inlist"
         wide = wand_topk(
             qterms, ix.compressed, gdict, avgdl, k=overfetch * k,
             chunk_bits=ix.chunk_bits, prune=prune, bound_scales=scales,
+            term_list=terms, inlist=use_inlist,
         )
         legs.append(wide.select("qid", "doc_id", "score"))
     merged = reduce(DataFrame.unionByName, legs)
@@ -221,14 +240,19 @@ def selective_wand_topk(
     round_dp: int | None = None,
     prune: bool = True,
     overfetch: int = 3,
+    term_list: list[str] | None = None,
 ) -> DataFrame:
     """Selective search on the SERVING path: CORI-route each query to
     its top-m compressed legs, then block-max WAND with merged global
     stats and per-leg bound scales — :func:`selective_topk`'s routing
     composed with :func:`federated_wand_topk`'s physical plan. Same
     contracts: routing bounds recall, scores stay union-index-exact,
-    unselected legs run zero tasks.
+    unselected legs run zero tasks. ``term_list`` as in
+    :func:`federated_wand_topk`; each selected leg takes its own
+    scan-filter decision (the leg's routed sub-batch vocabulary vs ITS
+    dictionary cardinality).
     """
+    from .planner import choose_scan_filter
     from .wand import wand_topk
 
     sel = select_shards(qterms, indexes, m).collect()
@@ -236,6 +260,11 @@ def selective_wand_topk(
     for r in sel:
         by_shard.setdefault(r["shard"], []).append(r["qid"])
     gdict, _n, avgdl = merged_global_stats(indexes)
+    terms = (
+        term_list
+        if term_list is not None
+        else [r["term"] for r in qterms.select("term").distinct().collect()]
+    )
     legs = []
     for i, ix in enumerate(indexes):
         qids = by_shard.get(i)
@@ -246,10 +275,13 @@ def selective_wand_topk(
             max(1.0, avgdl / enc) if enc else 1.0,
             min(1.0, avgdl / enc) if enc else 1.0,
         )
+        use_inlist = choose_scan_filter(
+            len(terms), getattr(ix, "n_terms", -1)
+        )["filter"] == "inlist"
         wide = wand_topk(
             qterms.where(F.col("qid").isin(qids)), ix.compressed, gdict,
             avgdl, k=overfetch * k, chunk_bits=ix.chunk_bits, prune=prune,
-            bound_scales=scales,
+            bound_scales=scales, term_list=terms, inlist=use_inlist,
         )
         legs.append(wide.select("qid", "doc_id", "score"))
     if not legs:
