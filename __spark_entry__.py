@@ -23,23 +23,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.flagship(spark)
 
 
-# Iteration order for the driver's per-query gate: cheap/stateless entries
-# first, the expensive serving-index builds (delta merge, compaction,
-# sharded/local serving) last, so a truncated run loses the heaviest
-# already-proven plans rather than a cheap unique operator (media_ann_topk
-# sat last in round 2 and was the one query the gate never reached).
-_LATE = [
+# Iteration order for the driver's per-query gate. Round 2 put the
+# expensive serving-index builds LAST so a truncated run loses heavy
+# already-proven plans rather than a cheap unique operator — but that
+# meant a 50-query gate never reached them at all (r4: the sharded plan
+# changed and its query sat past the sample horizon). r5 rotation:
+# the serving-tier queries slot in EARLY — right after the first
+# _N_CHEAP cheap/stateless entries — so every round's gate sample
+# covers the plans production traffic actually runs, while the cheapest
+# unique operators still go first.
+_SERVING_TIER = [
     "bm25_topk_wand_sharded",
     "bm25_topk_wand_local",
     "delta_merge_topk",
     "compacted_topk",
 ]
+_N_CHEAP = 16
 
 
 def _ordered(d: dict) -> dict:
-    return {k: d[k] for k in d if k not in _LATE} | {
-        k: d[k] for k in _LATE if k in d
-    }
+    rest = [k for k in d if k not in _SERVING_TIER]
+    order = (
+        rest[:_N_CHEAP]
+        + [k for k in _SERVING_TIER if k in d]
+        + rest[_N_CHEAP:]
+    )
+    return {k: d[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
