@@ -294,16 +294,14 @@ def main() -> None:
         # bench corpus has enough shard atoms at the high core count —
         # the configuration a production index at any real corpus size
         # is in; see BASELINE.md)
-        if sc_rec.get(
-            "sharded_query_efficiency_layout_controlled"
-        ) is not None:
-            extra["scaling_sharded_query_eff_layout_controlled"] = sc_rec[
-                "sharded_query_efficiency_layout_controlled"
-            ]
-        for name, rec in sc_rec.get("sharded_layout_pairs", {}).items():
+        for name, rec in sc_rec.get("sharded_default_pairs", {}).items():
             tag = name.replace("->", "_")
-            extra[f"scaling_sharded_eff_layout_{tag}"] = rec[
+            extra[f"scaling_sharded_eff_default_{tag}"] = rec[
                 "sharded_query_efficiency"
+            ]
+        if sc_rec.get("sharded_query_efficiency_pinned16") is not None:
+            extra["scaling_sharded_eff_pinned16"] = sc_rec[
+                "sharded_query_efficiency_pinned16"
             ]
     except (OSError, KeyError, ValueError):
         pass

