@@ -158,6 +158,9 @@ def main() -> None:
         smap = topical_shard_map(
             corpus, N_LEGS, dim=256, iters=4, train_mod=8,
             counts=union_raw, df_table=union_dict, n_docs=int(union_n),
+            # 400k x 256-double vectors (~1 GB) fit this box: pay the
+            # vector lineage once, not once for train + once to classify
+            cache_vectors=True,
         ).cache()
         sizes = {
             int(r["shard"]): int(r["count"])

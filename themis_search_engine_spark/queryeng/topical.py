@@ -187,6 +187,7 @@ def topical_shard_map(
     counts: DataFrame | None = None,
     df_table: DataFrame | None = None,
     n_docs: int | None = None,
+    cache_vectors: bool = False,
 ) -> DataFrame:
     """(doc_id, shard) — every input doc assigned to one of ``n_shards``
     topical shards (shard ∈ [0, n_shards), dense ids).
@@ -228,7 +229,7 @@ def topical_shard_map(
     ).withColumnRenamed("doc_id", "vec_id")
     assigned = vector_shard_map(
         vecs, n_shards, iters=iters, grain=grain, train_mod=train_mod,
-        n_clusters=n_clusters,
+        n_clusters=n_clusters, cache_vectors=cache_vectors,
     )
     # left-join back so token-free docs still get a deterministic shard
     return (
@@ -254,12 +255,21 @@ def vector_shard_map(
     n_clusters: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_vectors: bool = False,
 ) -> DataFrame:
     """(vec_id, shard) — the cluster-then-pack core of
     :func:`topical_shard_map` over any vector table (hashed-TF doc
     vectors, or real embeddings — e.g. shard an ANN corpus topically).
     Deterministic end to end: strided seeds, grain-quantized Lloyd,
     rounded-cosine classification, size-ordered greedy packing.
+
+    ``cache_vectors``: cache the FULL vector table, not just the
+    training sample. The vector lineage otherwise runs twice (once
+    filtered for training, once for classification) — at corpus sizes
+    whose vectors fit cluster memory (~dim·8 B/doc) this halves the
+    assignment's dominant cost. Deliberately opt-in: at 10^12 docs the
+    vector table is ~2 TB and the two-streaming-pass default is the
+    scale-safe shape.
     """
     from ..pipeline_ops.simsearch import (
         centroid_classify_arrow,
@@ -271,6 +281,8 @@ def vector_shard_map(
     vecs = vecs.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    if cache_vectors:
+        vecs = vecs.cache()
     if n_shards == 1:
         return vecs.select("vec_id", F.lit(0).alias("shard"))
 
